@@ -1,0 +1,201 @@
+"""Synthetic stencil-program generator.
+
+Parity with the reference's benchmark generator
+(/root/reference/bin/synthesize.py:34-298): emits program dicts (the JSON
+dialect) for parameterized chains — number of stages, domain sizes, stencil
+shape (cross / box / diffusion / hotspot), stencil extent, fork frequency and
+length, vectorization, and how often a fresh spatial input joins the chain.
+
+Used by the test-suite to generate its fixture programs and by ``bench.py``
+for scaling studies.
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Optional, Sequence
+
+SHAPES = ("cross", "box", "diffusion", "hotspot")
+
+
+def _iterators(num_dims: int) -> List[str]:
+    return ["i", "j", "k"][3 - num_dims:]
+
+
+def _center(iters: Sequence[str]) -> str:
+    return "[" + ", ".join(iters) + "]"
+
+
+def _offset_index(iters: Sequence[str], offsets: Sequence[int]) -> str:
+    parts = []
+    for it, o in zip(iters, offsets):
+        if o == 0:
+            parts.append(it)
+        elif o > 0:
+            parts.append(f"{it}+{o}")
+        else:
+            parts.append(f"{it}-{-o}")
+    return "[" + ", ".join(parts) + "]"
+
+
+def _cross_accesses(num_dims: int, extent: int) -> List[List[int]]:
+    """Von-Neumann (cross) footprint of the given radius."""
+    acc = [[0] * num_dims]
+    for d in range(num_dims):
+        for e in range(1, extent + 1):
+            for s in (-e, e):
+                v = [0] * num_dims
+                v[d] = s
+                acc.append(v)
+    return acc
+
+
+def _box_accesses(num_dims: int, extent: int) -> List[List[int]]:
+    rng = range(-extent, extent + 1)
+    return [list(v) for v in itertools.product(*([rng] * num_dims))]
+
+
+def _stencil_expression(name: str, field: str, num_dims: int, shape: str,
+                        extent: int) -> str:
+    iters = _iterators(num_dims)
+    if shape == "cross":
+        accs = _cross_accesses(num_dims, extent)
+    elif shape == "box":
+        accs = _box_accesses(num_dims, extent)
+    elif shape == "diffusion":
+        # jacobi-style diffusion: center-weighted cross of radius 1
+        accs = _cross_accesses(num_dims, 1)
+        terms = " + ".join(field + _offset_index(iters, a) for a in accs[1:])
+        return f"{name} = {1.0 / (2 * num_dims):.8f} * ({terms})"
+    elif shape == "hotspot":
+        return _hotspot_expression(name, field, num_dims)
+    else:
+        raise ValueError(f"unknown stencil shape: {shape}")
+    coeff = 1.0 / len(accs)
+    terms = " + ".join(field + _offset_index(iters, a) for a in accs)
+    return f"{name} = {coeff:.8f} * ({terms})"
+
+
+def _hotspot_expression(name: str, field: str, num_dims: int) -> str:
+    """Hotspot thermal-simulation update (2-D/3-D), with scalar coefficient
+    inputs cap/ct as in the reference's synthesizer (bin/synthesize.py:131-273).
+    ``power`` is a full-size auxiliary input field."""
+    iters = _iterators(num_dims)
+    c = _center(iters)
+    if num_dims == 2:
+        j, k = iters
+        return (f"{name} = {field}{c} + cap * (power{c} "
+                f"+ 0.1 * ({field}[{j}+1, {k}] + {field}[{j}-1, {k}] "
+                f"- 2.0 * {field}{c}) "
+                f"+ 0.1 * ({field}[{j}, {k}+1] + {field}[{j}, {k}-1] "
+                f"- 2.0 * {field}{c}) "
+                f"+ ct * (80.0 - {field}{c}))")
+    i, j, k = iters
+    return (f"{name} = {field}{c} + cap * (power{c} "
+            f"+ 0.1 * ({field}[{i}+1, {j}, {k}] + {field}[{i}-1, {j}, {k}] "
+            f"- 2.0 * {field}{c}) "
+            f"+ 0.1 * ({field}[{i}, {j}+1, {k}] + {field}[{i}, {j}-1, {k}] "
+            f"- 2.0 * {field}{c}) "
+            f"+ 0.1 * ({field}[{i}, {j}, {k}+1] + {field}[{i}, {j}, {k}-1] "
+            f"- 2.0 * {field}{c}) "
+            f"+ ct * (80.0 - {field}{c}))")
+
+
+def synthesize_stencil(num_stages: int = 4,
+                       dimensions: Sequence[int] = (64, 64, 64),
+                       shape: str = "diffusion",
+                       extent: int = 1,
+                       data_type: str = "float32",
+                       vectorization: int = 1,
+                       fork_frequency: int = 0,
+                       fork_length: int = 1,
+                       input_frequency: int = 0,
+                       boundary: str = "constant",
+                       boundary_value: float = 0.0,
+                       seed_data: str = "constant:1.0") -> Dict:
+    """Build a synthetic chain program dict.
+
+    ``fork_frequency``: every N stages, fork a side chain of ``fork_length``
+    stages that rejoins via addition.  ``input_frequency``: every N stages
+    a fresh full-size input array is added into the chain.
+    """
+    num_dims = len(dimensions)
+    if not 1 <= num_dims <= 3:
+        raise ValueError("dimensions must be 1-3 entries")
+    iters = _iterators(num_dims)
+    center = _center(iters)
+
+    def bc(field: str) -> Dict:
+        return {field: {"type": boundary, "value": boundary_value}}
+
+    inputs: Dict[str, Dict] = {
+        "a": {"data": seed_data, "data_type": data_type},
+    }
+    program: Dict[str, Dict] = {}
+    prev = "a"
+    extra_inputs = 0
+
+    if shape == "hotspot":
+        inputs["power"] = {"data": "constant:0.5", "data_type": data_type}
+        inputs["cap"] = {"data": 0.5, "data_type": data_type,
+                         "input_dims": []}
+        inputs["ct"] = {"data": 0.05, "data_type": data_type,
+                        "input_dims": []}
+
+    for s in range(num_stages):
+        name = f"s{s}"
+        expr = _stencil_expression(name, prev, num_dims, shape, extent)
+        conditions = bc(prev)
+        if shape == "hotspot":
+            conditions.update(bc("power"))
+        if input_frequency and s > 0 and s % input_frequency == 0:
+            extra_inputs += 1
+            iname = f"in{extra_inputs}"
+            inputs[iname] = {"data": f"constant:{0.1 * extra_inputs:.2f}",
+                             "data_type": data_type}
+            expr += f" + {iname}{center}"
+            conditions.update(bc(iname))
+        if fork_frequency and s > 0 and s % fork_frequency == 0:
+            fork_prev = prev
+            for f in range(fork_length):
+                fname = f"f{s}_{f}"
+                fexpr = _stencil_expression(fname, fork_prev, num_dims,
+                                            "diffusion", 1)
+                program[fname] = {
+                    "computation_string": fexpr,
+                    "boundary_conditions": bc(fork_prev),
+                    "data_type": data_type,
+                }
+                fork_prev = fname
+            expr += f" + {fork_prev}{center}"
+            conditions.update(bc(fork_prev))
+        program[name] = {
+            "computation_string": expr,
+            "boundary_conditions": conditions,
+            "data_type": data_type,
+        }
+        prev = name
+
+    spec = {
+        "inputs": inputs,
+        "outputs": [prev],
+        "dimensions": list(dimensions),
+        "program": program,
+    }
+    if vectorization > 1:
+        spec["vectorization"] = vectorization
+    return spec
+
+
+def jacobi(num_dims: int, size: int, iterations: int = 1,
+           data_type: str = "float32", vectorization: int = 1,
+           boundary: str = "constant") -> Dict:
+    """Canonical jacobi2d/jacobi3d iteration-chain workloads
+    (the reference's headline benchmarks, test/stencils/jacobi*.json)."""
+    return synthesize_stencil(
+        num_stages=iterations,
+        dimensions=(size,) * num_dims,
+        shape="diffusion",
+        data_type=data_type,
+        vectorization=vectorization,
+        boundary=boundary,
+    )
