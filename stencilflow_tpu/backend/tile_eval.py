@@ -1,0 +1,218 @@
+"""Shared halo-tile evaluator: runs a whole stencil chain on one widened tile.
+
+This is the TPU-native replacement for the reference's streaming pipeline
+semantics (/root/reference/stencilflow/stencil/intel_fpga.py:107-543): instead
+of skewing element streams in *time* through line buffers and delay FIFOs, we
+widen tiles in *space* by the chain's cumulative halo and evaluate every
+kernel over the whole widened tile.  Out-of-tile reads use circular rolls
+whose wrapped values only ever land in the tile's invalid margin (which
+shrinks by each stage's radius and never reaches the core, by construction of
+the halo budget), and out-of-*domain* reads are fixed up with
+boundary-condition masks over global coordinates.
+
+The same function body serves three consumers:
+
+* the fused Pallas kernel (one tile per grid step, VMEM-resident stages),
+* the shard_map domain-decomposition path (one tile per device, halos
+  exchanged over ICI), and
+* the single-tile XLA backend (the whole padded domain as one "tile").
+
+Everything here is shape-static, data-independent control flow — jit/pallas
+safe.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from .. import ir
+from ..config import JUNK_VAL
+from ..frontend.chain import ChainGraph
+
+Vec3 = Tuple[int, int, int]
+
+
+def _roll(arr, shift: int, axis: int):
+    """Static circular shift; result[x] = arr[x + shift]."""
+    if shift == 0:
+        return arr
+    return jnp.roll(arr, -shift, axis=axis)
+
+
+def _global_oob_mask(offsets: ir.Offsets, tile_shape: Sequence[int],
+                     origin: Sequence[Any], halo: Vec3,
+                     dimensions: Vec3):
+    """Mask of widened-tile positions whose shifted read leaves the domain.
+
+    Global coordinate of widened-tile cell x in dim d is
+    ``origin[d] + x_d - halo[d]``; the read targets global + offset.
+    ``origin`` entries may be traced scalars (pallas program_id, shard
+    offsets).  Matches the reference's OOB rule (stencil/cpu.py:71-78).
+    """
+    mask = None
+    for d, o in enumerate(offsets):
+        if o is None:
+            continue  # unspanned dim: never out of bounds
+        idx = lax.broadcasted_iota(jnp.int32, tuple(tile_shape), d)
+        g = idx + (origin[d] - halo[d] + o)
+        m = (g < 0) | (g >= dimensions[d])
+        mask = m if mask is None else (mask | m)
+    return mask
+
+
+def read_access_tile(buf, offsets: ir.Offsets,
+                     bc: Optional[ir.BoundaryCondition],
+                     origin: Sequence[Any], halo: Vec3, dimensions: Vec3):
+    """Materialize ``field[x + o]`` over a widened tile with its BC applied."""
+    shifted = buf
+    for d, o in enumerate(offsets):
+        if o is None or o == 0:
+            continue
+        shifted = _roll(shifted, o, d)
+    mask = _global_oob_mask(offsets, buf.shape, origin, halo, dimensions)
+    if mask is None:
+        return shifted
+    if bc is None or bc.kind == ir.BCKind.CONSTANT:
+        fill = jnp.asarray(bc.value if bc is not None else 0.0, buf.dtype)
+        return jnp.where(mask, fill, shifted)
+    if bc.kind == ir.BCKind.COPY:
+        return jnp.where(mask, buf, shifted)
+    if bc.kind == ir.BCKind.SHRINK:
+        return jnp.where(mask, jnp.asarray(JUNK_VAL, buf.dtype), shifted)
+    raise ValueError(f"unknown boundary condition {bc!r}")
+
+
+_BINOPS = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mult": lambda a, b: a * b,
+    "div": lambda a, b: a / b,
+}
+
+_CMPOPS = {
+    "lt": lambda a, b: a < b,
+    "le": lambda a, b: a <= b,
+    "gt": lambda a, b: a > b,
+    "ge": lambda a, b: a >= b,
+    "eq": lambda a, b: a == b,
+    "ne": lambda a, b: a != b,
+}
+
+_CALLS: Dict[str, Callable] = {
+    "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan,
+    "sinh": jnp.sinh, "cosh": jnp.cosh, "tanh": jnp.tanh,
+    "sqrt": jnp.sqrt, "exp": jnp.exp, "log": jnp.log,
+    "abs": jnp.abs, "min": jnp.minimum, "max": jnp.maximum,
+}
+
+
+def _eval_expr(expr: ir.Expr, fields: Dict[str, Any], env: Dict[str, Any],
+               bcs: Dict[str, ir.BoundaryCondition],
+               origin, halo, dimensions):
+    if isinstance(expr, ir.Const):
+        return expr.value
+    if isinstance(expr, ir.Ref):
+        return env[expr.name]
+    if isinstance(expr, ir.Access):
+        buf = fields[expr.field]
+        if not hasattr(buf, "shape") or buf.ndim == 0:  # scalar input
+            return buf
+        return read_access_tile(buf, expr.offsets, bcs.get(expr.field),
+                                origin, halo, dimensions)
+    rec = lambda e: _eval_expr(e, fields, env, bcs, origin, halo, dimensions)
+    if isinstance(expr, ir.BinOp):
+        return _BINOPS[expr.op](rec(expr.left), rec(expr.right))
+    if isinstance(expr, ir.UnaryOp):
+        return -rec(expr.operand)
+    if isinstance(expr, ir.Compare):
+        return _CMPOPS[expr.op](rec(expr.left), rec(expr.right))
+    if isinstance(expr, ir.BoolOp):
+        vals = [rec(o) for o in expr.operands]
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = (acc & v) if expr.op == "and" else (acc | v)
+        return acc
+    if isinstance(expr, ir.Select):
+        return jnp.where(rec(expr.cond), rec(expr.if_true),
+                         rec(expr.if_false))
+    if isinstance(expr, ir.Call):
+        return _CALLS[expr.fn](*[rec(a) for a in expr.args])
+    raise TypeError(f"unknown expression node {type(expr)}")
+
+
+def broadcast_input_tile(arr, dim_mask: Tuple[bool, bool, bool],
+                         tile_shape: Vec3):
+    """Expand a lower-dimensional input's tile slice to the full widened-tile
+    shape (size-1 in unspanned dims, broadcast)."""
+    arr = jnp.asarray(arr)
+    if arr.ndim == 0:
+        return arr
+    shape = tuple(t if m else 1 for t, m in zip(tile_shape, dim_mask))
+    return jnp.broadcast_to(arr.reshape(shape), tuple(tile_shape))
+
+
+def evaluate_chain_tile(program: ir.Program, graph: ChainGraph,
+                        tile_fields: Dict[str, Any],
+                        origin: Sequence[Any], halo: Vec3,
+                        keep: Optional[Sequence[str]] = None
+                        ) -> Dict[str, Any]:
+    """Evaluate every kernel of ``program`` over one widened tile.
+
+    ``tile_fields`` maps each program input to its widened-tile array (full
+    widened shape for 3-D fields, spanned-dims-only widened slices for
+    lower-dimensional fields, 0-d for scalars).  ``origin`` is the global
+    element offset of the tile *core*; entries may be traced.  Returns kernel
+    results at the widened tile shape (caller slices out the core); ``keep``
+    restricts which kernel results are returned (default: program outputs).
+    """
+    dims = program.dimensions
+    tile_shape = None
+    fields: Dict[str, Any] = {}
+    for iname, spec in program.inputs.items():
+        arr = tile_fields[iname]
+        if spec.is_scalar:
+            fields[iname] = jnp.asarray(arr)
+            continue
+        if all(spec.dim_mask):
+            arr = jnp.asarray(arr)
+            tile_shape = arr.shape
+            fields[iname] = arr
+        else:
+            fields[iname] = arr  # broadcast once tile_shape is known
+    if tile_shape is None:
+        # No full-rank input: derive widened shape from any spanned input
+        for iname, spec in program.inputs.items():
+            if spec.is_scalar or all(spec.dim_mask):
+                continue
+            arr = jnp.asarray(tile_fields[iname])
+            it = iter(arr.shape)
+            guess = [next(it) if m else 1 for m in spec.dim_mask]
+            tile_shape = tuple(guess)
+        if tile_shape is None:
+            raise ValueError("program has no array inputs")
+    for iname, spec in program.inputs.items():
+        if not spec.is_scalar and not all(spec.dim_mask):
+            fields[iname] = broadcast_input_tile(
+                fields[iname], spec.dim_mask, tile_shape)
+    # Precomputed upstream-kernel tiles (pipeline-split segments pass these).
+    for name, arr in tile_fields.items():
+        if name not in fields:
+            fields[name] = jnp.asarray(arr)
+
+    for kname in graph.kernel_order:
+        kspec = program.kernels[kname]
+        env: Dict[str, Any] = {}
+        for stmt in kspec.statements:
+            env[stmt.lhs] = _eval_expr(stmt.rhs, fields, env,
+                                       kspec.boundary_conditions,
+                                       origin, halo, dims)
+        result = env[kspec.output_statement.lhs]
+        result = jnp.asarray(result)
+        if result.shape != tuple(tile_shape):
+            result = jnp.broadcast_to(result, tuple(tile_shape))
+        fields[kname] = result.astype(kspec.dtype)
+
+    names = list(keep) if keep is not None else list(program.outputs)
+    return {n: fields[n] for n in names}

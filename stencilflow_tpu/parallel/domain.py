@@ -1,0 +1,180 @@
+"""Domain decomposition over a device mesh with ICI halo exchange.
+
+Each device owns a contiguous block of the (i, j, k) domain.  One halo
+exchange per chain evaluation: every sharded input sends slabs of the chain's
+*cumulative* halo width to its mesh neighbors via ``lax.ppermute`` (riding
+ICI), after which the whole kernel chain is evaluated locally on the widened
+block through the shared tile evaluator — communication volume is the
+minimum possible for a fused chain (one halo per input, not one per stage).
+
+Global boundary blocks receive zero slabs from ppermute (no source sends to
+them), which is safe: the tile evaluator masks every out-of-domain read with
+its boundary condition using *global* coordinates derived from the device's
+mesh position.
+
+Reference counterpart: the multi-FPGA `split_sdfg` + SMI streams
+(/root/reference/stencilflow/sdfg_generator.py:782-1000); this module is the
+idiomatic TPU mapping (shard_map + collectives) of that capability.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .. import ir
+from ..frontend.analysis import ChainAnalysis
+from ..frontend.chain import ChainGraph
+from ..backend.xla import chain_halo
+from ..backend.tile_eval import evaluate_chain_tile
+
+Vec3 = Tuple[int, int, int]
+
+
+@dataclasses.dataclass
+class DomainDecomposition:
+    """Static plan for sharding one program's domain over a mesh.
+
+    ``dim_axes[d]`` is the mesh axis name dim ``d`` is sharded over (None =
+    replicated).  Dims must divide evenly by the axis size and each local
+    block must be wider than the halo (single-hop exchange).
+    """
+    program: ir.Program
+    mesh: Mesh
+    dim_axes: Tuple[Optional[str], Optional[str], Optional[str]]
+    halo: Vec3
+    block: Vec3
+
+    @classmethod
+    def plan(cls, program: ir.Program, mesh: Mesh,
+             dim_axes: Sequence[Optional[str]],
+             analysis: Optional[ChainAnalysis] = None
+             ) -> "DomainDecomposition":
+        analysis = analysis or ChainAnalysis.run(program)
+        halo = chain_halo(analysis)
+        dims = program.dimensions
+        dim_axes = tuple(dim_axes)
+        block = []
+        for d in range(3):
+            ax = dim_axes[d]
+            n = mesh.shape[ax] if ax is not None else 1
+            if dims[d] % n != 0:
+                raise ValueError(
+                    f"dim {d} ({dims[d]}) not divisible by mesh axis "
+                    f"'{ax}' size {n}")
+            b = dims[d] // n
+            if ax is not None and n > 1 and halo[d] >= b:
+                raise ValueError(
+                    f"halo {halo[d]} >= local block {b} in dim {d}; "
+                    "use fewer shards or a shallower chain")
+            block.append(b)
+        return cls(program, mesh, dim_axes, halo, tuple(block))
+
+    # -- shardings -----------------------------------------------------------
+    def spec_for_input(self, name: str) -> P:
+        spec = self.program.inputs[name]
+        if spec.is_scalar:
+            return P()
+        return P(*[self.dim_axes[d] for d in range(3) if spec.dim_mask[d]])
+
+    def spec_for_output(self) -> P:
+        raw = self.program.raw_dimensions
+        # outputs are produced at raw (unpadded) rank; padded leading dims
+        # of size 1 are dropped, so map the trailing raw dims
+        return P(*[self.dim_axes[d] for d in range(3 - len(raw), 3)])
+
+    def input_shardings(self) -> Dict[str, NamedSharding]:
+        return {n: NamedSharding(self.mesh, self.spec_for_input(n))
+                for n in self.program.inputs}
+
+
+def _exchange_halo(arr, spanned_dims: Sequence[int], local_dims: Dict[int, int],
+                   plan: DomainDecomposition):
+    """Widen a local block by the halo in every spanned dim, pulling neighbor
+    slabs over ICI (zeros at global boundaries)."""
+    for pos, d in enumerate(local_dims):
+        h = plan.halo[d]
+        ax = plan.dim_axes[d]
+        if h == 0:
+            continue
+        if ax is None or plan.mesh.shape[ax] == 1:
+            pad = [(0, 0)] * arr.ndim
+            pad[pos] = (h, h)
+            arr = jnp.pad(arr, pad)
+            continue
+        n = plan.mesh.shape[ax]
+        lo_slab = lax.slice_in_dim(arr, 0, h, axis=pos)
+        hi_slab = lax.slice_in_dim(arr, arr.shape[pos] - h, arr.shape[pos],
+                                   axis=pos)
+        # send my high slab to my right neighbor (becomes their left halo)
+        left_halo = lax.ppermute(hi_slab, ax,
+                                 [(p, p + 1) for p in range(n - 1)])
+        # send my low slab to my left neighbor (becomes their right halo)
+        right_halo = lax.ppermute(lo_slab, ax,
+                                  [(p + 1, p) for p in range(n - 1)])
+        arr = jnp.concatenate([left_halo, arr, right_halo], axis=pos)
+    return arr
+
+
+def _local_forward(plan: DomainDecomposition, graph: ChainGraph,
+                   inputs: Dict[str, Any]) -> Dict[str, Any]:
+    program = plan.program
+    halo = plan.halo
+    tiles: Dict[str, Any] = {}
+    for name, spec in program.inputs.items():
+        arr = inputs[name]
+        if spec.is_scalar:
+            tiles[name] = arr
+            continue
+        spanned = [d for d in range(3) if spec.dim_mask[d]]
+        local_dims = {d: plan.block[d] for d in spanned}
+        tiles[name] = _exchange_halo(arr, spanned, local_dims, plan)
+    origin = []
+    for d in range(3):
+        ax = plan.dim_axes[d]
+        idx = lax.axis_index(ax) if ax is not None else 0
+        origin.append(idx * plan.block[d])
+    results = evaluate_chain_tile(program, graph, tiles, origin, halo)
+    core = tuple(slice(halo[d], halo[d] + plan.block[d]) for d in range(3))
+    raw = program.raw_dimensions
+    local_raw = tuple(plan.block[3 - len(raw) + i] for i in range(len(raw)))
+    return {n: arr[core].reshape(local_raw) for n, arr in results.items()}
+
+
+def compile_sharded_chain(program: ir.Program, mesh: Mesh,
+                          dim_axes: Sequence[Optional[str]],
+                          analysis: Optional[ChainAnalysis] = None):
+    """Build a jitted, mesh-sharded ``fn(inputs) -> outputs`` for the chain.
+
+    Inputs must be committed with ``plan.input_shardings()`` (or will be
+    resharded on entry).  Returns ``(fn, plan)``.
+    """
+    plan = DomainDecomposition.plan(program, mesh, dim_axes, analysis)
+    graph = ChainGraph.build(program)
+    in_specs = ({n: plan.spec_for_input(n) for n in program.inputs},)
+    out_specs = {n: plan.spec_for_output() for n in program.outputs}
+    fn = shard_map(functools.partial(_local_forward, plan, graph),
+                   mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+    return jax.jit(fn), plan
+
+
+def run_sharded_chain(program: ir.Program, mesh: Mesh,
+                      dim_axes: Sequence[Optional[str]],
+                      inputs: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    fn, plan = compile_sharded_chain(program, mesh, dim_axes)
+    shardings = plan.input_shardings()
+    dev_inputs = {
+        n: jax.device_put(jnp.asarray(v), shardings[n])
+        if not program.inputs[n].is_scalar else jnp.asarray(v)
+        for n, v in inputs.items()
+    }
+    out = fn(dev_inputs)
+    return {k: np.asarray(v) for k, v in out.items()}

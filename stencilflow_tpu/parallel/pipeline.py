@@ -1,0 +1,216 @@
+"""Operator-pipeline split across devices (reference: split_sdfg).
+
+The reference cuts the FPGA pipeline at a stream and bridges the halves with
+SMI remote FIFOs (/root/reference/stencilflow/sdfg_generator.py:782-1000),
+with elastic FIFOs absorbing skew.  ICI collectives are lockstep, so the TPU
+mapping is a *wavefront pipeline*: the domain is chunked along the outermost
+dim, device ``s`` owns the ``s``-th contiguous segment of the kernel DAG, and
+at pipeline step ``t`` device ``s`` processes chunk ``t - s`` — intermediate
+tiles hop to the next device over ICI (`lax.ppermute`) after every step, so
+all segments compute concurrently on different chunks (the gearbox concept of
+the reference maps to chunking the stream into ICI-efficient tiles).
+
+Chunks are widened by the chain's cumulative halo so each segment's stencil
+reads stay local; program inputs are replicated and sliced on demand.  This
+mode exists for parity and for chains too deep to fit one chip's VMEM —
+domain decomposition (domain.py) is the preferred mapping otherwise.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .. import ir
+from ..frontend.analysis import ChainAnalysis
+from ..frontend.chain import ChainGraph
+from ..backend.xla import chain_halo
+from ..backend.tile_eval import evaluate_chain_tile
+
+Vec3 = Tuple[int, int, int]
+
+
+def split_kernels(graph: ChainGraph, num_segments: int) -> List[List[str]]:
+    """Cut the topologically ordered kernel list into contiguous segments
+    (each prefix is downward-closed, so every cut is valid — the analogue of
+    choosing a cut from enumerate_cuts)."""
+    order = graph.kernel_order
+    n = len(order)
+    if num_segments > n:
+        raise ValueError(f"cannot split {n} kernels into {num_segments} "
+                         "segments")
+    bounds = [round(i * n / num_segments) for i in range(num_segments + 1)]
+    segments = [order[bounds[i]:bounds[i + 1]] for i in range(num_segments)]
+    if any(not s for s in segments):
+        raise ValueError("empty pipeline segment; use fewer segments")
+    return segments
+
+
+@dataclasses.dataclass
+class PipelineSplit:
+    program: ir.Program
+    mesh: Mesh
+    axis: str                      # mesh axis carrying pipeline stages
+    segments: List[List[str]]
+    halo: Vec3
+    num_chunks: int
+    chunk: int                     # chunk extent along dim 0
+
+
+def _segment_eval(program, graph, segment, tiles, origin, halo):
+    """Evaluate one contiguous kernel segment on a widened tile dict."""
+    sub_order = [n for n in graph.order if n not in program.kernels
+                 or n in segment]
+    # evaluate_chain_tile walks graph.kernel_order; restrict via a shallow
+    # proxy graph that only exposes this segment's kernels.
+    proxy = dataclasses.replace(graph)
+    proxy.order = sub_order
+    return evaluate_chain_tile(program, proxy, tiles, origin, halo,
+                               keep=segment)
+
+
+def _pipeline_body(plan: PipelineSplit, graph: ChainGraph,
+                   inputs: Dict[str, Any]) -> Dict[str, Any]:
+    program = plan.program
+    mesh_n = plan.mesh.shape[plan.axis]
+    S = len(plan.segments)
+    C = plan.num_chunks
+    halo = plan.halo
+    dims = program.dimensions
+    tile_shape = (plan.chunk + 2 * halo[0], dims[1] + 2 * halo[1],
+                  dims[2] + 2 * halo[2])
+    s = lax.axis_index(plan.axis)
+
+    # Replicated padded inputs, sliced per step.
+    padded: Dict[str, Any] = {}
+    for name, spec in program.inputs.items():
+        arr = inputs[name]
+        if spec.is_scalar:
+            padded[name] = arr
+            continue
+        spanned = [d for d in range(3) if spec.dim_mask[d]]
+        shape = tuple(dims[d] for d in spanned)
+        pads = [(halo[d], halo[d]) for d in spanned]
+        padded[name] = jnp.pad(jnp.asarray(arr).reshape(shape), pads)
+
+    def input_tile(name, spec, c):
+        arr = padded[name]
+        if spec.is_scalar:
+            return arr
+        spanned = [d for d in range(3) if spec.dim_mask[d]]
+        starts, sizes = [], []
+        for d in spanned:
+            if d == 0:
+                starts.append(c * plan.chunk)
+                sizes.append(plan.chunk + 2 * halo[0])
+            else:
+                starts.append(0)
+                sizes.append(dims[d] + 2 * halo[d])
+        return lax.dynamic_slice(arr, starts, sizes)
+
+    # Carried tile: every kernel field at widened-tile shape.
+    def empty_tile():
+        return {k: jnp.zeros(tile_shape, dtype=spec.dtype)
+                for k, spec in program.kernels.items()}
+
+    out_shape = (C * plan.chunk, dims[1], dims[2])
+    outputs0 = {o: jnp.zeros(out_shape, program.kernels[o].dtype)
+                for o in program.outputs}
+
+    branches = []
+    for seg_idx, segment in enumerate(plan.segments):
+        def branch(args, segment=segment):
+            tiles, origin = args
+            res = _segment_eval(program, graph, segment, tiles, origin, halo)
+            new = dict(tiles)
+            new.update(res)
+            return {k: new[k] for k in program.kernels}
+        branches.append(branch)
+
+    def step(carry, t):
+        tiles, outputs = carry
+        c = t - s  # chunk index this device works on at step t
+        valid = (c >= 0) & (c < C)
+        c_clamped = jnp.clip(c, 0, C - 1)
+        origin = (c_clamped * plan.chunk, 0, 0)
+        full = {n: input_tile(n, spec, c_clamped)
+                for n, spec in program.inputs.items()}
+        full.update(tiles)
+        seg = jnp.minimum(s, S - 1)
+        new_tiles = lax.switch(seg, branches, (full, origin))
+
+        # last stage writes its finished chunk (if valid)
+        def write(outputs):
+            out = {}
+            core = (slice(halo[0], halo[0] + plan.chunk),
+                    slice(halo[1], halo[1] + dims[1]),
+                    slice(halo[2], halo[2] + dims[2]))
+            for o in program.outputs:
+                chunk_val = new_tiles[o][core]
+                out[o] = lax.dynamic_update_slice(
+                    outputs[o], chunk_val, (c_clamped * plan.chunk, 0, 0))
+            return out
+
+        is_last = (s == S - 1) & valid
+        outputs = lax.cond(is_last, write, lambda o: o, outputs)
+
+        # hop tiles to the next stage over ICI
+        perm = [(p, p + 1) for p in range(S - 1)]
+        next_tiles = {k: lax.ppermute(v, plan.axis, perm)
+                      for k, v in new_tiles.items()}
+        return (next_tiles, outputs), None
+
+    (_, outputs), _ = lax.scan(step, (empty_tile(), outputs0),
+                               jnp.arange(S + C - 1))
+    # replicate the result: only stage S-1 holds real data
+    mask = (s == S - 1).astype(jnp.float32)
+    outputs = {k: lax.psum(v * mask.astype(v.dtype), plan.axis)
+               for k, v in outputs.items()}
+    raw = program.raw_dimensions
+    # C * chunk == dims[0] by construction
+    return {k: v.reshape(raw) for k, v in outputs.items()}
+
+
+def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
+                           num_chunks: Optional[int] = None,
+                           analysis: Optional[ChainAnalysis] = None):
+    """Jitted wavefront-pipelined chain over ``mesh.shape[axis]`` devices.
+
+    Inputs are replicated; outputs are replicated.  Returns ``(fn, plan)``.
+    """
+    analysis = analysis or ChainAnalysis.run(program)
+    graph = analysis.graph
+    S = mesh.shape[axis]
+    segments = split_kernels(graph, S)
+    halo = chain_halo(analysis)
+    dims = program.dimensions
+    if num_chunks is None:
+        num_chunks = max(1, min(S, dims[0]))
+    if dims[0] % num_chunks != 0:
+        raise ValueError(f"dim 0 ({dims[0]}) not divisible into "
+                         f"{num_chunks} chunks")
+    chunk = dims[0] // num_chunks
+    plan = PipelineSplit(program, mesh, axis, segments, halo, num_chunks,
+                         chunk)
+    in_specs = ({n: P() for n in program.inputs},)
+    out_specs = {n: P() for n in program.outputs}
+    fn = shard_map(functools.partial(_pipeline_body, plan, graph),
+                   mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+    return jax.jit(fn), plan
+
+
+def run_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
+                       inputs: Dict[str, Any],
+                       num_chunks: Optional[int] = None
+                       ) -> Dict[str, np.ndarray]:
+    fn, _ = compile_pipeline_split(program, mesh, axis, num_chunks)
+    out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
+    return {k: np.asarray(v) for k, v in out.items()}
