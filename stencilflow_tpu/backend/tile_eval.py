@@ -43,14 +43,20 @@ def _roll(arr, shift: int, axis: int):
 
 def _global_oob_mask(offsets: ir.Offsets, tile_shape: Sequence[int],
                      origin: Sequence[Any], halo: Vec3,
-                     dimensions: Vec3):
+                     dimensions: Vec3, cache: Optional[dict] = None):
     """Mask of widened-tile positions whose shifted read leaves the domain.
 
     Global coordinate of widened-tile cell x in dim d is
     ``origin[d] + x_d - halo[d]``; the read targets global + offset.
     ``origin`` entries may be traced scalars (pallas program_id, shard
     offsets).  Matches the reference's OOB rule (stencil/cpu.py:71-78).
+
+    Masks depend only on (offsets, tile_shape), which deep chains repeat
+    every stage — ``cache`` memoizes them within one tile evaluation.
     """
+    key = (tuple(offsets), tuple(tile_shape))
+    if cache is not None and key in cache:
+        return cache[key]
     mask = None
     for d, o in enumerate(offsets):
         if o is None:
@@ -59,19 +65,23 @@ def _global_oob_mask(offsets: ir.Offsets, tile_shape: Sequence[int],
         g = idx + (origin[d] - halo[d] + o)
         m = (g < 0) | (g >= dimensions[d])
         mask = m if mask is None else (mask | m)
+    if cache is not None:
+        cache[key] = mask
     return mask
 
 
 def read_access_tile(buf, offsets: ir.Offsets,
                      bc: Optional[ir.BoundaryCondition],
-                     origin: Sequence[Any], halo: Vec3, dimensions: Vec3):
+                     origin: Sequence[Any], halo: Vec3, dimensions: Vec3,
+                     cache: Optional[dict] = None):
     """Materialize ``field[x + o]`` over a widened tile with its BC applied."""
     shifted = buf
     for d, o in enumerate(offsets):
         if o is None or o == 0:
             continue
         shifted = _roll(shifted, o, d)
-    mask = _global_oob_mask(offsets, buf.shape, origin, halo, dimensions)
+    mask = _global_oob_mask(offsets, buf.shape, origin, halo, dimensions,
+                            cache)
     if mask is None:
         return shifted
     if bc is None or bc.kind == ir.BCKind.CONSTANT:
@@ -110,7 +120,7 @@ _CALLS: Dict[str, Callable] = {
 
 def _eval_expr(expr: ir.Expr, fields: Dict[str, Any], env: Dict[str, Any],
                bcs: Dict[str, ir.BoundaryCondition],
-               origin, halo, dimensions):
+               origin, halo, dimensions, cache=None):
     if isinstance(expr, ir.Const):
         return expr.value
     if isinstance(expr, ir.Ref):
@@ -120,8 +130,9 @@ def _eval_expr(expr: ir.Expr, fields: Dict[str, Any], env: Dict[str, Any],
         if not hasattr(buf, "shape") or buf.ndim == 0:  # scalar input
             return buf
         return read_access_tile(buf, expr.offsets, bcs.get(expr.field),
-                                origin, halo, dimensions)
-    rec = lambda e: _eval_expr(e, fields, env, bcs, origin, halo, dimensions)
+                                origin, halo, dimensions, cache)
+    rec = lambda e: _eval_expr(e, fields, env, bcs, origin, halo, dimensions,
+                               cache)
     if isinstance(expr, ir.BinOp):
         return _BINOPS[expr.op](rec(expr.left), rec(expr.right))
     if isinstance(expr, ir.UnaryOp):
@@ -201,18 +212,33 @@ def evaluate_chain_tile(program: ir.Program, graph: ChainGraph,
         if name not in fields:
             fields[name] = jnp.asarray(arr)
 
-    for kname in graph.kernel_order:
+    # Death schedule: drop a field's tile after its last consumer so the
+    # compiler can reuse the buffer (bounds live VMEM on deep chains).
+    names = list(keep) if keep is not None else list(program.outputs)
+    order = graph.kernel_order
+    last_use: Dict[str, int] = {}
+    for idx, kname in enumerate(order):
+        for f in program.kernels[kname].accesses():
+            last_use[f] = idx
+    for n in names:
+        last_use[n] = len(order)
+
+    out: Dict[str, Any] = {}
+    mask_cache: Dict[Any, Any] = {}
+    for idx, kname in enumerate(order):
         kspec = program.kernels[kname]
         env: Dict[str, Any] = {}
         for stmt in kspec.statements:
             env[stmt.lhs] = _eval_expr(stmt.rhs, fields, env,
                                        kspec.boundary_conditions,
-                                       origin, halo, dims)
+                                       origin, halo, dims, mask_cache)
         result = env[kspec.output_statement.lhs]
         result = jnp.asarray(result)
         if result.shape != tuple(tile_shape):
             result = jnp.broadcast_to(result, tuple(tile_shape))
         fields[kname] = result.astype(kspec.dtype)
+        for f in [f for f, last in last_use.items() if last == idx]:
+            if f in fields and f not in names:
+                del fields[f]
 
-    names = list(keep) if keep is not None else list(program.outputs)
     return {n: fields[n] for n in names}

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .. import ir
 from ..frontend.analysis import ChainAnalysis
@@ -162,7 +162,7 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
     out_specs = {n: plan.spec_for_output() for n in program.outputs}
     fn = shard_map(functools.partial(_local_forward, plan, graph),
                    mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                   check_rep=False)
+                   check_vma=False)
     return jax.jit(fn), plan
 
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .. import ir
 from ..frontend.analysis import ChainAnalysis
@@ -203,7 +203,7 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
     out_specs = {n: P() for n in program.outputs}
     fn = shard_map(functools.partial(_pipeline_body, plan, graph),
                    mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                   check_rep=False)
+                   check_vma=False)
     return jax.jit(fn), plan
 
 

@@ -1,0 +1,141 @@
+"""Backend equivalence tests: every lowering strategy must match the numpy
+oracle (the reference's compare-to-reference discipline,
+/root/reference/stencilflow/run_program.py:219-250), on the virtual CPU mesh.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+import stencilflow_tpu as sft
+from stencilflow_tpu.backend.pallas import run_chain_pallas
+from stencilflow_tpu.backend.xla import run_chain
+from stencilflow_tpu.parallel.domain import run_sharded_chain
+from stencilflow_tpu.parallel.pipeline import run_pipeline_split
+from stencilflow_tpu.synthesize import jacobi, synthesize_stencil
+
+
+def _oracle(program, inputs):
+    return {k: np.asarray(v)
+            for k, v in sft.run_interpreter(program, inputs).items()}
+
+
+def _program_jacobi3d(size=16, iters=3, boundary="constant"):
+    return sft.parse_program(jacobi(3, size, iterations=iters,
+                                    boundary=boundary),
+                             name=f"j3d_{size}_{iters}_{boundary}")
+
+
+class TestXLABackend:
+    @pytest.mark.parametrize("strategy", ["tile", "interpreter"])
+    def test_jacobi3d_chain(self, strategy):
+        p = _program_jacobi3d()
+        inputs = sft.load_input_arrays(p, seed=1)
+        ref = _oracle(p, inputs)
+        out = run_chain(p, inputs, strategy=strategy)
+        for k in ref:
+            np.testing.assert_allclose(out[k], ref[k], rtol=1e-6)
+
+    def test_copy_boundary(self):
+        p = _program_jacobi3d(boundary="copy")
+        inputs = sft.load_input_arrays(p, seed=2)
+        ref = _oracle(p, inputs)
+        out = run_chain(p, inputs)
+        np.testing.assert_allclose(out["s2"], ref["s2"], rtol=1e-6)
+
+    def test_fork_join_with_lower_dim_inputs(self):
+        rng = np.random.default_rng(3)
+        a = rng.random((8, 12, 16)).astype(np.float32)
+        row = rng.random((16,)).astype(np.float32)
+        c = np.float32(1.5)
+        p = sft.parse_program({
+            "inputs": {
+                "a": {"data": a, "data_type": "float32"},
+                "row": {"data": row, "data_type": "float32",
+                        "input_dims": ["k"]},
+                "c": {"data": c, "data_type": "float32", "input_dims": []},
+            },
+            "outputs": ["res"],
+            "dimensions": [8, 12, 16],
+            "program": {
+                "u": {"computation_string":
+                      "u = a[i,j,k] * c + row[k]",
+                      "boundary_conditions": {
+                          "a": {"type": "constant", "value": 0.0},
+                          "row": {"type": "constant", "value": 0.0}},
+                      "data_type": "float32"},
+                "v": {"computation_string":
+                      "v = 0.5 * (u[i-1,j,k] + u[i+1,j,k])",
+                      "boundary_conditions": {
+                          "u": {"type": "constant", "value": 1.0}},
+                      "data_type": "float32"},
+                "res": {"computation_string":
+                        "res = v[i,j,k] + u[i,j+1,k]",
+                        "boundary_conditions": {
+                            "v": {"type": "constant", "value": 0.0},
+                            "u": {"type": "constant", "value": 0.0}},
+                        "data_type": "float32"},
+            },
+        }, name="forkjoin")
+        inputs = {"a": a, "row": row, "c": c}
+        ref = _oracle(p, inputs)
+        out = run_chain(p, inputs)
+        np.testing.assert_allclose(out["res"], ref["res"], rtol=1e-6)
+
+
+class TestPallasInterpret:
+    """Pallas kernels in interpreter mode (compiled Mosaic needs real TPU)."""
+
+    @pytest.mark.parametrize("mode", ["masked", "fast"])
+    def test_jacobi3d_modes(self, mode):
+        p = _program_jacobi3d(size=16, iters=2)
+        inputs = sft.load_input_arrays(p, seed=4)
+        ref = _oracle(p, inputs)
+        out = run_chain_pallas(p, inputs, interpret=True, tile=(4, 8, 16))
+        np.testing.assert_allclose(out["s1"], ref["s1"], rtol=1e-6)
+
+    def test_shrink_boundary_with_halo(self):
+        p = _program_jacobi3d(size=16, iters=2, boundary="shrink")
+        inputs = sft.load_input_arrays(p, seed=5)
+        ref = _oracle(p, inputs)
+        out = run_chain_pallas(p, inputs, interpret=True, tile=(4, 8, 16))
+        h = 2  # chain halo
+        core = (slice(h, -h),) * 3
+        np.testing.assert_allclose(out["s1"][core], ref["s1"][core],
+                                   rtol=1e-6)
+
+
+class TestMultiChip:
+    def test_domain_decomposition_2d_mesh(self):
+        p = _program_jacobi3d(size=16, iters=2)
+        inputs = sft.load_input_arrays(p, seed=6)
+        ref = _oracle(p, inputs)
+        devs = np.array(jax.devices()[:4]).reshape(2, 2)
+        mesh = Mesh(devs, ("x", "y"))
+        out = run_sharded_chain(p, mesh, (None, "x", "y"), inputs)
+        np.testing.assert_allclose(out["s1"], ref["s1"], rtol=1e-6)
+
+    def test_domain_decomposition_copy_bc(self):
+        p = _program_jacobi3d(size=16, iters=2, boundary="copy")
+        inputs = sft.load_input_arrays(p, seed=7)
+        ref = _oracle(p, inputs)
+        mesh = Mesh(np.array(jax.devices()[:2]), ("x",))
+        out = run_sharded_chain(p, mesh, (None, "x", None), inputs)
+        np.testing.assert_allclose(out["s1"], ref["s1"], rtol=1e-6)
+
+    def test_pipeline_split_4_stages(self):
+        p = _program_jacobi3d(size=16, iters=4)
+        inputs = sft.load_input_arrays(p, seed=8)
+        ref = _oracle(p, inputs)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("p",))
+        out = run_pipeline_split(p, mesh, "p", inputs)
+        np.testing.assert_allclose(out["s3"], ref["s3"], rtol=1e-6)
+
+    def test_halo_exceeds_block_raises(self):
+        p = _program_jacobi3d(size=16, iters=8)  # halo 8 == block 16/2... 8
+        mesh = Mesh(np.array(jax.devices()[:2]), ("x",))
+        from stencilflow_tpu.parallel.domain import DomainDecomposition
+        with pytest.raises(ValueError):
+            DomainDecomposition.plan(p, mesh, (None, "x", None))
