@@ -9,4 +9,27 @@ kernel, the performance backend), with multi-chip execution layered in
 """
 from .xla import chain_halo, compile_chain, run_chain
 
-__all__ = ["chain_halo", "compile_chain", "run_chain"]
+
+def compile_chain_best(program, analysis=None, interpret: bool = False):
+    """Pick the fastest applicable lowering: streaming Pallas (one HBM read +
+    one write per element), then overlapped-tile Pallas, then plain XLA.
+    Returns ``(fn, backend_name)``.
+    """
+    from ..frontend.analysis import ChainAnalysis
+    analysis = analysis or ChainAnalysis.run(program)
+    try:
+        from .stream import compile_chain_stream
+        return (compile_chain_stream(program, analysis,
+                                     interpret=interpret), "stream")
+    except (ValueError, NotImplementedError):
+        pass
+    try:
+        from .pallas import compile_chain_pallas
+        return (compile_chain_pallas(program, analysis,
+                                     interpret=interpret), "pallas")
+    except Exception:  # noqa: BLE001 — pallas lowering limits
+        pass
+    return compile_chain(program, analysis), "xla"
+
+
+__all__ = ["chain_halo", "compile_chain", "run_chain", "compile_chain_best"]

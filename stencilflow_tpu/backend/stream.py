@@ -1,0 +1,308 @@
+"""Streaming Pallas backend: plane-by-plane pipeline with VMEM ring buffers.
+
+This is the closest TPU analogue of the reference's FPGA dataflow design
+(/root/reference/stencilflow/stencil/intel_fpga.py: shift registers + delay
+FIFOs + init/drain pipeline phases) and its delay-buffer alignment analysis
+(kernel_chain_graph.py:476-559):
+
+* the grid streams the outermost (i) dimension one plane per step, for
+  ``I + lag_max`` steps (warmup/"saturation" + steady state + "drain", the
+  simulator's phase model at simulator.py:3-19);
+* every field keeps a short ring of recent (j, k)-planes in VMEM scratch —
+  the line/delay buffers.  Ring depths come from the same alignment algebra
+  as the reference: ``lag(s) = max_f (lag(f) + max_i_offset)`` and
+  ``W_f = 1 + max_c (lag(c) - min_i_offset(c, f)) - lag(f)``;
+* each HBM element is read exactly once and written exactly once — no halo
+  re-reads, no redundant compute, so sustained throughput approaches the HBM
+  roofline for deep chains;
+* boundary conditions are exact in-kernel: j/k handled by masks over static
+  plane coordinates, i handled by whole-plane selects on the (traced)
+  streamed plane index.
+
+Limitations of this lowering (fall back to the overlapped-tile backend
+otherwise): all (j, k) planes plus rings must fit VMEM, and every non-scalar
+input must span the streamed dimension or be k/j-only (broadcast per plane).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import ir
+from ..config import JUNK_VAL
+from ..frontend.analysis import ChainAnalysis
+from .tile_eval import eval_kernel_statements, read_access_tile
+from .xla import chain_halo
+
+Vec3 = Tuple[int, int, int]
+
+
+@dataclasses.dataclass
+class StreamPlan:
+    """Static schedule of the streamed pipeline."""
+    lag: Dict[str, int]        # per field: newest plane at step g is g - lag
+    ring: Dict[str, int]       # per field: ring depth (#planes retained)
+    lag_max: int               # output skew; grid = I + lag_max
+    halo_jk: Tuple[int, int]   # plane widening in (j, k)
+    plane: Tuple[int, int]     # widened plane shape (PJ, PK)
+
+    @classmethod
+    def build(cls, analysis: ChainAnalysis) -> "StreamPlan":
+        program = analysis.program
+        halo = chain_halo(analysis)
+        hj, hk = halo[1], halo[2]
+        dims = program.dimensions
+
+        # i-offset extrema per (consumer, field)
+        def i_range(kname, field):
+            accs = program.kernels[kname].accesses()[field]
+            offs = [a[0] for a in accs if a[0] is not None]
+            if not offs:
+                return (0, 0)
+            return (min(0, min(offs)), max(0, max(offs)))
+
+        lag: Dict[str, int] = {n: 0 for n in program.inputs}
+        for kname in analysis.graph.kernel_order:
+            lag[kname] = max(
+                lag[f] + i_range(kname, f)[1]
+                for f in analysis.graph.producers(kname))
+        lag_max = max(lag[o] for o in program.outputs)
+
+        ring: Dict[str, int] = {}
+        for f in list(program.inputs) + list(program.kernels):
+            depth = 1
+            for c in analysis.graph.consumers(f):
+                if c not in program.kernels:
+                    continue
+                depth = max(depth, 1 + lag[c] - i_range(c, f)[0] - lag[f])
+            if f in program.outputs:
+                depth = max(depth, 1 + lag_max - lag[f])
+            ring[f] = depth
+        return cls(lag, ring, lag_max, (hj, hk),
+                   (dims[1] + 2 * hj, dims[2] + 2 * hk))
+
+    def vmem_bytes(self, program: ir.Program) -> int:
+        pj, pk = self.plane
+        total = 0
+        for f, depth in self.ring.items():
+            itemsize = np.dtype(program.field_dtype(f)).itemsize
+            total += depth * pj * pk * itemsize
+        return total
+
+
+def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
+                        plan: StreamPlan, input_names, input_kinds,
+                        *refs):
+    """One grid step: ingest one input plane, advance every stage one plane,
+    emit one output plane."""
+    n_in = len(input_names)
+    n_out = len(program.outputs)
+    in_refs = refs[:n_in]
+    out_refs = refs[n_in:n_in + n_out]
+    rings = dict(zip([f for f in plan.ring], refs[n_in + n_out:]))
+
+    g = pl.program_id(0)
+    dims = program.dimensions
+    I = dims[0]
+    hj, hk = plan.halo_jk
+    J, K = dims[1], dims[2]
+
+    # 1. ingest: copy fetched input planes into their rings
+    plane_cache: Dict[str, Any] = {}   # non-streamed fields, read whole
+    scalar_cache: Dict[str, Any] = {}
+    for name, kind, ref in zip(input_names, input_kinds, in_refs):
+        if kind == "scalar":
+            scalar_cache[name] = ref[0, 0]
+        elif kind == "stream":
+            @pl.when(g < I)
+            def _(name=name, ref=ref):
+                slot = jax.lax.rem(g, jnp.int32(plan.ring[name]))
+                rings[name][pl.ds(slot, 1)] = ref[...]
+        else:  # "static": does not span i; same widened plane every step
+            plane_cache[name] = ref[...]
+
+    # 2. advance stages
+    def make_read(kname, q):
+        bcs = program.kernels[kname].boundary_conditions
+
+        def read(field, offsets):
+            if field in scalar_cache:
+                return scalar_cache[field]
+            oi, oj, ok = offsets
+            bc = bcs.get(field)
+            if field in plane_cache:
+                plane = plane_cache[field]
+                spec = program.inputs[field]
+                # widened-plane shape with per-dim broadcast
+                pj = plan.plane[0] if spec.dim_mask[1] else 1
+                pk = plan.plane[1] if spec.dim_mask[2] else 1
+                plane = plane.reshape(pj, pk)
+                plane = jnp.broadcast_to(plane, plan.plane)
+                return read_access_tile(plane, (oj, ok), bc, (0, 0),
+                                        plan.halo_jk, (J, K))
+            W = plan.ring[field]
+            target = q + jnp.int32(oi or 0)
+            Wc = jnp.int32(W)
+            slot = jax.lax.rem(jax.lax.rem(target, Wc) + Wc, Wc)
+            plane = rings[field][slot]
+            val = read_access_tile(plane, (oj, ok), bc, (0, 0),
+                                   plan.halo_jk, (J, K))
+            if oi is not None and oi != 0:
+                i_oob = (target < 0) | (target >= I)
+                if bc is None or bc.kind == ir.BCKind.CONSTANT:
+                    fill = jnp.asarray(
+                        bc.value if bc is not None else 0.0, val.dtype)
+                    val = jnp.where(i_oob, fill, val)
+                elif bc.kind == ir.BCKind.COPY:
+                    cslot = jax.lax.rem(jax.lax.rem(q, Wc) + Wc, Wc)
+                    center = rings[field][cslot]
+                    val = jnp.where(i_oob, center, val)
+                elif bc.kind == ir.BCKind.SHRINK:
+                    val = jnp.where(
+                        i_oob, jnp.asarray(JUNK_VAL, val.dtype), val)
+            return val
+
+        return read
+
+    for kname in analysis.graph.kernel_order:
+        kspec = program.kernels[kname]
+        q = g - jnp.int32(plan.lag[kname])
+        result = eval_kernel_statements(kspec, make_read(kname, q))
+        result = jnp.asarray(result)
+        if result.shape != plan.plane:
+            result = jnp.broadcast_to(result, plan.plane)
+        result = result.astype(
+            jax.dtypes.canonicalize_dtype(kspec.dtype))
+
+        @pl.when(q >= 0)
+        def _(kname=kname, result=result, q=q):
+            slot = jax.lax.rem(q, jnp.int32(plan.ring[kname]))
+            rings[kname][pl.ds(slot, 1)] = result[None]
+
+    # 3. emit: write output plane g - lag_max (clamped during warmup; the
+    #    final write to each plane index is the correct one)
+    p_out = jnp.maximum(g - jnp.int32(plan.lag_max), 0)
+    for out_name, ref in zip(program.outputs, out_refs):
+        oslot = jax.lax.rem(p_out, jnp.int32(plan.ring[out_name]))
+        plane = rings[out_name][oslot]
+        core = jax.lax.slice(plane, (hj, hk), (hj + J, hk + K))
+        ref[...] = core.reshape(1, J, K)
+
+
+def compile_chain_stream(program: ir.Program,
+                         analysis: Optional[ChainAnalysis] = None,
+                         interpret: bool = False,
+                         vmem_budget: int = 96 * 2**20):
+    """Build a jitted ``fn(inputs) -> outputs`` around the streaming kernel.
+
+    Raises ValueError when the program shape doesn't fit this lowering
+    (callers fall back to the overlapped-tile backend).
+    """
+    analysis = analysis or ChainAnalysis.run(program)
+    plan = StreamPlan.build(analysis)
+    dims = program.dimensions
+    I, J, K = dims
+    hj, hk = plan.halo_jk
+    pj, pk = plan.plane
+
+    if plan.vmem_bytes(program) > vmem_budget * 0.7:
+        raise ValueError(
+            f"stream rings need {plan.vmem_bytes(program)/2**20:.1f} MiB "
+            "VMEM; plane too large for the streaming lowering")
+
+    input_names = list(program.inputs)
+    input_kinds = []
+    in_specs = []
+    for name in input_names:
+        spec = program.inputs[name]
+        if spec.is_scalar:
+            input_kinds.append("scalar")
+            in_specs.append(pl.BlockSpec((1, 1), lambda g: (0, 0),
+                                         memory_space=pltpu.SMEM))
+        elif spec.dim_mask[0]:
+            if not (spec.dim_mask[1] and spec.dim_mask[2]):
+                raise ValueError(
+                    f"input {name} spans i but not all of (j, k); "
+                    "unsupported by the streaming lowering")
+            input_kinds.append("stream")
+            in_specs.append(pl.BlockSpec(
+                (1, pj, pk),
+                lambda g: (jnp.minimum(g, I - 1), 0, 0),
+                memory_space=pltpu.VMEM))
+        else:
+            input_kinds.append("static")
+            spanned = [d for d in (1, 2) if spec.dim_mask[d]]
+            block = tuple((pj, pk)[d - 1] for d in spanned)
+            in_specs.append(pl.BlockSpec(
+                block, lambda g, n=len(spanned): (0,) * n,
+                memory_space=pltpu.VMEM))
+
+    out_specs = []
+    out_shapes = []
+    for out in program.outputs:
+        out_specs.append(pl.BlockSpec(
+            (1, J, K),
+            lambda g: (jnp.maximum(g - plan.lag_max, 0), 0, 0),
+            memory_space=pltpu.VMEM))
+        out_dtype = jax.dtypes.canonicalize_dtype(program.kernels[out].dtype)
+        out_shapes.append(jax.ShapeDtypeStruct((I, J, K), out_dtype))
+
+    scratch_shapes = [
+        pltpu.VMEM((plan.ring[f], pj, pk),
+                   jax.dtypes.canonicalize_dtype(program.field_dtype(f)))
+        for f in plan.ring
+    ]
+
+    kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
+                               input_names, input_kinds)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(I + plan.lag_max,),
+        in_specs=in_specs,
+        out_specs=out_specs[0] if len(out_specs) == 1 else out_specs,
+        out_shape=out_shapes[0] if len(out_shapes) == 1 else out_shapes,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_budget + 16 * 2**20),
+    )
+
+    raw = program.raw_dimensions
+
+    def forward(inputs: Dict[str, Any]) -> Dict[str, Any]:
+        args = []
+        for name in input_names:
+            spec = program.inputs[name]
+            arr = jnp.asarray(inputs[name])
+            if spec.is_scalar:
+                args.append(arr.reshape(1, 1))
+                continue
+            spanned = [d for d in range(3) if spec.dim_mask[d]]
+            shape = tuple(dims[d] for d in spanned)
+            arr = arr.reshape(shape)
+            pads = [(0, 0) if d == 0 else ((hj, hj) if d == 1 else (hk, hk))
+                    for d in spanned]
+            args.append(jnp.pad(arr, pads))
+        res = call(*args)
+        if len(program.outputs) == 1:
+            res = (res,)
+        return {o: r.reshape(raw)
+                for o, r in zip(program.outputs, res)}
+
+    return jax.jit(forward)
+
+
+def run_chain_stream(program: ir.Program, inputs: Dict[str, Any],
+                     interpret: bool = False) -> Dict[str, np.ndarray]:
+    fn = compile_chain_stream(program, interpret=interpret)
+    out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
+    return {k: np.asarray(v) for k, v in out.items()}

@@ -153,6 +153,49 @@ def _eval_expr(expr: ir.Expr, fields: Dict[str, Any], env: Dict[str, Any],
     raise TypeError(f"unknown expression node {type(expr)}")
 
 
+def eval_expr_generic(expr: ir.Expr, env: Dict[str, Any], read_fn):
+    """Expression walker parameterized by the field-read strategy.
+
+    ``read_fn(field, offsets)`` materializes an Access; Refs resolve through
+    ``env``.  Shared by the streaming Pallas kernel and other lowerings that
+    bring their own buffer model.
+    """
+    if isinstance(expr, ir.Const):
+        return expr.value
+    if isinstance(expr, ir.Ref):
+        return env[expr.name]
+    if isinstance(expr, ir.Access):
+        return read_fn(expr.field, expr.offsets)
+    rec = lambda e: eval_expr_generic(e, env, read_fn)
+    if isinstance(expr, ir.BinOp):
+        return _BINOPS[expr.op](rec(expr.left), rec(expr.right))
+    if isinstance(expr, ir.UnaryOp):
+        return -rec(expr.operand)
+    if isinstance(expr, ir.Compare):
+        return _CMPOPS[expr.op](rec(expr.left), rec(expr.right))
+    if isinstance(expr, ir.BoolOp):
+        vals = [rec(o) for o in expr.operands]
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = (acc & v) if expr.op == "and" else (acc | v)
+        return acc
+    if isinstance(expr, ir.Select):
+        return jnp.where(rec(expr.cond), rec(expr.if_true),
+                         rec(expr.if_false))
+    if isinstance(expr, ir.Call):
+        return _CALLS[expr.fn](*[rec(a) for a in expr.args])
+    raise TypeError(f"unknown expression node {type(expr)}")
+
+
+def eval_kernel_statements(kspec: ir.KernelSpec, read_fn):
+    """Evaluate a kernel's statement list with a custom read; returns the
+    output statement's value."""
+    env: Dict[str, Any] = {}
+    for stmt in kspec.statements:
+        env[stmt.lhs] = eval_expr_generic(stmt.rhs, env, read_fn)
+    return env[kspec.output_statement.lhs]
+
+
 def broadcast_input_tile(arr, dim_mask: Tuple[bool, bool, bool],
                          tile_shape: Vec3):
     """Expand a lower-dimensional input's tile slice to the full widened-tile

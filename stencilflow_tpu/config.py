@@ -56,7 +56,11 @@ TPU_HBM_BANDWIDTH = 819e9       # v5e: ~819 GB/s
 # Conservative per-core VMEM budget; real chips have 64-128 MiB but the
 # compiler needs headroom for pipelining buffers.
 TPU_VMEM_BYTES = 32 * 2**20
-TPU_VPU_FLOPS = 4 * 8 * 128 * 940e6  # rough VPU elementwise flops/s
+# VPU lane throughput (elementwise ops/s): 8x128 lanes at ~0.94 GHz.
+# Calibrated against measured streaming-kernel throughput (jacobi3d chain
+# runs at ~0.5-0.8 of this bound including shifts/selects).
+TPU_VPU_ELEMOPS = 8 * 128 * 940e6
+TPU_VPU_FLOPS = TPU_VPU_ELEMOPS  # alias
 TPU_MXU_BF16_FLOPS = 197e12     # v5e peak bf16
 
 # Fraction of VMEM the fused-kernel planner is allowed to use for stage tiles.

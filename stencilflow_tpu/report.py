@@ -1,0 +1,131 @@
+"""Analytic performance report: op counts, communication volume, and a TPU
+dual-roofline bound.
+
+The reference reports peak/upper-bound GOp/s at an FPGA clock, runtime lower
+bound in cycles, minimum communication volume, and required bandwidth
+(/root/reference/bin/report.py:23-57, kernel_chain_graph.py:721-774).  On TPU
+the analogous model has two ceilings:
+
+* **HBM roofline**: minimum traffic = every input + output array moved once
+  (the reference's minimum-communication-volume model) at the chip's HBM
+  bandwidth;
+* **VPU roofline**: one elementwise op per lane per cycle over the chain's
+  per-cell op count (the analogue of the reference's ops/cycle peak model).
+
+The runtime lower bound is the max of the two; deep chains are VPU-bound,
+shallow ones HBM-bound.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+from . import config
+from .frontend.analysis import ChainAnalysis
+from .ir import Program
+
+# ops that cost more than one VPU pass (transcendentals etc.); rough factors
+_OP_COST = {
+    "div": 4, "sqrt": 4, "sin": 8, "cos": 8, "tan": 12, "sinh": 10,
+    "cosh": 10, "tanh": 10, "exp": 6, "log": 6,
+}
+
+
+@dataclasses.dataclass
+class HardwareModel:
+    hbm_bandwidth: float = config.TPU_HBM_BANDWIDTH
+    vpu_elemops: float = config.TPU_VPU_ELEMOPS
+    vmem_bytes: int = config.TPU_VMEM_BYTES
+    name: str = "tpu-v5e"
+
+
+@dataclasses.dataclass
+class Report:
+    program: Program
+    analysis: ChainAnalysis
+    hw: HardwareModel
+
+    @classmethod
+    def build(cls, program: Program,
+              analysis: Optional[ChainAnalysis] = None,
+              hw: Optional[HardwareModel] = None) -> "Report":
+        return cls(program, analysis or ChainAnalysis.run(program),
+                   hw or HardwareModel())
+
+    # -- model ---------------------------------------------------------------
+    def ops_per_cell(self) -> float:
+        """Weighted elementwise ops per domain cell over the whole chain."""
+        total = 0.0
+        for op, (per_cell, _tot) in self.analysis.operation_counts().items():
+            total += per_cell * _OP_COST.get(op, 1)
+        return total
+
+    def total_ops(self) -> float:
+        return self.ops_per_cell() * self.program.total_elements
+
+    def hbm_time_s(self) -> float:
+        return (self.analysis.minimum_communication_volume()
+                / self.hw.hbm_bandwidth)
+
+    def vpu_time_s(self) -> float:
+        return self.total_ops() / self.hw.vpu_elemops
+
+    def roofline_time_s(self) -> float:
+        """Runtime lower bound: max of the HBM and VPU ceilings."""
+        return max(self.hbm_time_s(), self.vpu_time_s(), 1e-12)
+
+    def bound(self) -> str:
+        return ("vpu" if self.vpu_time_s() > self.hbm_time_s() else "hbm")
+
+    def roofline_gcell_s(self) -> float:
+        return self.program.total_elements / self.roofline_time_s() / 1e9
+
+    def fast_memory_bytes(self) -> int:
+        """On-chip working set of the streaming schedule (delay + line
+        buffers), the reference's fast-memory total."""
+        return self.analysis.fast_memory_bytes()
+
+    # -- output --------------------------------------------------------------
+    def as_dict(self) -> Dict:
+        ops = {op: cnt for op, (cnt, _t) in
+               self.analysis.operation_counts().items()}
+        return {
+            "hardware": self.hw.name,
+            "dimensions": list(self.program.raw_dimensions),
+            "kernels": len(self.program.kernels),
+            "vectorization": self.program.vectorization,
+            "ops_per_cell": ops,
+            "weighted_ops_per_cell": self.ops_per_cell(),
+            "total_ops": self.total_ops(),
+            "critical_path_cycles": self.analysis.critical_path_cycles,
+            "runtime_lower_bound_cycles":
+                self.analysis.runtime_lower_bound(),
+            "min_communication_volume_bytes":
+                self.analysis.minimum_communication_volume(),
+            "fast_memory_bytes": self.fast_memory_bytes(),
+            "hbm_time_s": self.hbm_time_s(),
+            "vpu_time_s": self.vpu_time_s(),
+            "roofline_time_s": self.roofline_time_s(),
+            "bound_by": self.bound(),
+            "roofline_gcell_s": self.roofline_gcell_s(),
+        }
+
+    def __str__(self) -> str:
+        d = self.as_dict()
+        lines = [
+            f"program: {self.program.name}  dims={d['dimensions']}  "
+            f"kernels={d['kernels']}  W={d['vectorization']}",
+            f"ops/cell: {d['ops_per_cell']}  (weighted "
+            f"{d['weighted_ops_per_cell']:.1f})",
+            f"critical path: {d['critical_path_cycles']} cycles; "
+            f"runtime lower bound: {d['runtime_lower_bound_cycles']} cycles",
+            f"min communication volume: "
+            f"{d['min_communication_volume_bytes']/2**20:.2f} MiB",
+            f"on-chip (streaming) working set: "
+            f"{d['fast_memory_bytes']/2**10:.1f} KiB",
+            f"roofline [{d['hardware']}]: "
+            f"HBM {d['hbm_time_s']*1e6:.1f} us vs VPU "
+            f"{d['vpu_time_s']*1e6:.1f} us -> bound by {d['bound_by']}; "
+            f"best possible {d['roofline_gcell_s']:.1f} GCell/s",
+        ]
+        return "\n".join(lines)

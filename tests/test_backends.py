@@ -107,6 +107,74 @@ class TestPallasInterpret:
                                    rtol=1e-6)
 
 
+class TestStreamBackend:
+    """Streaming (plane-pipeline) Pallas kernel in interpreter mode."""
+
+    @pytest.mark.parametrize("boundary", ["constant", "copy", "shrink"])
+    def test_jacobi3d_boundaries(self, boundary):
+        from stencilflow_tpu.backend.stream import run_chain_stream
+        p = _program_jacobi3d(size=12, iters=3, boundary=boundary)
+        inputs = sft.load_input_arrays(p, seed=11)
+        ref = _oracle(p, inputs)["s2"]
+        got = run_chain_stream(p, inputs, interpret=True)["s2"]
+        if boundary == "shrink":
+            h = 3
+            core = (slice(h, -h),) * 3
+            ref, got = ref[core], got[core]
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+    def test_asymmetric_i_offsets_and_scalar(self):
+        from stencilflow_tpu.backend.stream import run_chain_stream
+        rng = np.random.default_rng(12)
+        a = rng.random((10, 8, 16)).astype(np.float32)
+        c = np.float32(0.25)
+        p = sft.parse_program({
+            "inputs": {"a": {"data": a, "data_type": "float32"},
+                       "c": {"data": c, "data_type": "float32",
+                             "input_dims": []}},
+            "outputs": ["v"],
+            "dimensions": [10, 8, 16],
+            "program": {
+                "u": {"computation_string": "u = c * (a[i-2,j,k] + a[i,j,k])",
+                      "boundary_conditions": {
+                          "a": {"type": "constant", "value": 2.0}},
+                      "data_type": "float32"},
+                "v": {"computation_string": "v = u[i+1,j,k] - u[i,j-1,k]",
+                      "boundary_conditions": {
+                          "u": {"type": "constant", "value": 1.0}},
+                      "data_type": "float32"},
+            },
+        }, name="asym")
+        inputs = {"a": a, "c": c}
+        ref = _oracle(p, inputs)["v"]
+        got = run_chain_stream(p, inputs, interpret=True)["v"]
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+    def test_best_backend_selector(self):
+        from stencilflow_tpu.backend import compile_chain_best
+        p = _program_jacobi3d(size=12, iters=2)
+        fn, name = compile_chain_best(p, interpret=True)
+        assert name == "stream"
+        inputs = sft.load_input_arrays(p, seed=13)
+        ref = _oracle(p, inputs)["s1"]
+        got = np.asarray(fn({k: jnp.asarray(v)
+                             for k, v in inputs.items()})["s1"])
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+class TestReport:
+    def test_roofline_fields(self):
+        from stencilflow_tpu.report import Report
+        p = _program_jacobi3d(size=16, iters=8)
+        r = Report.build(p)
+        d = r.as_dict()
+        assert d["bound_by"] == "vpu"  # deep chain is compute-bound
+        assert d["roofline_time_s"] > 0
+        assert d["min_communication_volume_bytes"] == 2 * 16**3 * 4
+        assert "add" in d["ops_per_cell"]
+        assert str(r)
+
+
 class TestMultiChip:
     def test_domain_decomposition_2d_mesh(self):
         p = _program_jacobi3d(size=16, iters=2)
