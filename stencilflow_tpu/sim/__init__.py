@@ -1,0 +1,34 @@
+"""Cycle-accurate dataflow simulator.
+
+Software model of the streaming schedule the TPU backends implement: one
+element per cycle flows through every kernel of the chain, skew absorbed by
+per-edge bounded FIFOs sized by the delay/line-buffer analysis.  Overflowing
+a FIFO raises — running the simulator *proves* the statically computed
+buffer bounds, exactly like the reference's BoundedQueue discipline
+(/root/reference/stencilflow/bounded_queue.py:121-139, simulator.py:3-19).
+
+Two engines with identical semantics: a pure-Python machine (readable spec)
+and a C++ core driven through ctypes (fast; built on demand).
+"""
+from .bounded_queue import BoundedQueue, QueueOverflow, QueueUnderflow
+from .machine import SimResult, SimulationError, Simulator
+
+
+def simulate(program, inputs, native: bool = True, **kw) -> SimResult:
+    """Run the dataflow simulation, preferring the C++ core (falls back to
+    the Python machine if the toolchain is unavailable)."""
+    if native:
+        try:
+            from .native import NativeBuildError, NativeSimulator
+            sim = NativeSimulator(program, **kw)
+        except (OSError, Exception) as exc:  # build/toolchain problems only
+            from .native import NativeBuildError
+            if not isinstance(exc, (OSError, NativeBuildError)):
+                raise
+        else:
+            return sim.run(inputs)
+    return Simulator(program, **kw).run(inputs)
+
+
+__all__ = ["BoundedQueue", "QueueOverflow", "QueueUnderflow",
+           "SimResult", "SimulationError", "Simulator", "simulate"]

@@ -1,0 +1,395 @@
+"""Cycle-accurate streaming machine.
+
+Models the element-per-cycle dataflow schedule of the chain: every kernel is
+a processing element with a program counter over the row-major element
+stream; producer→consumer edges are bounded ring FIFOs sized by the
+delay/line-buffer analysis; kernel pipeline latency is modeled with an
+output delay line.  The run has the reference simulator's phase structure —
+saturation (warmup), steady streaming, drain — and its proof discipline:
+exceeding an edge's computed capacity raises with full pipeline diagnostics
+(/root/reference/stencilflow/simulator.py:3-19,227-243, kernel.py:740-786).
+
+Per-kernel computation is compiled once to a Python closure over the access
+values (the reference re-generates and re-parses the kernel string every
+cycle, kernel.py:703-706 — its biggest performance sin; we don't repeat it).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import ir
+from ..config import JUNK_VAL
+from ..frontend.analysis import ChainAnalysis, flatten_index
+from ..frontend.chain import ChainGraph
+
+
+class SimulationError(RuntimeError):
+    pass
+
+
+class DeadlockError(SimulationError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Kernel compilation: IR -> python closure
+# ---------------------------------------------------------------------------
+
+_FN_SRC = {
+    "sin": "math.sin", "cos": "math.cos", "tan": "math.tan",
+    "sinh": "math.sinh", "cosh": "math.cosh", "tanh": "math.tanh",
+    "sqrt": "math.sqrt", "exp": "math.exp", "log": "math.log",
+    "abs": "abs", "min": "min", "max": "max",
+}
+
+_BIN_SRC = {"add": "+", "sub": "-", "mult": "*", "div": "/"}
+_CMP_SRC = {"lt": "<", "le": "<=", "gt": ">", "ge": ">=",
+            "eq": "==", "ne": "!="}
+
+
+def _expr_src(expr: ir.Expr, access_ids: Dict[Tuple[str, ir.Offsets], int]
+              ) -> str:
+    if isinstance(expr, ir.Const):
+        return repr(expr.value)
+    if isinstance(expr, ir.Ref):
+        return f"_t_{expr.name}"
+    if isinstance(expr, ir.Access):
+        return f"v[{access_ids[(expr.field, expr.offsets)]}]"
+    if isinstance(expr, ir.BinOp):
+        return (f"({_expr_src(expr.left, access_ids)} {_BIN_SRC[expr.op]} "
+                f"{_expr_src(expr.right, access_ids)})")
+    if isinstance(expr, ir.UnaryOp):
+        return f"(-{_expr_src(expr.operand, access_ids)})"
+    if isinstance(expr, ir.Compare):
+        return (f"({_expr_src(expr.left, access_ids)} {_CMP_SRC[expr.op]} "
+                f"{_expr_src(expr.right, access_ids)})")
+    if isinstance(expr, ir.BoolOp):
+        joiner = f" {expr.op} "
+        return "(" + joiner.join(_expr_src(o, access_ids)
+                                 for o in expr.operands) + ")"
+    if isinstance(expr, ir.Select):
+        return (f"({_expr_src(expr.if_true, access_ids)} if "
+                f"{_expr_src(expr.cond, access_ids)} else "
+                f"{_expr_src(expr.if_false, access_ids)})")
+    if isinstance(expr, ir.Call):
+        args = ", ".join(_expr_src(a, access_ids) for a in expr.args)
+        return f"{_FN_SRC[expr.fn]}({args})"
+    raise TypeError(f"unknown expression node {type(expr)}")
+
+
+def compile_kernel_fn(kspec: ir.KernelSpec,
+                      access_ids: Dict[Tuple[str, ir.Offsets], int]
+                      ) -> Callable[[List[float]], float]:
+    """Compile the kernel's statements to ``fn(access_values) -> result``."""
+    import math  # noqa: F401 — bound into the closure namespace below
+    lines = ["def _kernel(v):"]
+    for stmt in kspec.statements:
+        lines.append(f"    _t_{stmt.lhs} = "
+                     f"{_expr_src(stmt.rhs, access_ids)}")
+    lines.append(f"    return _t_{kspec.output_statement.lhs}")
+    src = "\n".join(lines)
+    ns: Dict[str, Any] = {"math": math}
+    exec(src, ns)  # noqa: S102 — source is generated from the typed IR
+    return ns["_kernel"]
+
+
+# ---------------------------------------------------------------------------
+# Machine structures
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _Edge:
+    src: str
+    dst: str
+    capacity: int
+    data: List[float] = dataclasses.field(default_factory=list)
+    base: int = 0          # flat index of data[0] in the element stream
+    arrived: int = 0       # #elements pushed so far
+    high_water: int = 0
+
+    def occupancy(self) -> int:
+        return self.arrived - self.base
+
+    def push(self, value: float) -> bool:
+        if self.occupancy() >= self.capacity:
+            return False
+        self.data.append(value)
+        self.arrived += 1
+        self.high_water = max(self.high_water, self.occupancy())
+        return True
+
+    def peek(self, flat_idx: int) -> float:
+        return self.data[flat_idx - self.base]
+
+    def release_to(self, new_base: int) -> None:
+        """Drop elements below ``new_base`` (no longer readable)."""
+        if new_base > self.base:
+            del self.data[:new_base - self.base]
+            self.base = new_base
+
+
+@dataclasses.dataclass
+class _AccessPlan:
+    field: str
+    offsets: ir.Offsets
+    flat_offset: int
+
+
+@dataclasses.dataclass
+class _KernelState:
+    name: str
+    fn: Callable
+    accesses: List[_AccessPlan]
+    in_edges: Dict[str, _Edge]
+    out_edges: List[_Edge]
+    latency: int
+    bcs: Dict[str, ir.BoundaryCondition]
+    dtype: Any
+    # per-edge stream window [t+min_off, t+max_off]
+    min_off: Dict[str, int] = dataclasses.field(default_factory=dict)
+    max_off: Dict[str, int] = dataclasses.field(default_factory=dict)
+    pc: int = 0
+    pipeline: List[Tuple[int, int, float]] = dataclasses.field(
+        default_factory=list)  # (ready_cycle, flat_idx, value)
+    first_fire: Optional[int] = None
+    last_fire: Optional[int] = None
+    stall_cycles: int = 0
+
+
+@dataclasses.dataclass
+class SimResult:
+    outputs: Dict[str, np.ndarray]
+    cycles: int
+    edge_high_water: Dict[Tuple[str, str], int]
+    kernel_stats: Dict[str, Dict[str, Any]]
+
+
+class Simulator:
+    """Build + run the streaming machine for one program."""
+
+    def __init__(self, program: ir.Program,
+                 analysis: Optional[ChainAnalysis] = None,
+                 slack: int = 2):
+        self.program = program
+        self.analysis = analysis or ChainAnalysis.run(program)
+        self.graph = self.analysis.graph
+        self.dims = program.dimensions
+        self.N = program.total_elements
+        self.slack = slack
+        self._build()
+
+    # -- construction --------------------------------------------------------
+    def _build(self):
+        program, graph, analysis = self.program, self.graph, self.analysis
+        self.edges: Dict[Tuple[str, str], _Edge] = {}
+        self.kernels: Dict[str, _KernelState] = {}
+
+        for (src, dst), eb in analysis.edges.items():
+            cap = eb.delay_size + eb.internal_size + self.slack
+            self.edges[(src, dst)] = _Edge(src, dst, cap)
+
+        for kname in graph.kernel_order:
+            kspec = program.kernels[kname]
+            acc_map = kspec.accesses()
+            access_ids: Dict[Tuple[str, ir.Offsets], int] = {}
+            plans: List[_AccessPlan] = []
+            for field, offs in acc_map.items():
+                for o in offs:
+                    access_ids[(field, o)] = len(plans)
+                    plans.append(_AccessPlan(
+                        field, o, flatten_index(
+                            [x or 0 for x in o], self.dims)))
+            in_edges = {f: self.edges[(f, kname)] for f in acc_map}
+            st = _KernelState(
+                name=kname,
+                fn=compile_kernel_fn(kspec, access_ids),
+                accesses=plans,
+                in_edges=in_edges,
+                out_edges=[],
+                latency=analysis.kernel_latencies[kname],
+                bcs=kspec.boundary_conditions,
+                dtype=np.dtype(kspec.dtype).type,
+            )
+            for f in acc_map:
+                offs_flat = [flatten_index([x or 0 for x in o], self.dims)
+                             for o in acc_map[f]]
+                st.min_off[f] = min(offs_flat + [0])
+                st.max_off[f] = max(offs_flat + [0])
+            self.kernels[kname] = st
+
+        for (src, dst), e in self.edges.items():
+            if src in self.kernels:
+                self.kernels[src].out_edges.append(e)
+
+        # scalar inputs are compile-time values on every access
+        self.scalars: Dict[str, float] = {}
+
+    # -- helpers -------------------------------------------------------------
+    def _coords(self, flat: int) -> Tuple[int, int, int]:
+        I, J, K = self.dims
+        return (flat // (J * K), (flat // K) % J, flat % K)
+
+    def _is_oob(self, flat: int, offsets: ir.Offsets) -> bool:
+        i, j, k = self._coords(flat)
+        pos = (i, j, k)
+        for d, o in enumerate(offsets):
+            if o is None or o == 0:
+                continue
+            t = pos[d] + o
+            if t < 0 or t >= self.dims[d]:
+                return True
+        return False
+
+    def _read_access(self, st: _KernelState, plan: _AccessPlan, t: int):
+        if plan.field in self.scalars:
+            return self.scalars[plan.field]
+        bc = st.bcs.get(plan.field)
+        if self._is_oob(t, plan.offsets):
+            if bc is None or bc.kind == ir.BCKind.CONSTANT:
+                return bc.value if bc is not None else 0.0
+            if bc.kind == ir.BCKind.SHRINK:
+                return JUNK_VAL
+            if bc.kind == ir.BCKind.COPY:
+                return st.in_edges[plan.field].peek(t)
+            raise SimulationError(f"unknown BC {bc!r}")
+        return st.in_edges[plan.field].peek(t + plan.flat_offset)
+
+    def _can_fire(self, st: _KernelState) -> bool:
+        t = st.pc
+        if t >= self.N:
+            return False
+        for f, e in st.in_edges.items():
+            if f in self.scalars:
+                continue
+            need = min(self.N, t + st.max_off[f] + 1)
+            if e.arrived < need:
+                return False
+        return True
+
+    # -- run -----------------------------------------------------------------
+    def run(self, inputs: Dict[str, Any]) -> SimResult:
+        program = self.program
+        N = self.N
+
+        input_arrays: Dict[str, np.ndarray] = {}
+        input_sent: Dict[Tuple[str, str], int] = {}
+        for name, spec in program.inputs.items():
+            arr = np.asarray(inputs[name])
+            if spec.is_scalar:
+                self.scalars[name] = float(arr)
+                continue
+            full = np.broadcast_to(
+                arr.reshape(tuple(d if m else 1
+                                  for d, m in zip(self.dims, spec.dim_mask))),
+                tuple(self.dims)).reshape(-1)
+            input_arrays[name] = full
+            for dst in self.graph.consumers(name):
+                input_sent[(name, dst)] = 0
+
+        out_arrays = {o: np.zeros(N, dtype=program.kernels[o].dtype)
+                      for o in program.outputs}
+        out_pc = {o: 0 for o in program.outputs}
+
+        cycle = 0
+        stagnant = 0
+        max_stall = 4 * (N + self.analysis.critical_path_cycles + 64)
+        order = self.graph.kernel_order
+
+        while any(pc < N for pc in out_pc.values()):
+            progressed = False
+
+            # kernels: emit due pipeline results to out edges (and outputs)
+            for kname in order:
+                st = self.kernels[kname]
+                while st.pipeline and st.pipeline[0][0] <= cycle:
+                    _, idx, value = st.pipeline[0]
+                    ok = all(e.occupancy() < e.capacity
+                             for e in st.out_edges)
+                    if not ok:
+                        st.stall_cycles += 1
+                        break
+                    for e in st.out_edges:
+                        e.push(value)
+                    if kname in out_arrays and out_pc[kname] == idx:
+                        out_arrays[kname][idx] = value
+                        out_pc[kname] = idx + 1
+                    st.pipeline.pop(0)
+                    progressed = True
+
+            # kernels: fire
+            for kname in order:
+                st = self.kernels[kname]
+                if not self._can_fire(st):
+                    continue
+                t = st.pc
+                # evaluate in the kernel's dtype (numpy scalar ops keep the
+                # narrow type; bit-matches the array oracle)
+                vals = [st.dtype(self._read_access(st, p, t))
+                        for p in st.accesses]
+                try:
+                    res = st.dtype(st.fn(vals))
+                except (ValueError, OverflowError, ZeroDivisionError) as exc:
+                    raise SimulationError(
+                        f"{kname}@{t}: {exc}") from exc
+                st.pipeline.append((cycle + st.latency, t, float(res)))
+                if st.first_fire is None:
+                    st.first_fire = cycle
+                st.last_fire = cycle
+                st.pc = t + 1
+                for f, e in st.in_edges.items():
+                    if f in self.scalars:
+                        continue
+                    e.release_to(st.pc + st.min_off[f])
+                progressed = True
+
+            # inputs feed successor edges (one element/cycle/edge)
+            for name, arr in input_arrays.items():
+                for dst in self.graph.consumers(name):
+                    sent = input_sent[(name, dst)]
+                    if sent >= N:
+                        continue
+                    e = self.edges[(name, dst)]
+                    if e.push(arr[sent]):
+                        input_sent[(name, dst)] = sent + 1
+                        progressed = True
+
+            cycle += 1
+            stagnant = 0 if progressed else stagnant + 1
+            # pipeline latencies can legitimately idle for O(max op latency)
+            if stagnant > 2048 or cycle > max_stall:
+                raise DeadlockError(self.diagnostics(cycle, out_pc))
+
+        outputs = {
+            o: out_arrays[o].reshape(program.raw_dimensions)
+            for o in program.outputs
+        }
+        stats = {
+            k: {"first_fire": st.first_fire, "last_fire": st.last_fire,
+                "stall_cycles": st.stall_cycles, "pc": st.pc}
+            for k, st in self.kernels.items()
+        }
+        return SimResult(
+            outputs=outputs,
+            cycles=cycle,
+            edge_high_water={k: e.high_water
+                             for k, e in self.edges.items()},
+            kernel_stats=stats,
+        )
+
+    # -- diagnostics ---------------------------------------------------------
+    def diagnostics(self, cycle: int, out_pc: Dict[str, int]) -> str:
+        lines = [f"simulation stalled at cycle {cycle}"]
+        for o, pc in out_pc.items():
+            lines.append(f"  output {o}: {pc}/{self.N}")
+        for kname, st in self.kernels.items():
+            lines.append(
+                f"  kernel {kname}: pc={st.pc} pipeline={len(st.pipeline)} "
+                f"stalls={st.stall_cycles}")
+            for f, e in st.in_edges.items():
+                lines.append(
+                    f"    edge {f}->{kname}: occ={e.occupancy()}/"
+                    f"{e.capacity} arrived={e.arrived} high={e.high_water}")
+        return "\n".join(lines)

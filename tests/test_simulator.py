@@ -1,0 +1,139 @@
+"""Simulator tests: BoundedQueue semantics (mirroring the reference's unit
+tests, /root/reference/test/test_stencilflow.py:17-84), and both simulator
+engines against the numpy oracle."""
+import numpy as np
+import pytest
+
+import stencilflow_tpu as sft
+from stencilflow_tpu.sim import (BoundedQueue, QueueOverflow, QueueUnderflow,
+                                 Simulator)
+from stencilflow_tpu.sim.native import NativeSimulator
+from stencilflow_tpu.synthesize import jacobi
+
+
+class TestBoundedQueue:
+    def test_import_order_and_peek(self):
+        q = BoundedQueue("q", 5, [1, 2, 3])
+        assert q.size() == 3
+        assert q.peek(0) == 1 and q.peek(2) == 3
+        assert q.try_peek_last() == 3
+
+    def test_overflow_underflow(self):
+        q = BoundedQueue("q", 2)
+        q.enqueue(1)
+        q.enqueue(2)
+        with pytest.raises(QueueOverflow):
+            q.enqueue(3)
+        assert q.dequeue() == 1
+        assert q.dequeue() == 2
+        with pytest.raises(QueueUnderflow):
+            q.dequeue()
+
+    def test_try_variants(self):
+        q = BoundedQueue("q", 1)
+        assert q.try_enqueue("a")
+        assert not q.try_enqueue("b")
+        assert q.try_dequeue() == "a"
+        assert q.try_dequeue() is None
+
+    def test_import_overflow_and_export(self):
+        with pytest.raises(QueueOverflow):
+            BoundedQueue("q", 2, [1, 2, 3])
+        q = BoundedQueue("q", 3, [4, 5])
+        assert q.export_data() == [4, 5]
+
+    def test_maxsize_clamped_to_one(self):
+        q = BoundedQueue("q", 0)
+        assert q.maxsize == 1
+
+
+def _check(program, inputs, out, engine, halo=0):
+    ref = np.asarray(sft.run_interpreter(program, inputs)[out])
+    res = engine(program).run(inputs)
+    got = res.outputs[out]
+    if halo:
+        sl = tuple(slice(halo, -halo) for _ in range(ref.ndim))
+        ref, got = ref[sl], got[sl]
+    np.testing.assert_array_equal(got, ref)
+    return res
+
+
+@pytest.mark.parametrize("engine", [Simulator, NativeSimulator],
+                         ids=["python", "native"])
+class TestSimulatorEngines:
+    @pytest.mark.parametrize("boundary", ["constant", "copy", "shrink"])
+    def test_jacobi3d_chain(self, engine, boundary):
+        p = sft.parse_program(jacobi(3, 8, iterations=2, boundary=boundary),
+                              name=f"j_{boundary}")
+        inputs = sft.load_input_arrays(p, seed=3)
+        halo = 2 if boundary == "shrink" else 0
+        res = _check(p, inputs, "s1", engine, halo=halo)
+        assert res.cycles >= p.total_elements
+
+    def test_fork_join_multi_statement(self, engine):
+        rng = np.random.default_rng(7)
+        a = rng.random((4, 6, 8)).astype(np.float32)
+        p = sft.parse_program({
+            "inputs": {"a": {"data": a, "data_type": "float32"}},
+            "outputs": ["res"],
+            "dimensions": [4, 6, 8],
+            "program": {
+                "u": {"computation_string":
+                      "tmp = a[i,j,k] * 2.0; u = tmp + a[i,j,k-1]",
+                      "boundary_conditions": {
+                          "a": {"type": "constant", "value": 1.0}},
+                      "data_type": "float32"},
+                "v": {"computation_string":
+                      "v = u[i,j-1,k] if a[i,j,k] > 0.5 else u[i,j+1,k]",
+                      "boundary_conditions": {
+                          "u": {"type": "constant", "value": 0.0},
+                          "a": {"type": "constant", "value": 0.0}},
+                      "data_type": "float32"},
+                "res": {"computation_string": "res = v[i,j,k] + u[i,j,k]",
+                        "boundary_conditions": {
+                            "v": {"type": "constant", "value": 0.0},
+                            "u": {"type": "constant", "value": 0.0}},
+                        "data_type": "float32"},
+            },
+        }, name="forks")
+        _check(p, {"a": a}, "res", engine)
+
+    def test_2d_program_with_scalar(self, engine):
+        rng = np.random.default_rng(8)
+        a = rng.random((8, 8)).astype(np.float64)
+        c = 2.5
+        p = sft.parse_program({
+            "inputs": {"a": {"data": a, "data_type": "float64"},
+                       "c": {"data": c, "data_type": "float64",
+                             "input_dims": []}},
+            "outputs": ["b"],
+            "dimensions": [8, 8],
+            "program": {"b": {
+                "computation_string": "b = c * a[j,k] + a[j-1,k]",
+                "boundary_conditions": {
+                    "a": {"type": "constant", "value": 0.0}},
+                "data_type": "float64"}},
+        }, name="sc2d")
+        _check(p, {"a": a, "c": c}, "b", engine)
+
+    def test_buffer_highwater_within_analysis_bounds(self, engine):
+        p = sft.parse_program(jacobi(3, 8, iterations=3), name="hw")
+        inputs = sft.load_input_arrays(p, seed=9)
+        res = engine(p).run(inputs)
+        analysis = sft.ChainAnalysis.run(p)
+        for key, high in res.edge_high_water.items():
+            eb = analysis.edges[key]
+            cap = eb.delay_size + eb.internal_size + 2
+            assert high <= cap, (key, high, cap)
+
+
+class TestNativeMatchesPython:
+    def test_cycle_counts_agree(self):
+        p = sft.parse_program(jacobi(2, 12, iterations=2), name="cc")
+        inputs = sft.load_input_arrays(p, seed=10)
+        r_py = Simulator(p).run(inputs)
+        r_cc = NativeSimulator(p).run(inputs)
+        assert r_py.cycles == r_cc.cycles
+        assert r_py.edge_high_water == r_cc.edge_high_water
+        np.testing.assert_array_equal(r_py.outputs["s1"],
+                                      r_cc.outputs["s1"])
