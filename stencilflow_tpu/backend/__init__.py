@@ -17,6 +17,10 @@ def compile_chain_best(program, analysis=None, interpret: bool = False):
     """
     from ..frontend.analysis import ChainAnalysis
     analysis = analysis or ChainAnalysis.run(program)
+    if interpret:
+        # emulation: interpreted Pallas walks the grid in Python — the
+        # fused-XLA path is orders of magnitude faster and equally correct
+        return compile_chain(program, analysis), "xla"
     try:
         from .stream import compile_chain_stream
         return (compile_chain_stream(program, analysis,

@@ -1,0 +1,274 @@
+"""Command-line interface — parity with the reference's ``bin/`` tool set
+(/root/reference/bin/: run_program, report, synthesize, sdfg_generator,
+split_sdfg, run_distributed_program).
+
+    python -m stencilflow_tpu.cli run <prog.json> [emulation|hardware] ...
+    python -m stencilflow_tpu.cli simulate <prog.json>
+    python -m stencilflow_tpu.cli report <prog.json> [--optimize-ratio R]
+    python -m stencilflow_tpu.cli synthesize -o out.json [params]
+    python -m stencilflow_tpu.cli partition <prog.json> --devices N
+    python -m stencilflow_tpu.cli run-distributed <prog.json> --devices N ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_run(args) -> int:
+    from .driver import VerificationError, run_program
+    try:
+        res = run_program(
+            args.stencil_file, mode=args.mode,
+            run_simulation=args.run_simulation,
+            compare_to_reference=args.compare_to_reference,
+            input_directory=args.input_directory,
+            skip_execution=args.skip_execution,
+            halo=args.halo, repetitions=args.repetitions,
+            backend=args.backend, print_result=args.print_result,
+            seed=args.seed)
+    except VerificationError as exc:
+        print(f"VERIFICATION FAILED: {exc}", file=sys.stderr)
+        return 1
+    print(f"backend: {res.backend}")
+    if res.wall_time_s is not None:
+        print(f"wall time: {res.wall_time_s*1e3:.3f} ms/run")
+    if res.simulation_cycles is not None:
+        print(f"simulated cycles: {res.simulation_cycles}")
+    if res.verified_against_reference is not None:
+        print("verified against reference: "
+              f"{'OK' if res.verified_against_reference else 'FAIL'}")
+    if res.verified_against_simulation is not None:
+        print("verified against simulation: "
+              f"{'OK' if res.verified_against_simulation else 'FAIL'}")
+    if res.results_dir:
+        print(f"results written to {res.results_dir}/")
+    return 0
+
+
+def _cmd_simulate(args) -> int:
+    from .data import load_input_arrays, save_output_arrays
+    from .frontend.parser import parse_program
+    from .sim import simulate
+    program = parse_program(args.stencil_file)
+    inputs = load_input_arrays(program, prefix=args.input_directory,
+                               seed=args.seed)
+    res = simulate(program, inputs, native=not args.no_native)
+    print(f"cycles: {res.cycles} (elements: {program.total_elements})")
+    for (src, dst), high in res.edge_high_water.items():
+        print(f"  edge {src}->{dst}: high water {high}")
+    for k, st in res.kernel_stats.items():
+        print(f"  kernel {k}: first fire {st['first_fire']}, last fire "
+              f"{st['last_fire']}, stalls {st['stall_cycles']}")
+    if args.output_dir:
+        save_output_arrays(res.outputs, args.output_dir)
+        print(f"results written to {args.output_dir}/")
+    return 0
+
+
+def _cmd_report(args) -> int:
+    from .frontend.analysis import ChainAnalysis
+    from .frontend.parser import parse_program
+    from .report import Report
+    program = parse_program(args.stencil_file)
+    analysis = ChainAnalysis.run(program)
+    report = Report.build(program, analysis)
+    if args.json:
+        print(json.dumps(report.as_dict(), indent=2, default=str))
+    else:
+        print(report)
+    if args.optimize_ratio is not None:
+        from .optimizer import Optimizer
+        opt = Optimizer(program, analysis)
+        opt.optimize_to_ratio(args.optimize_ratio)
+        print(f"\nmemory placement at slow/fast ratio "
+              f"{args.optimize_ratio}:")
+        print(opt.summary())
+    return 0
+
+
+def _cmd_synthesize(args) -> int:
+    from .synthesize import synthesize_stencil
+    spec = synthesize_stencil(
+        num_stages=args.num_stages,
+        dimensions=tuple(args.dimensions),
+        shape=args.shape,
+        extent=args.extent,
+        data_type=args.data_type,
+        vectorization=args.vectorization,
+        fork_frequency=args.fork_frequency,
+        fork_length=args.fork_length,
+        input_frequency=args.input_frequency,
+        boundary=args.boundary,
+    )
+    text = json.dumps(spec, indent=2, default=str)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(text)
+        print(f"wrote {args.output}")
+    else:
+        print(text)
+    return 0
+
+
+def _cmd_partition(args) -> int:
+    from .frontend.analysis import ChainAnalysis
+    from .frontend.parser import parse_program
+    from .parallel.pipeline import split_kernels
+    program = parse_program(args.stencil_file)
+    analysis = ChainAnalysis.run(program)
+    graph = analysis.graph
+    print(f"kernels (topological): {graph.kernel_order}")
+    segments = split_kernels(graph, args.devices)
+    for i, seg in enumerate(segments):
+        print(f"  device {i}: {seg}")
+    if args.enumerate_cuts:
+        print("all valid pipeline cuts (downward-closed subsets):")
+        for cut in graph.enumerate_cuts():
+            print(f"  {sorted(cut)}")
+    return 0
+
+
+def _cmd_run_distributed(args) -> int:
+    import os
+    if args.force_host_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                f"{args.devices}").strip()
+    import jax
+    if args.force_host_devices:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from .data import load_input_arrays
+    from .frontend.parser import parse_program
+    from .interpreter import run_interpreter
+    from .data import arrays_are_equal
+
+    program = parse_program(args.stencil_file)
+    inputs = load_input_arrays(program, prefix=args.input_directory,
+                               seed=args.seed)
+    devices = jax.devices()[:args.devices]
+    if len(devices) < args.devices:
+        print(f"only {len(devices)} devices available", file=sys.stderr)
+        return 2
+
+    if args.parallel_mode == "pipeline":
+        from .parallel.pipeline import run_pipeline_split
+        mesh = Mesh(np.array(devices), ("p",))
+        outputs = run_pipeline_split(program, mesh, "p", inputs,
+                                     num_chunks=args.num_chunks)
+    else:
+        from .parallel.domain import run_sharded_chain
+        a = int(np.floor(np.sqrt(args.devices)))
+        while args.devices % a:
+            a -= 1
+        mesh = Mesh(np.array(devices).reshape(a, args.devices // a),
+                    ("x", "y"))
+        outputs = run_sharded_chain(program, mesh, (None, "x", "y"), inputs)
+    print(f"ran {args.parallel_mode} over {args.devices} devices "
+          f"(mesh {dict(mesh.shape)})")
+
+    if args.compare_to_reference:
+        ref = run_interpreter(program, inputs)
+        ok = True
+        for o in program.outputs:
+            if not arrays_are_equal(np.asarray(ref[o]), outputs[o]):
+                print(f"MISMATCH on {o}", file=sys.stderr)
+                ok = False
+        print("verified against reference: " + ("OK" if ok else "FAIL"))
+        return 0 if ok else 1
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="stencilflow_tpu")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("run", help="run a program end to end")
+    p.add_argument("stencil_file")
+    p.add_argument("mode", nargs="?", default="emulation",
+                   choices=["emulation", "hardware"])
+    p.add_argument("--run-simulation", action="store_true")
+    p.add_argument("--compare-to-reference", action="store_true")
+    p.add_argument("--input-directory")
+    p.add_argument("--skip-execution", action="store_true")
+    p.add_argument("--halo", type=int, default=0)
+    p.add_argument("--repetitions", type=int, default=1)
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "stream", "pallas", "xla",
+                            "interpreter"])
+    p.add_argument("--print-result", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=_cmd_run)
+
+    p = sub.add_parser("simulate", help="cycle-accurate dataflow simulation")
+    p.add_argument("stencil_file")
+    p.add_argument("--input-directory")
+    p.add_argument("--output-dir")
+    p.add_argument("--no-native", action="store_true",
+                   help="use the Python machine instead of the C++ core")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=_cmd_simulate)
+
+    p = sub.add_parser("report", help="analytic performance report")
+    p.add_argument("stencil_file")
+    p.add_argument("--json", action="store_true")
+    p.add_argument("--optimize-ratio", type=float, default=None,
+                   help="also print the fast/slow placement at this ratio")
+    p.set_defaults(fn=_cmd_report)
+
+    p = sub.add_parser("synthesize", help="generate a benchmark program")
+    p.add_argument("-o", "--output")
+    p.add_argument("--num-stages", type=int, default=4)
+    p.add_argument("--dimensions", type=int, nargs="+",
+                   default=[64, 64, 64])
+    p.add_argument("--shape", default="cross",
+                   choices=["cross", "box", "diffusion", "hotspot"])
+    p.add_argument("--extent", type=int, default=1)
+    p.add_argument("--data-type", default="float32")
+    p.add_argument("--vectorization", type=int, default=1)
+    p.add_argument("--fork-frequency", type=int, default=0)
+    p.add_argument("--fork-length", type=int, default=1)
+    p.add_argument("--input-frequency", type=int, default=0)
+    p.add_argument("--boundary", default="constant")
+    p.set_defaults(fn=_cmd_synthesize)
+
+    p = sub.add_parser("partition",
+                       help="plan a pipeline split across devices")
+    p.add_argument("stencil_file")
+    p.add_argument("--devices", type=int, default=2)
+    p.add_argument("--enumerate-cuts", action="store_true")
+    p.set_defaults(fn=_cmd_partition)
+
+    p = sub.add_parser("run-distributed",
+                       help="multi-device run (domain or pipeline split)")
+    p.add_argument("stencil_file")
+    p.add_argument("--devices", type=int, default=2)
+    p.add_argument("--parallel-mode", default="domain",
+                   choices=["domain", "pipeline"])
+    p.add_argument("--num-chunks", type=int, default=None)
+    p.add_argument("--compare-to-reference", action="store_true")
+    p.add_argument("--input-directory")
+    p.add_argument("--force-host-devices", action="store_true",
+                   help="simulate the mesh with virtual CPU devices")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=_cmd_run_distributed)
+
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,156 @@
+"""End-to-end driver: parse → analyze → (simulate) → compile → execute →
+verify → save.
+
+Parity with the reference's orchestration
+(/root/reference/stencilflow/run_program.py:19-250): same flags and flow,
+with the FPGA emulation/hardware split mapped to TPU terms — ``emulation``
+runs the Pallas kernels in interpreter mode (or plain XLA) on any host,
+``hardware`` compiles for the real chip.  ``compare_to_reference`` checks
+against the whole-domain interpreter oracle (the CPU reference SDFG's role),
+``run_simulation`` cross-checks the cycle-accurate dataflow simulator, both
+under the halo-pruned relative-tolerance discipline
+(run_program.py:203-250, helper.py:261-276).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from . import ir
+from .config import VERIFY_RTOL
+from .data import (arrays_are_equal, load_input_arrays, prune_halo,
+                   save_output_arrays)
+from .frontend.analysis import ChainAnalysis
+from .frontend.parser import parse_program
+from .interpreter import run_interpreter
+from .report import Report
+
+
+class VerificationError(RuntimeError):
+    pass
+
+
+@dataclasses.dataclass
+class RunResult:
+    program: ir.Program
+    outputs: Dict[str, np.ndarray]
+    backend: str
+    verified_against_reference: Optional[bool] = None
+    verified_against_simulation: Optional[bool] = None
+    simulation_cycles: Optional[int] = None
+    wall_time_s: Optional[float] = None
+    results_dir: Optional[str] = None
+
+
+def run_program(stencil_file, mode: str = "emulation",
+                run_simulation: bool = False,
+                compare_to_reference: bool = False,
+                input_directory: Optional[str] = None,
+                skip_execution: bool = False,
+                halo: int = 0,
+                repetitions: int = 1,
+                backend: str = "auto",
+                save_results: bool = True,
+                results_base: str = "results",
+                seed: int = 0,
+                print_result: bool = False,
+                raise_on_mismatch: bool = True) -> RunResult:
+    """Run one stencil program end to end.  ``stencil_file`` may be a path,
+    a JSON dict, or an already-parsed Program."""
+    if isinstance(stencil_file, ir.Program):
+        program = stencil_file
+    else:
+        program = parse_program(stencil_file)
+    analysis = ChainAnalysis.run(program)
+
+    inputs = load_input_arrays(program, prefix=input_directory, seed=seed)
+
+    sim_outputs = None
+    sim_cycles = None
+    if run_simulation:
+        from .sim import simulate
+        sim_res = simulate(program, inputs, analysis=analysis)
+        sim_outputs = sim_res.outputs
+        sim_cycles = sim_res.cycles
+
+    result = RunResult(program=program, outputs={}, backend="none",
+                       simulation_cycles=sim_cycles)
+
+    if skip_execution:
+        if sim_outputs is not None:
+            result.outputs = sim_outputs
+            result.backend = "simulator"
+    else:
+        import jax.numpy as jnp
+        interpret = mode == "emulation"
+        from .backend import compile_chain, compile_chain_best
+        if backend == "auto":
+            fn, bname = compile_chain_best(program, analysis,
+                                           interpret=interpret)
+        elif backend == "stream":
+            from .backend.stream import compile_chain_stream
+            fn, bname = (compile_chain_stream(program, analysis,
+                                              interpret=interpret), "stream")
+        elif backend == "pallas":
+            from .backend.pallas import compile_chain_pallas
+            fn, bname = (compile_chain_pallas(program, analysis,
+                                              interpret=interpret), "pallas")
+        elif backend == "xla":
+            fn, bname = compile_chain(program, analysis), "xla"
+        elif backend == "interpreter":
+            fn, bname = (lambda xs: run_interpreter(program, xs),
+                         "interpreter")
+        else:
+            raise ValueError(f"unknown backend: {backend}")
+
+        dev_inputs = {k: jnp.asarray(v) if not np.isscalar(v) and
+                      getattr(v, "ndim", 0) > 0 else v
+                      for k, v in inputs.items()}
+        out = fn(dev_inputs)  # warm up: compile outside the timed region
+        t0 = time.perf_counter()
+        for _ in range(max(1, repetitions)):
+            out = fn(dev_inputs)
+        outputs = {k: np.asarray(v) for k, v in out.items()}
+        result.wall_time_s = (time.perf_counter() - t0) / max(1, repetitions)
+        result.outputs = outputs
+        result.backend = bname
+
+    if save_results and result.outputs:
+        results_dir = os.path.join(results_base, program.name)
+        save_output_arrays(result.outputs, results_dir)
+        result.results_dir = results_dir
+
+    # -- verification ---------------------------------------------------------
+    raw = program.raw_dimensions
+
+    def check(kind: str, expected: Dict[str, Any]) -> bool:
+        ok = True
+        for o in program.outputs:
+            got = prune_halo(result.outputs[o], raw, halo)
+            exp = prune_halo(np.asarray(expected[o]), raw, halo)
+            if not arrays_are_equal(exp, got, VERIFY_RTOL):
+                ok = False
+                diff = np.max(np.abs(exp.astype(np.float64) -
+                                     got.astype(np.float64)))
+                msg = (f"{kind} mismatch on output '{o}' "
+                       f"(max abs diff {diff:.3e}, halo={halo})")
+                if raise_on_mismatch:
+                    raise VerificationError(msg)
+                print(msg)
+        return ok
+
+    if compare_to_reference and result.outputs:
+        ref = run_interpreter(program, inputs)
+        result.verified_against_reference = check("reference", ref)
+    if sim_outputs is not None and result.outputs and not skip_execution:
+        result.verified_against_simulation = check("simulation", sim_outputs)
+
+    if print_result:
+        for o, arr in result.outputs.items():
+            print(f"{o} =\n{arr}")
+
+    return result

@@ -1,0 +1,170 @@
+"""End-to-end driver + CLI tests (reference: test_stencilflow.py's
+ProgramTest, run through our run_program with compare_to_reference)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import stencilflow_tpu as sft
+from stencilflow_tpu.cli import main as cli_main
+from stencilflow_tpu.driver import VerificationError, run_program
+from stencilflow_tpu.synthesize import jacobi, synthesize_stencil
+
+
+@pytest.fixture
+def j2d_file(tmp_path):
+    spec = jacobi(2, 16, iterations=2)
+    path = tmp_path / "jacobi2d.json"
+    path.write_text(json.dumps(spec, default=str))
+    return str(path)
+
+
+class TestDriver:
+    def test_emulation_with_all_checks(self, j2d_file, tmp_path):
+        res = run_program(j2d_file, "emulation", run_simulation=True,
+                          compare_to_reference=True,
+                          results_base=str(tmp_path / "results"))
+        assert res.verified_against_reference
+        assert res.verified_against_simulation
+        assert res.simulation_cycles > 0
+        assert os.path.isfile(
+            os.path.join(res.results_dir, "s1.dat"))
+
+    def test_shrink_with_halo(self, tmp_path):
+        spec = jacobi(2, 16, iterations=2, boundary="shrink")
+        res = run_program(spec, "emulation", compare_to_reference=True,
+                          halo=2, save_results=False)
+        assert res.verified_against_reference
+
+    def test_skip_execution_returns_sim(self):
+        spec = jacobi(2, 8, iterations=1)
+        res = run_program(spec, run_simulation=True, skip_execution=True,
+                          save_results=False)
+        assert res.backend == "simulator"
+        assert res.outputs
+
+    def test_mismatch_raises(self, monkeypatch):
+        spec = jacobi(2, 8, iterations=1)
+        import stencilflow_tpu.driver as drv
+        orig = drv.run_interpreter
+
+        def corrupted(program, inputs):
+            out = orig(program, inputs)
+            return {k: np.asarray(v) + 1.0 for k, v in out.items()}
+
+        monkeypatch.setattr(drv, "run_interpreter", corrupted)
+        with pytest.raises(VerificationError):
+            run_program(spec, compare_to_reference=True, save_results=False)
+
+    def test_varying_dimensionality_program(self, tmp_path):
+        """0d/1d/2d/3d mixed inputs in one kernel (reference:
+        varying_dimensionality.json)."""
+        rng = np.random.default_rng(0)
+        d3 = rng.random((4, 6, 8)).astype(np.float32)
+        d2 = rng.random((6, 8)).astype(np.float32)
+        d1 = rng.random((8,)).astype(np.float32)
+        spec = {
+            "inputs": {
+                "a3": {"data": d3, "data_type": "float32"},
+                "a2": {"data": d2, "data_type": "float32",
+                       "input_dims": ["j", "k"]},
+                "a1": {"data": d1, "data_type": "float32",
+                       "input_dims": ["k"]},
+                "a0": {"data": 3.25, "data_type": "float32",
+                       "input_dims": []},
+            },
+            "outputs": ["b"],
+            "dimensions": [4, 6, 8],
+            "program": {"b": {
+                "computation_string":
+                    "b = a3[i,j,k] + a2[j,k] + a1[k] + a0",
+                "boundary_conditions": {
+                    "a3": {"type": "constant", "value": 0.0},
+                    "a2": {"type": "constant", "value": 0.0},
+                    "a1": {"type": "constant", "value": 0.0}},
+                "data_type": "float32"}},
+        }
+        res = run_program(spec, "emulation", compare_to_reference=True,
+                          run_simulation=True, save_results=False)
+        assert res.verified_against_reference
+        assert res.verified_against_simulation
+
+
+class TestCLI:
+    def test_run_command(self, j2d_file, tmp_path, capsys):
+        os.chdir(tmp_path)
+        rc = cli_main(["run", j2d_file, "emulation",
+                       "--compare-to-reference", "--run-simulation"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "verified against reference: OK" in out
+        assert "verified against simulation: OK" in out
+
+    def test_report_json(self, j2d_file, capsys):
+        rc = cli_main(["report", j2d_file, "--json"])
+        assert rc == 0
+        d = json.loads(capsys.readouterr().out)
+        assert d["kernels"] == 2
+
+    def test_synthesize_roundtrip(self, tmp_path, capsys):
+        out = str(tmp_path / "synth.json")
+        rc = cli_main(["synthesize", "-o", out, "--num-stages", "3",
+                       "--dimensions", "8", "8", "--shape", "cross",
+                       "--fork-frequency", "2"])
+        assert rc == 0
+        p = sft.parse_program(out)
+        assert len(p.kernels) >= 3
+
+    def test_simulate_command(self, j2d_file, capsys):
+        rc = cli_main(["simulate", j2d_file])
+        assert rc == 0
+        assert "cycles:" in capsys.readouterr().out
+
+    def test_partition_command(self, j2d_file, capsys):
+        rc = cli_main(["partition", j2d_file, "--devices", "2",
+                       "--enumerate-cuts"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "device 0" in out and "device 1" in out
+
+    def test_run_distributed_domain(self, j2d_file, capsys):
+        rc = cli_main(["run-distributed", j2d_file, "--devices", "4",
+                       "--compare-to-reference"])
+        assert rc == 0
+        assert "OK" in capsys.readouterr().out
+
+    def test_run_distributed_pipeline(self, j2d_file, capsys):
+        rc = cli_main(["run-distributed", j2d_file, "--devices", "2",
+                       "--parallel-mode", "pipeline",
+                       "--compare-to-reference"])
+        assert rc == 0
+        assert "OK" in capsys.readouterr().out
+
+
+class TestOptimizer:
+    def test_strategies(self):
+        from stencilflow_tpu.optimizer import Optimizer
+        p = sft.parse_program(jacobi(3, 16, iterations=4), name="opt")
+        opt = Optimizer(p)
+        total = opt.fast_bytes()
+        assert total > 0 and opt.slow_bytes() == 0
+
+        opt.optimize_to_ratio(1.0)
+        assert opt.slow_bytes() >= opt.fast_bytes()
+
+        opt.minimize_comm_vol(total // 2, slow_memory_bound=total)
+        assert opt.fast_bytes() <= total // 2
+
+        opt.minimize_fast_mem(comm_volume_bound=10**12)
+        assert opt.fast_bytes() < total
+
+        opt.reset()
+        assert opt.slow_bytes() == 0
+
+    def test_unreachable_bound_raises(self):
+        from stencilflow_tpu.optimizer import Optimizer, OptimizerError
+        p = sft.parse_program(jacobi(2, 8, iterations=1), name="opt2")
+        opt = Optimizer(p)
+        with pytest.raises(OptimizerError):
+            opt.minimize_comm_vol(0, slow_memory_bound=1)
