@@ -153,8 +153,12 @@ class TestStreamBackend:
     def test_best_backend_selector(self):
         from stencilflow_tpu.backend import compile_chain_best
         p = _program_jacobi3d(size=12, iters=2)
+        # on-hardware selection prefers the streaming kernel
+        fn_hw, name_hw = compile_chain_best(p)
+        assert name_hw == "stream"
+        # emulation routes to the fused-XLA path (interpreted pallas is slow)
         fn, name = compile_chain_best(p, interpret=True)
-        assert name == "stream"
+        assert name == "xla"
         inputs = sft.load_input_arrays(p, seed=13)
         ref = _oracle(p, inputs)["s1"]
         got = np.asarray(fn({k: jnp.asarray(v)
