@@ -20,6 +20,8 @@ from .ir import (Access, Assign, BCKind, BinOp, BoolOp, BoundaryCondition,
 from .frontend.parser import parse_program, StencilSyntaxError
 from .frontend.chain import ChainGraph, CycleError
 from .frontend.analysis import ChainAnalysis, flatten_index
+from .frontend.canonicalize import canonicalize, version_program
+from .frontend.trace import trace_program
 from .interpreter import ChainInterpreter, run_interpreter
 from .data import (arrays_are_equal, load_array, load_input_arrays,
                    prune_halo, save_array, save_output_arrays)
@@ -33,6 +35,7 @@ __all__ = [
     "parse_program", "StencilSyntaxError",
     "ChainGraph", "CycleError",
     "ChainAnalysis", "flatten_index",
+    "canonicalize", "version_program", "trace_program",
     "ChainInterpreter", "run_interpreter",
     "arrays_are_equal", "load_array", "load_input_arrays", "prune_halo",
     "save_array", "save_output_arrays",

@@ -1,0 +1,213 @@
+"""Canonicalization passes — the reference's importer roles over our IR.
+
+The reference's ``canonicalize_sdfg`` / ``sdfg_to_stencilflow``
+(/root/reference/stencilflow/sdfg_to_stencilflow.py:267-332,522-767) turn
+general DaCe programs into the stencil dialect via: SSA versioning of
+multiply-written fields, predication of data-dependent control flow
+(if/else → ternary, min/max → compare+ternary), constant specialization, and
+dead-code cleanup.  The same roles here operate on the typed IR:
+
+* :func:`version_program` — accept an *ordered op list* where output names
+  repeat (iterative updates, e.g. ``b = f(a); b = f(b)``) and rewrite it to
+  the single-assignment chain dialect with ``__1``-style versions (the last
+  write keeps the name, reference :590-632);
+* :func:`predicate_min_max` — rewrite min/max calls to compare+select
+  (reference ``_MinMaxPredicator`` :358-402);
+* :func:`specialize_constants` — fold named constants / scalar inputs into
+  literals (reference ``specialize_scalars``, sdfg_generator.py:225-233);
+* :func:`remove_dead_kernels` — drop kernels no output depends on
+  (reference ``remove_unused_sinks`` :71-104).
+"""
+from __future__ import annotations
+
+import copy
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import ir
+from .chain import ChainGraph
+
+
+# ---------------------------------------------------------------------------
+# Expression rewriting helpers
+# ---------------------------------------------------------------------------
+
+def rewrite_expr(expr: ir.Expr, fn) -> ir.Expr:
+    """Bottom-up expression rewrite: ``fn`` is applied to every node after
+    its children have been rewritten."""
+    if isinstance(expr, ir.BinOp):
+        expr = ir.BinOp(expr.op, rewrite_expr(expr.left, fn),
+                        rewrite_expr(expr.right, fn))
+    elif isinstance(expr, ir.UnaryOp):
+        expr = ir.UnaryOp(expr.op, rewrite_expr(expr.operand, fn))
+    elif isinstance(expr, ir.Compare):
+        expr = ir.Compare(expr.op, rewrite_expr(expr.left, fn),
+                          rewrite_expr(expr.right, fn))
+    elif isinstance(expr, ir.BoolOp):
+        expr = ir.BoolOp(expr.op, tuple(rewrite_expr(o, fn)
+                                        for o in expr.operands))
+    elif isinstance(expr, ir.Select):
+        expr = ir.Select(rewrite_expr(expr.cond, fn),
+                         rewrite_expr(expr.if_true, fn),
+                         rewrite_expr(expr.if_false, fn))
+    elif isinstance(expr, ir.Call):
+        expr = ir.Call(expr.fn, tuple(rewrite_expr(a, fn)
+                                      for a in expr.args))
+    return fn(expr)
+
+
+def rename_fields(kspec: ir.KernelSpec,
+                  renames: Dict[str, str]) -> ir.KernelSpec:
+    """Return a kernel with field accesses (and their BCs) renamed."""
+    def fn(e: ir.Expr) -> ir.Expr:
+        if isinstance(e, ir.Access) and e.field in renames:
+            return ir.Access(renames[e.field], e.offsets)
+        return e
+
+    stmts = [ir.Assign(s.lhs, rewrite_expr(s.rhs, fn))
+             for s in kspec.statements]
+    bcs = {renames.get(f, f): bc
+           for f, bc in kspec.boundary_conditions.items()}
+    return ir.KernelSpec(kspec.name, stmts, kspec.dtype, bcs, kspec.source)
+
+
+# ---------------------------------------------------------------------------
+# SSA versioning (reference: sdfg_to_stencilflow.py:590-632)
+# ---------------------------------------------------------------------------
+
+def version_program(ops: Sequence[Tuple[str, ir.KernelSpec]],
+                    outputs: Sequence[str]) -> Dict[str, ir.KernelSpec]:
+    """Rewrite an ordered op list with repeated output names into the
+    single-assignment dialect.
+
+    Each op ``(target, kernel)`` may write a name previously written (or an
+    input name).  Intermediate versions get ``name__1, name__2, ...``; the
+    LAST write keeps the bare name, and every read resolves to the version
+    live at that point.  Returns the new ``{kernel_name: spec}`` map in
+    order.
+    """
+    write_counts: Dict[str, int] = {}
+    for target, _ in ops:
+        write_counts[target] = write_counts.get(target, 0) + 1
+
+    seen: Dict[str, int] = {}
+    current: Dict[str, str] = {}   # live version per base name
+    result: Dict[str, ir.KernelSpec] = {}
+    for target, kspec in ops:
+        renames = dict(current)
+        seen[target] = seen.get(target, 0) + 1
+        if seen[target] == write_counts[target]:
+            vname = target                      # final write keeps the name
+        else:
+            vname = f"{target}__{seen[target]}"
+        spec = rename_fields(kspec, renames)
+        spec = ir.KernelSpec(vname, spec.statements, spec.dtype,
+                             spec.boundary_conditions, spec.source)
+        result[vname] = spec
+        current[target] = vname
+    for o in outputs:
+        if o not in result:
+            raise ValueError(f"output '{o}' never written")
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Predication (reference: _MinMaxPredicator, _Predicator)
+# ---------------------------------------------------------------------------
+
+def predicate_min_max(program: ir.Program) -> ir.Program:
+    """Rewrite min/max calls into compare + select (ternary) form."""
+    def fn(e: ir.Expr) -> ir.Expr:
+        if isinstance(e, ir.Call) and e.fn in ("min", "max") and \
+                len(e.args) == 2:
+            a, b = e.args
+            cmp_op = "lt" if e.fn == "min" else "gt"
+            return ir.Select(ir.Compare(cmp_op, a, b), a, b)
+        return e
+
+    program = copy.deepcopy(program)
+    for kname, kspec in program.kernels.items():
+        kspec.statements[:] = [
+            ir.Assign(s.lhs, rewrite_expr(s.rhs, fn))
+            for s in kspec.statements
+        ]
+    return program
+
+
+# ---------------------------------------------------------------------------
+# Constant specialization (reference: specialize_scalars)
+# ---------------------------------------------------------------------------
+
+def specialize_constants(program: ir.Program,
+                         values: Optional[Dict[str, float]] = None
+                         ) -> ir.Program:
+    """Bake scalar inputs (with known data) and named constants into
+    literal constants, dropping the corresponding inputs."""
+    program = copy.deepcopy(program)
+    scalar_values: Dict[str, float] = dict(program.constants)
+    if values:
+        scalar_values.update(values)
+    for name, spec in list(program.inputs.items()):
+        if not spec.is_scalar or name in (values or {}):
+            continue
+        data = spec.data
+        if isinstance(data, str):
+            if data.startswith("constant:"):
+                scalar_values[name] = float(data.split(":", 1)[1])
+        elif np.isscalar(data) or getattr(data, "ndim", None) == 0:
+            scalar_values[name] = float(data)
+
+    def fn(e: ir.Expr) -> ir.Expr:
+        if isinstance(e, ir.Access) and e.field in scalar_values:
+            return ir.Const(scalar_values[e.field])
+        if isinstance(e, ir.Ref) and e.name in scalar_values:
+            return ir.Const(scalar_values[e.name])
+        return e
+
+    for kspec in program.kernels.values():
+        kspec.statements[:] = [
+            ir.Assign(s.lhs, rewrite_expr(s.rhs, fn))
+            for s in kspec.statements
+        ]
+        for name in list(kspec.boundary_conditions):
+            if name in scalar_values:
+                del kspec.boundary_conditions[name]
+    for name in scalar_values:
+        program.inputs.pop(name, None)
+    return program
+
+
+# ---------------------------------------------------------------------------
+# Dead-kernel elimination (reference: remove_unused_sinks)
+# ---------------------------------------------------------------------------
+
+def remove_dead_kernels(program: ir.Program) -> ir.Program:
+    """Drop kernels (and inputs) that no program output depends on."""
+    program = copy.deepcopy(program)
+    graph = ChainGraph.build(program)
+    live: set = set()
+    stack = list(program.outputs)
+    while stack:
+        n = stack.pop()
+        if n in live:
+            continue
+        live.add(n)
+        stack.extend(graph.producers(n))
+    program.kernels = {k: v for k, v in program.kernels.items()
+                       if k in live}
+    program.inputs = {k: v for k, v in program.inputs.items() if k in live}
+    return program
+
+
+def canonicalize(program: ir.Program,
+                 constants: Optional[Dict[str, float]] = None,
+                 min_max_to_select: bool = False) -> ir.Program:
+    """The standard pass pipeline (reference canonicalize_sdfg order)."""
+    program = remove_dead_kernels(program)
+    if constants:
+        program = specialize_constants(program, constants)
+    if min_max_to_select:
+        program = predicate_min_max(program)
+    return program

@@ -1,0 +1,207 @@
+"""Frontend #2 tests: canonicalization passes and the traced-Python
+importer (the reference's sdfg_to_stencilflow roles,
+sdfg_to_stencilflow.py:267-332,522-767)."""
+import numpy as np
+import pytest
+
+import stencilflow_tpu as sft
+from stencilflow_tpu import ir
+from stencilflow_tpu.frontend.canonicalize import (
+    canonicalize, predicate_min_max, remove_dead_kernels,
+    specialize_constants, version_program)
+from stencilflow_tpu.frontend.parser import parse_computation, parse_program
+from stencilflow_tpu.frontend.trace import (TraceError, maximum,
+                                            trace_program)
+
+
+def _kernel(name, computation, fields, dtype="float32", bc_value=0.0):
+    masks = {f: (True, True, True) for f in fields}
+    stmts = parse_computation(name, computation, masks, {}, {})
+    bcs = {f: ir.BoundaryCondition(ir.BCKind.CONSTANT, bc_value)
+           for f in fields}
+    return ir.KernelSpec(name, stmts, np.dtype(dtype), bcs, computation)
+
+
+class TestVersioning:
+    def test_iterative_updates_get_versions(self):
+        """b = f(a); b = f(b); b = f(b) — SSA-ize like the reference's
+        importer (__1-style, last write keeps the name)."""
+        ops = [
+            ("b", _kernel("b", "b = a[i,j,k] + 1.0", ["a"])),
+            ("b", _kernel("b", "b = b[i,j,k] * 2.0", ["b"])),
+            ("b", _kernel("b", "b = b[i,j,k-1] + b[i,j,k]", ["b"])),
+        ]
+        kernels = version_program(ops, outputs=["b"])
+        assert list(kernels) == ["b__1", "b__2", "b"]
+        # middle version reads the first
+        reads = kernels["b__2"].accesses()
+        assert list(reads) == ["b__1"]
+        assert list(kernels["b"].accesses()) == ["b__2"]
+
+    def test_runs_end_to_end(self):
+        rng = np.random.default_rng(0)
+        a = rng.random((4, 8)).astype(np.float32)
+        ops = [
+            ("b", _kernel("b", "b = a[j,k] + 1.0", ["a"])),
+            ("b", _kernel("b", "b = b[j,k] * 2.0", ["b"])),
+        ]
+        kernels = version_program(
+            [(t, _pad2d(k)) for t, k in ops], outputs=["b"])
+        program = ir.Program(
+            name="ver", dimensions=(1, 4, 8), raw_dimensions=(4, 8),
+            inputs={"a": ir.InputSpec("a", np.dtype(np.float32),
+                                      (False, True, True), a)},
+            outputs=["b"], kernels=kernels)
+        out = sft.run_interpreter(program, {"a": a})["b"]
+        np.testing.assert_allclose(out, (a + 1.0) * 2.0, rtol=1e-6)
+
+
+def _pad2d(kspec):
+    """Re-parse a 2-D kernel with j,k masks (helper for version tests)."""
+    masks = {f: (False, True, True) for f in kspec.accesses()}
+    masks.update({kspec.name: (False, True, True)})
+    stmts = parse_computation(kspec.name, kspec.source,
+                              {f: (False, True, True)
+                               for f in list(kspec.boundary_conditions) +
+                               [kspec.name, "b"]}, {}, {})
+    return ir.KernelSpec(kspec.name, stmts, kspec.dtype,
+                         kspec.boundary_conditions, kspec.source)
+
+
+class TestPasses:
+    def _program(self):
+        return sft.parse_program({
+            "inputs": {"a": {"data": "constant:2.0",
+                             "data_type": "float32"},
+                       "c": {"data": 3.0, "data_type": "float32",
+                             "input_dims": []}},
+            "outputs": ["out"],
+            "dimensions": [4, 4],
+            "program": {
+                "dead": {"computation_string": "dead = a[j,k] * 5.0",
+                         "boundary_conditions": {
+                             "a": {"type": "constant", "value": 0}},
+                         "data_type": "float32"},
+                "out": {"computation_string":
+                        "out = max(a[j,k], c) + min(a[j,k-1], 1.0)",
+                        "boundary_conditions": {
+                            "a": {"type": "constant", "value": 0}},
+                        "data_type": "float32"},
+            },
+        }, name="passes")
+
+    def test_remove_dead(self):
+        p = remove_dead_kernels(self._program())
+        assert "dead" not in p.kernels and "out" in p.kernels
+
+    def test_specialize_constants(self):
+        p = specialize_constants(self._program())
+        assert "c" not in p.inputs
+        consts = [n for k in p.kernels.values() for s in k.statements
+                  for n in ir.walk(s.rhs) if isinstance(n, ir.Const)]
+        assert any(c.value == 3.0 for c in consts)
+
+    def test_predicate_min_max_preserves_semantics(self):
+        p0 = self._program()
+        p1 = predicate_min_max(p0)
+        sel = [n for k in p1.kernels.values() for s in k.statements
+               for n in ir.walk(s.rhs) if isinstance(n, ir.Select)]
+        assert len(sel) >= 2
+        inputs = sft.load_input_arrays(p0)
+        o0 = sft.run_interpreter(p0, inputs)["out"]
+        o1 = sft.run_interpreter(p1, inputs)["out"]
+        np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+    def test_canonicalize_pipeline(self):
+        p = canonicalize(self._program(), min_max_to_select=True)
+        assert "dead" not in p.kernels
+
+
+class TestTracedFrontend:
+    def test_jacobi2d_chain_matches_json(self):
+        rng = np.random.default_rng(1)
+        a = rng.random((16, 16)).astype(np.float32)
+
+        def model(av):
+            b = 0.25 * (av[0, -1, 0] + av[0, 1, 0] +
+                        av[0, 0, -1] + av[0, 0, 1])
+            c = 0.25 * (b[0, -1, 0] + b[0, 1, 0] +
+                        b[0, 0, -1] + b[0, 0, 1])
+            return {"c": c}
+
+        p = trace_program(model, dimensions=(16, 16),
+                          inputs={"a": np.float32}, name="tj2")
+        out = sft.run_interpreter(p, {"a": a})["c"]
+
+        json_p = sft.parse_program(
+            sft_jacobi_dict(), name="jj2")
+        ref = sft.run_interpreter(json_p, {"a": a})["s1"]
+        np.testing.assert_allclose(out, np.asarray(ref), rtol=1e-6)
+
+    def test_scalar_and_lower_dim_inputs(self):
+        rng = np.random.default_rng(2)
+        a = rng.random((4, 8)).astype(np.float32)
+        row = rng.random((8,)).astype(np.float32)
+
+        def model(av, rv, cv):
+            u = av[0, 0, 1] * cv + rv[0, 0, 0]
+            return {"u": u}
+
+        p = trace_program(
+            model, dimensions=(4, 8),
+            inputs={"a": np.float32,
+                    "row": {"dtype": np.float32, "dims": ["k"]},
+                    "c": {"dtype": np.float32, "dims": []}},
+            name="lowdim")
+        out = np.asarray(sft.run_interpreter(
+            p, {"a": a, "row": row, "c": np.float32(2.0)})["u"])
+        expected = np.zeros_like(a)
+        expected[:, :-1] = a[:, 1:] * 2.0
+        expected += row
+        np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+    def test_predicates_and_calls(self):
+        a = np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8)
+
+        def model(av):
+            center = av[0, 0, 0]
+            return {"o": (center > 0.5).where(maximum(center, 0.75),
+                                              -center)}
+
+        p = trace_program(model, dimensions=(8, 8),
+                          inputs={"a": np.float32})
+        out = np.asarray(sft.run_interpreter(p, {"a": a})["o"])
+        exp = np.where(a > 0.5, np.maximum(a, 0.75), -a)
+        np.testing.assert_allclose(out, exp, rtol=1e-6)
+
+    def test_offset_on_unspanned_dim_raises(self):
+        def model(rv):
+            return {"o": rv[0, 1, 0]}
+
+        with pytest.raises(TraceError):
+            trace_program(model, dimensions=(4, 4),
+                          inputs={"row": {"dtype": np.float32,
+                                          "dims": ["k"]}})
+
+    def test_traced_program_runs_on_backends(self):
+        rng = np.random.default_rng(3)
+        a = rng.random((8, 8, 8)).astype(np.float32)
+
+        def model(av):
+            b = (av[-1, 0, 0] + av[1, 0, 0] + av[0, 0, 0]) / 3.0
+            return {"b": b}
+
+        p = trace_program(model, dimensions=(8, 8, 8),
+                          inputs={"a": np.float32})
+        from stencilflow_tpu.backend.xla import run_chain
+        ref = np.asarray(sft.run_interpreter(p, {"a": a})["b"])
+        out = run_chain(p, {"a": a})["b"]
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
+        from stencilflow_tpu.sim import simulate
+        res = simulate(p, {"a": a})
+        np.testing.assert_array_equal(res.outputs["b"], ref)
+
+
+def sft_jacobi_dict():
+    from stencilflow_tpu.synthesize import jacobi
+    return jacobi(2, 16, iterations=2)
