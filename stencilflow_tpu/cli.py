@@ -73,6 +73,13 @@ def _cmd_report(args) -> int:
     from .report import Report
     program = parse_program(args.stencil_file)
     analysis = ChainAnalysis.run(program)
+    if args.plot:
+        from .utils import plot_chain_graph, plot_compute_graph
+        print("wrote " + plot_chain_graph(program,
+                                          f"{program.name}_chain.png"))
+        for kname, kspec in program.kernels.items():
+            print("wrote " + plot_compute_graph(
+                kspec, f"{program.name}_{kname}_compute.png"))
     report = Report.build(program, analysis)
     if args.json:
         print(json.dumps(report.as_dict(), indent=2, default=str))
@@ -221,6 +228,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("report", help="analytic performance report")
     p.add_argument("stencil_file")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--plot", action="store_true",
+                   help="write chain/compute graph PNGs")
     p.add_argument("--optimize-ratio", type=float, default=None,
                    help="also print the fast/slow placement at this ratio")
     p.set_defaults(fn=_cmd_report)
