@@ -56,8 +56,12 @@ class StreamPlan:
     @classmethod
     def build(cls, analysis: ChainAnalysis) -> "StreamPlan":
         program = analysis.program
-        halo = chain_halo(analysis)
-        hj, hk = halo[1], halo[2]
+        # Planes span the full (J, K) domain, unwidened: circular-roll
+        # wrap-around of a j/k-offset read lands exactly on the cells whose
+        # global index is out of domain, and every read applies its BC mask
+        # there — so no halo margin (and no 128-lane padding waste) is
+        # needed, unlike the overlapped-tile backend.
+        hj, hk = 0, 0
         dims = program.dimensions
 
         # i-offset extrema per (consumer, field)
