@@ -54,14 +54,18 @@ class StreamPlan:
     plane: Tuple[int, int]     # widened plane shape (PJ, PK)
 
     @classmethod
-    def build(cls, analysis: ChainAnalysis) -> "StreamPlan":
+    def build(cls, analysis: ChainAnalysis,
+              local_jk: Optional[Tuple[int, int]] = None,
+              halo_jk: Tuple[int, int] = (0, 0)) -> "StreamPlan":
+        # Single chip: planes span the full (J, K) domain, unwidened —
+        # circular-roll wrap-around of a j/k-offset read lands exactly on
+        # the cells whose global index is out of domain, and every read
+        # applies its BC mask there, so no halo margin (and no 128-lane
+        # padding waste) is needed.  Sharded: planes cover the local block
+        # widened by the exchanged halo (halo_jk), with BC masks evaluated
+        # at global coordinates supplied via the origin scalars.
         program = analysis.program
-        # Planes span the full (J, K) domain, unwidened: circular-roll
-        # wrap-around of a j/k-offset read lands exactly on the cells whose
-        # global index is out of domain, and every read applies its BC mask
-        # there — so no halo margin (and no 128-lane padding waste) is
-        # needed, unlike the overlapped-tile backend.
-        hj, hk = 0, 0
+        hj, hk = halo_jk
         dims = program.dimensions
 
         # i-offset extrema per (consumer, field)
@@ -89,8 +93,9 @@ class StreamPlan:
             if f in program.outputs:
                 depth = max(depth, 1 + lag_max - lag[f])
             ring[f] = depth
+        lj, lk = local_jk or (dims[1], dims[2])
         return cls(lag, ring, lag_max, (hj, hk),
-                   (dims[1] + 2 * hj, dims[2] + 2 * hk))
+                   (lj + 2 * hj, lk + 2 * hk))
 
     def vmem_bytes(self, program: ir.Program) -> int:
         pj, pk = self.plane
@@ -103,9 +108,15 @@ class StreamPlan:
 
 def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         plan: StreamPlan, input_names, input_kinds,
-                        *refs):
+                        local_i, sharded, *refs):
     """One grid step: ingest one input plane, advance every stage one plane,
-    emit one output plane."""
+    emit one output plane.  With ``sharded`` the first ref is a (1, 3) SMEM
+    block of global origin coordinates for this device's block."""
+    if sharded:
+        origin_ref, *refs = refs
+        origin = (origin_ref[0, 0], origin_ref[0, 1], origin_ref[0, 2])
+    else:
+        origin = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     n_in = len(input_names)
     n_out = len(program.outputs)
     in_refs = refs[:n_in]
@@ -114,9 +125,12 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
 
     g = pl.program_id(0)
     dims = program.dimensions
-    I = dims[0]
+    I = local_i                      # local streamed extent (== global I
+    Ig = dims[0]                     # unless i were sharded)
     hj, hk = plan.halo_jk
-    J, K = dims[1], dims[2]
+    J, K = dims[1], dims[2]          # GLOBAL extents (for BC masks)
+    core_j = plan.plane[0] - 2 * hj  # local core block extents
+    core_k = plan.plane[1] - 2 * hk
 
     # 1. ingest: copy fetched input planes into their rings
     plane_cache: Dict[str, Any] = {}   # non-streamed fields, read whole
@@ -149,17 +163,20 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 pk = plan.plane[1] if spec.dim_mask[2] else 1
                 plane = plane.reshape(pj, pk)
                 plane = jnp.broadcast_to(plane, plan.plane)
-                return read_access_tile(plane, (oj, ok), bc, (0, 0),
+                return read_access_tile(plane, (oj, ok), bc,
+                                        (origin[1], origin[2]),
                                         plan.halo_jk, (J, K))
             W = plan.ring[field]
             target = q + jnp.int32(oi or 0)
             Wc = jnp.int32(W)
             slot = jax.lax.rem(jax.lax.rem(target, Wc) + Wc, Wc)
             plane = rings[field][slot]
-            val = read_access_tile(plane, (oj, ok), bc, (0, 0),
+            val = read_access_tile(plane, (oj, ok), bc,
+                                   (origin[1], origin[2]),
                                    plan.halo_jk, (J, K))
             if oi is not None and oi != 0:
-                i_oob = (target < 0) | (target >= I)
+                gtarget = origin[0] + target
+                i_oob = (gtarget < 0) | (gtarget >= Ig)
                 if bc is None or bc.kind == ir.BCKind.CONSTANT:
                     fill = jnp.asarray(
                         bc.value if bc is not None else 0.0, val.dtype)
@@ -196,8 +213,8 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     for out_name, ref in zip(program.outputs, out_refs):
         oslot = jax.lax.rem(p_out, jnp.int32(plan.ring[out_name]))
         plane = rings[out_name][oslot]
-        core = jax.lax.slice(plane, (hj, hk), (hj + J, hk + K))
-        ref[...] = core.reshape(1, J, K)
+        core = jax.lax.slice(plane, (hj, hk), (hj + core_j, hk + core_k))
+        ref[...] = core.reshape(1, core_j, core_k)
 
 
 def compile_chain_stream(program: ir.Program,
@@ -265,7 +282,7 @@ def compile_chain_stream(program: ir.Program,
     ]
 
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
-                               input_names, input_kinds)
+                               input_names, input_kinds, I, False)
 
     call = pl.pallas_call(
         kernel,
@@ -310,3 +327,94 @@ def run_chain_stream(program: ir.Program, inputs: Dict[str, Any],
     fn = compile_chain_stream(program, interpret=interpret)
     out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
     return {k: np.asarray(v) for k, v in out.items()}
+
+
+def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
+                         plan: StreamPlan, local_block,
+                         interpret: bool = False,
+                         vmem_budget: int = 96 * 2**20):
+    """Per-shard streaming kernel for domain decomposition.
+
+    Returns ``fn(origin_i32[3], widened_inputs: dict) -> outputs: dict`` of
+    local core blocks; inputs are the halo-exchanged local blocks (widened
+    by ``plan.halo_jk`` in the sharded dims), ``origin`` the global offset
+    of this device's core block.  Called inside shard_map
+    (parallel/domain.py)."""
+    Bi, Bj, Bk = local_block
+    pj, pk = plan.plane
+    dims = program.dimensions
+
+    input_names = list(program.inputs)
+    input_kinds = []
+    in_specs = [pl.BlockSpec((1, 3), lambda g: (0, 0),
+                             memory_space=pltpu.SMEM)]
+    for name in input_names:
+        spec = program.inputs[name]
+        if spec.is_scalar:
+            input_kinds.append("scalar")
+            in_specs.append(pl.BlockSpec((1, 1), lambda g: (0, 0),
+                                         memory_space=pltpu.SMEM))
+        elif spec.dim_mask[0]:
+            if not (spec.dim_mask[1] and spec.dim_mask[2]):
+                raise ValueError(
+                    f"input {name} spans i but not all of (j, k); "
+                    "unsupported by the streaming lowering")
+            input_kinds.append("stream")
+            in_specs.append(pl.BlockSpec(
+                (1, pj, pk),
+                lambda g: (jnp.minimum(g, Bi - 1), 0, 0),
+                memory_space=pltpu.VMEM))
+        else:
+            input_kinds.append("static")
+            spanned = [d for d in (1, 2) if spec.dim_mask[d]]
+            block = tuple((pj, pk)[d - 1] for d in spanned)
+            in_specs.append(pl.BlockSpec(
+                block, lambda g, n=len(spanned): (0,) * n,
+                memory_space=pltpu.VMEM))
+
+    out_specs = []
+    out_shapes = []
+    for out in program.outputs:
+        out_specs.append(pl.BlockSpec(
+            (1, Bj, Bk),
+            lambda g: (jnp.maximum(g - plan.lag_max, 0), 0, 0),
+            memory_space=pltpu.VMEM))
+        out_dtype = jax.dtypes.canonicalize_dtype(program.kernels[out].dtype)
+        out_shapes.append(jax.ShapeDtypeStruct((Bi, Bj, Bk), out_dtype))
+
+    scratch_shapes = [
+        pltpu.VMEM((plan.ring[f], pj, pk),
+                   jax.dtypes.canonicalize_dtype(program.field_dtype(f)))
+        for f in plan.ring
+    ]
+
+    kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
+                               input_names, input_kinds, Bi, True)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(Bi + plan.lag_max,),
+        in_specs=in_specs,
+        out_specs=out_specs[0] if len(out_specs) == 1 else out_specs,
+        out_shape=out_shapes[0] if len(out_shapes) == 1 else out_shapes,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_budget + 16 * 2**20),
+    )
+
+    def fn(origin, widened_inputs):
+        args = [jnp.asarray(origin, jnp.int32).reshape(1, 3)]
+        for name in input_names:
+            spec = program.inputs[name]
+            arr = jnp.asarray(widened_inputs[name])
+            if spec.is_scalar:
+                arr = arr.reshape(1, 1)
+            args.append(arr)
+        res = call(*args)
+        if len(program.outputs) == 1:
+            res = (res,)
+        return dict(zip(program.outputs, res))
+
+    return fn

@@ -49,7 +49,7 @@ class DomainDecomposition:
     program: ir.Program
     mesh: Mesh
     dim_axes: Tuple[Optional[str], Optional[str], Optional[str]]
-    halo: Vec3
+    halo: Vec3          # effective halo: chain halo in sharded dims, else 0
     block: Vec3
 
     @classmethod
@@ -58,10 +58,11 @@ class DomainDecomposition:
              analysis: Optional[ChainAnalysis] = None
              ) -> "DomainDecomposition":
         analysis = analysis or ChainAnalysis.run(program)
-        halo = chain_halo(analysis)
+        full_halo = chain_halo(analysis)
         dims = program.dimensions
         dim_axes = tuple(dim_axes)
         block = []
+        halo = []
         for d in range(3):
             ax = dim_axes[d]
             n = mesh.shape[ax] if ax is not None else 1
@@ -70,12 +71,17 @@ class DomainDecomposition:
                     f"dim {d} ({dims[d]}) not divisible by mesh axis "
                     f"'{ax}' size {n}")
             b = dims[d] // n
-            if ax is not None and n > 1 and halo[d] >= b:
+            # unsharded dims span the whole domain locally: offset reads
+            # wrap onto globally-OOB cells which every BC mask corrects, so
+            # no widening is needed there (see backend/stream.py)
+            h = full_halo[d] if (ax is not None and n > 1) else 0
+            if h >= b > 0 and h > 0:
                 raise ValueError(
-                    f"halo {halo[d]} >= local block {b} in dim {d}; "
+                    f"halo {h} >= local block {b} in dim {d}; "
                     "use fewer shards or a shallower chain")
             block.append(b)
-        return cls(program, mesh, dim_axes, halo, tuple(block))
+            halo.append(h)
+        return cls(program, mesh, dim_axes, tuple(halo), tuple(block))
 
     # -- shardings -----------------------------------------------------------
     def spec_for_input(self, name: str) -> P:
@@ -148,21 +154,68 @@ def _local_forward(plan: DomainDecomposition, graph: ChainGraph,
     return {n: arr[core].reshape(local_raw) for n, arr in results.items()}
 
 
+def _local_forward_stream(plan: DomainDecomposition, stream_fn,
+                          inputs: Dict[str, Any]) -> Dict[str, Any]:
+    """Per-device body: halo exchange, then the streaming Pallas kernel."""
+    program = plan.program
+    tiles: Dict[str, Any] = {}
+    for name, spec in program.inputs.items():
+        arr = inputs[name]
+        if spec.is_scalar:
+            tiles[name] = arr
+            continue
+        spanned = [d for d in range(3) if spec.dim_mask[d]]
+        local_dims = {d: plan.block[d] for d in spanned}
+        tiles[name] = _exchange_halo(arr, spanned, local_dims, plan)
+    origin = []
+    for d in range(3):
+        ax = plan.dim_axes[d]
+        idx = lax.axis_index(ax) if ax is not None else 0
+        origin.append(jnp.int32(idx * plan.block[d]))
+    results = stream_fn(jnp.stack(origin), tiles)
+    raw = program.raw_dimensions
+    local_raw = tuple(plan.block[3 - len(raw) + i] for i in range(len(raw)))
+    return {n: arr.reshape(local_raw) for n, arr in results.items()}
+
+
 def compile_sharded_chain(program: ir.Program, mesh: Mesh,
                           dim_axes: Sequence[Optional[str]],
-                          analysis: Optional[ChainAnalysis] = None):
+                          analysis: Optional[ChainAnalysis] = None,
+                          local_backend: str = "auto",
+                          interpret: bool = False):
     """Build a jitted, mesh-sharded ``fn(inputs) -> outputs`` for the chain.
 
-    Inputs must be committed with ``plan.input_shardings()`` (or will be
-    resharded on entry).  Returns ``(fn, plan)``.
+    ``local_backend``: per-shard compute path — "stream" (the streaming
+    Pallas kernel, the production TPU path; requires the streamed dim 0 to
+    be unsharded), "xla" (fused-XLA tile evaluation, runs anywhere), or
+    "auto".  Inputs must be committed with ``plan.input_shardings()`` (or
+    will be resharded on entry).  Returns ``(fn, plan)``.
     """
+    analysis = analysis or ChainAnalysis.run(program)
     plan = DomainDecomposition.plan(program, mesh, dim_axes, analysis)
-    graph = ChainGraph.build(program)
+    graph = analysis.graph
     in_specs = ({n: plan.spec_for_input(n) for n in program.inputs},)
     out_specs = {n: plan.spec_for_output() for n in program.outputs}
-    fn = shard_map(functools.partial(_local_forward, plan, graph),
-                   mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                   check_vma=False)
+
+    if local_backend == "auto":
+        on_cpu = jax.devices()[0].platform == "cpu"
+        local_backend = "xla" if (interpret or on_cpu or
+                                  dim_axes[0] is not None) else "stream"
+    if local_backend == "stream":
+        from ..backend.stream import StreamPlan, compile_local_stream
+        if plan.dim_axes[0] is not None and mesh.shape[plan.dim_axes[0]] > 1:
+            raise ValueError("stream local backend requires the streamed "
+                             "dim 0 to be unsharded")
+        splan = StreamPlan.build(analysis,
+                                 local_jk=(plan.block[1], plan.block[2]),
+                                 halo_jk=(plan.halo[1], plan.halo[2]))
+        stream_fn = compile_local_stream(program, analysis, splan,
+                                         plan.block, interpret=interpret)
+        body = functools.partial(_local_forward_stream, plan, stream_fn)
+    else:
+        body = functools.partial(_local_forward, plan, graph)
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
     return jax.jit(fn), plan
 
 

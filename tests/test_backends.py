@@ -205,6 +205,24 @@ class TestMultiChip:
         out = run_pipeline_split(p, mesh, "p", inputs)
         np.testing.assert_allclose(out["s3"], ref["s3"], rtol=1e-6)
 
+    def test_domain_decomposition_stream_local_backend(self):
+        """The production path: per-shard streaming Pallas kernel (interpret
+        mode on the CPU mesh) under shard_map halo exchange."""
+        from stencilflow_tpu.parallel.domain import compile_sharded_chain
+        p = _program_jacobi3d(size=8, iters=2)
+        inputs = sft.load_input_arrays(p, seed=21)
+        ref = _oracle(p, inputs)["s1"]
+        devs = np.array(jax.devices()[:4]).reshape(2, 2)
+        mesh = Mesh(devs, ("x", "y"))
+        fn, plan = compile_sharded_chain(p, mesh, (None, "x", "y"),
+                                         local_backend="stream",
+                                         interpret=True)
+        sh = plan.input_shardings()
+        dev_in = {n: jax.device_put(jnp.asarray(v), sh[n])
+                  for n, v in inputs.items()}
+        out = np.asarray(fn(dev_in)["s1"])
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
+
     def test_halo_exceeds_block_raises(self):
         p = _program_jacobi3d(size=16, iters=8)  # halo 8 == block 16/2... 8
         mesh = Mesh(np.array(jax.devices()[:2]), ("x",))
