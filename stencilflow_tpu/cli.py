@@ -21,6 +21,7 @@ def _cmd_run(args) -> int:
     try:
         res = run_program(
             args.stencil_file, mode=args.mode,
+            generate_input=args.generate_input,
             run_simulation=args.run_simulation,
             compare_to_reference=args.compare_to_reference,
             input_directory=args.input_directory,
@@ -213,6 +214,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "stream", "pallas", "xla",
                             "interpreter"])
     p.add_argument("--print-result", action="store_true")
+    p.add_argument("--generate-input", action="store_true",
+                   help="replace file-backed inputs with constant data "
+                        "(reference: -generate-input)")
+    p.add_argument("--log-level", type=int, default=1, choices=[0, 1, 2, 3])
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=_cmd_run)
 

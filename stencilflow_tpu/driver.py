@@ -49,6 +49,7 @@ class RunResult:
 def run_program(stencil_file, mode: str = "emulation",
                 run_simulation: bool = False,
                 compare_to_reference: bool = False,
+                generate_input: bool = False,
                 input_directory: Optional[str] = None,
                 skip_execution: bool = False,
                 halo: int = 0,
@@ -67,6 +68,15 @@ def run_program(stencil_file, mode: str = "emulation",
         program = parse_program(stencil_file)
     analysis = ChainAnalysis.run(program)
 
+    if generate_input:
+        # replace file-backed inputs with constant data
+        # (reference: run_program.py:142-148)
+        import dataclasses as _dc
+        for name, spec in program.inputs.items():
+            if isinstance(spec.data, str) and not spec.data.startswith(
+                    ("constant:", "random:")):
+                program.inputs[name] = _dc.replace(spec,
+                                                   data="constant:1.0")
     inputs = load_input_arrays(program, prefix=input_directory, seed=seed)
 
     sim_outputs = None
