@@ -171,9 +171,16 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             Wc = jnp.int32(W)
             slot = jax.lax.rem(jax.lax.rem(target, Wc) + Wc, Wc)
             plane = rings[field][slot]
+            center = None
+            if bc is not None and bc.kind == ir.BCKind.COPY and \
+                    oi not in (None, 0):
+                # copy center is the evaluation-point plane q, not the
+                # i-shifted target plane
+                cslot = jax.lax.rem(jax.lax.rem(q, Wc) + Wc, Wc)
+                center = rings[field][cslot]
             val = read_access_tile(plane, (oj, ok), bc,
                                    (origin[1], origin[2]),
-                                   plan.halo_jk, (J, K))
+                                   plan.halo_jk, (J, K), center=center)
             if oi is not None and oi != 0:
                 gtarget = origin[0] + target
                 i_oob = (gtarget < 0) | (gtarget >= Ig)
@@ -182,8 +189,6 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         bc.value if bc is not None else 0.0, val.dtype)
                     val = jnp.where(i_oob, fill, val)
                 elif bc.kind == ir.BCKind.COPY:
-                    cslot = jax.lax.rem(jax.lax.rem(q, Wc) + Wc, Wc)
-                    center = rings[field][cslot]
                     val = jnp.where(i_oob, center, val)
                 elif bc.kind == ir.BCKind.SHRINK:
                     val = jnp.where(

@@ -73,8 +73,13 @@ def _global_oob_mask(offsets: ir.Offsets, tile_shape: Sequence[int],
 def read_access_tile(buf, offsets: ir.Offsets,
                      bc: Optional[ir.BoundaryCondition],
                      origin: Sequence[Any], halo: Vec3, dimensions: Vec3,
-                     cache: Optional[dict] = None):
-    """Materialize ``field[x + o]`` over a widened tile with its BC applied."""
+                     cache: Optional[dict] = None, center=None):
+    """Materialize ``field[x + o]`` over a widened tile with its BC applied.
+
+    ``center`` overrides the copy-BC center value (the streaming kernel
+    passes the evaluation-point plane when ``buf`` is already an i-shifted
+    plane; by default the unshifted ``buf`` IS the center).
+    """
     shifted = buf
     for d, o in enumerate(offsets):
         if o is None or o == 0:
@@ -88,7 +93,8 @@ def read_access_tile(buf, offsets: ir.Offsets,
         fill = jnp.asarray(bc.value if bc is not None else 0.0, buf.dtype)
         return jnp.where(mask, fill, shifted)
     if bc.kind == ir.BCKind.COPY:
-        return jnp.where(mask, buf, shifted)
+        return jnp.where(mask, center if center is not None else buf,
+                         shifted)
     if bc.kind == ir.BCKind.SHRINK:
         return jnp.where(mask, jnp.asarray(JUNK_VAL, buf.dtype), shifted)
     raise ValueError(f"unknown boundary condition {bc!r}")
@@ -236,16 +242,21 @@ def evaluate_chain_tile(program: ir.Program, graph: ChainGraph,
         else:
             fields[iname] = arr  # broadcast once tile_shape is known
     if tile_shape is None:
-        # No full-rank input: derive widened shape from any spanned input
+        # No full-rank input: derive the widened shape by combining every
+        # spanned input (elementwise max — a lower-rank input must not
+        # shadow a higher-rank one)
+        guess = [1, 1, 1]
         for iname, spec in program.inputs.items():
             if spec.is_scalar or all(spec.dim_mask):
                 continue
             arr = jnp.asarray(tile_fields[iname])
             it = iter(arr.shape)
-            guess = [next(it) if m else 1 for m in spec.dim_mask]
-            tile_shape = tuple(guess)
-        if tile_shape is None:
+            for d, m in enumerate(spec.dim_mask):
+                if m:
+                    guess[d] = max(guess[d], next(it))
+        if guess == [1, 1, 1]:
             raise ValueError("program has no array inputs")
+        tile_shape = tuple(guess)
     for iname, spec in program.inputs.items():
         if not spec.is_scalar and not all(spec.dim_mask):
             fields[iname] = broadcast_input_tile(

@@ -51,7 +51,13 @@ def flatten_index(index: Sequence[Optional[int]],
 
 
 def _lex_max(vectors: List[Vec3]) -> Vec3:
-    return max(vectors) if vectors else (0, 0, 0)
+    """Componentwise max (a safe over-approximation of the reference's
+    per-path bookkeeping: flatten(cw-max) >= flatten(v) for every v, so
+    delay buffers sized from it always absorb the true skew — lexicographic
+    max can undershoot for asymmetric access sets)."""
+    if not vectors:
+        return (0, 0, 0)
+    return tuple(max(v[d] for v in vectors) for d in range(3))
 
 
 def _vec_add(a: Sequence[int], b: Sequence[int]) -> Vec3:
@@ -218,7 +224,8 @@ class ChainAnalysis:
     graph: ChainGraph
     kernel_accesses: Dict[str, Dict[str, FieldAccessInfo]]
     kernel_latencies: Dict[str, int]
-    arrival: Dict[str, Vec3]          # per-node contribution vector
+    arrival: Dict[str, Vec3]          # per-node max-over-preds contribution
+    contribution: Dict[str, Vec3]     # per-node path-length vector
     edges: Dict[Tuple[str, str], EdgeBuffers]
     critical_path_cycles: int
 
@@ -286,8 +293,8 @@ class ChainAnalysis:
         cp_vec = _lex_max([contribution[o] for o in program.outputs])
         critical_path = max(0, flatten_index(cp_vec, dims))
 
-        return cls(program, graph, accesses, latencies, arrival, edges,
-                   critical_path)
+        return cls(program, graph, accesses, latencies, arrival,
+                   contribution, edges, critical_path)
 
     # -- analytic models ------------------------------------------------------
     def operation_counts(self) -> Dict[str, Tuple[int, int]]:
@@ -325,6 +332,24 @@ class ChainAnalysis:
 
     def fast_memory_bytes(self) -> int:
         return sum(e.total_bytes() for e in self.edges.values())
+
+    def kernel_fire_pace(self) -> Dict[str, int]:
+        """Model start cycle of each kernel's element 0 (the reference's
+        warmup/alignment schedule): a kernel may not fire element ``t``
+        before ``pace + t``.  The simulator paces producers to this
+        schedule, which is exactly the assumption under which the per-edge
+        delay sizing is valid."""
+        dims = self.program.dimensions
+        pace: Dict[str, int] = {}
+        for kname in self.graph.kernel_order:
+            max_access = _lex_max([
+                _lex_max([tuple(0 if o is None else o for o in a)
+                          for a in info.accesses])
+                for info in self.kernel_accesses[kname].values()
+            ])
+            vec = _vec_add(self.arrival[kname], max_access)
+            pace[kname] = max(0, flatten_index(vec, dims))
+        return pace
 
     # -- TPU-facing quantities -------------------------------------------------
     def stage_halo(self) -> Dict[str, Vec3]:

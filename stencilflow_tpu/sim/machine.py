@@ -30,6 +30,44 @@ class SimulationError(RuntimeError):
     pass
 
 
+def access_windows(program, analysis):
+    """Flat retention window [lo, hi] per (field, consumer), extended to
+    the center element where a copy BC needs it."""
+    dims = program.dimensions
+    windows = {}
+    for kname in analysis.graph.kernel_order:
+        kspec = program.kernels[kname]
+        for field, offs in kspec.accesses().items():
+            flat = [flatten_index([x or 0 for x in o], dims) for o in offs]
+            lo, hi = min(flat), max(flat)
+            bc = kspec.boundary_conditions.get(field)
+            if bc is not None and bc.kind == ir.BCKind.COPY:
+                lo, hi = min(lo, 0), max(hi, 0)
+            windows[(field, kname)] = (lo, hi)
+    return windows
+
+
+def fire_schedule(program, analysis, windows):
+    """Self-consistent streaming schedule: F[k] = cycle of kernel k's
+    element-0 fire, C[f] = cycle of field f's element-0 emission.
+
+    F[k] = max over read fields f of (C[f] + hi(f, k)) + 1, clamped >= 0;
+    C[input] = 0; C[k] = F[k] + latency(k).  This is the machine-exact
+    refinement of the reference's delay-alignment model
+    (kernel_chain_graph.py:476-559), scalar-valued so asymmetric and
+    negative offsets are handled exactly."""
+    C = {n: 0 for n in program.inputs}
+    F = {}
+    for kname in analysis.graph.kernel_order:
+        lag = 0
+        for f in analysis.graph.producers(kname):
+            lo, hi = windows[(f, kname)]
+            lag = max(lag, C[f] + hi + 1)
+        F[kname] = lag
+        C[kname] = lag + analysis.kernel_latencies[kname]
+    return F, C
+
+
 class DeadlockError(SimulationError):
     pass
 
@@ -125,7 +163,9 @@ class _Edge:
         return self.data[flat_idx - self.base]
 
     def release_to(self, new_base: int) -> None:
-        """Drop elements below ``new_base`` (no longer readable)."""
+        """Drop elements below ``new_base`` (no longer readable); clamped
+        to what has actually arrived."""
+        new_base = min(new_base, self.arrived)
         if new_base > self.base:
             del self.data[:new_base - self.base]
             self.base = new_base
@@ -148,6 +188,7 @@ class _KernelState:
     latency: int
     bcs: Dict[str, ir.BoundaryCondition]
     dtype: Any
+    pace: int = 0   # model start cycle: element t fires no earlier than pace+t
     # per-edge stream window [t+min_off, t+max_off]
     min_off: Dict[str, int] = dataclasses.field(default_factory=dict)
     max_off: Dict[str, int] = dataclasses.field(default_factory=dict)
@@ -187,8 +228,23 @@ class Simulator:
         self.edges: Dict[Tuple[str, str], _Edge] = {}
         self.kernels: Dict[str, _KernelState] = {}
 
+        self._windows = access_windows(program, analysis)
+        self._F, self._C = fire_schedule(program, analysis, self._windows)
+        self._pace = self._F
+
+        # Capacity: the machine's exact static bound.  Element t of edge
+        # (f, c) is emitted at C[f] + t and released once c's pc passes
+        # t - lo_f; c fires element u at F[c] + u, so peak occupancy is
+        #   F[c] - C[f] - lo_f + 1
+        # (the machine-exact refinement of the reference's delay+internal
+        # sizing; equal for aligned symmetric stencils).
         for (src, dst), eb in analysis.edges.items():
-            cap = eb.delay_size + eb.internal_size + self.slack
+            if (src, dst) not in self._windows:
+                self.edges[(src, dst)] = _Edge(src, dst, 1)
+                continue
+            lo = self._windows[(src, dst)][0]
+            cap = self._F[dst] - self._C[src] - lo + 1 + self.slack
+            cap = max(cap, eb.internal_size + 1)
             self.edges[(src, dst)] = _Edge(src, dst, cap)
 
         for kname in graph.kernel_order:
@@ -212,12 +268,10 @@ class Simulator:
                 latency=analysis.kernel_latencies[kname],
                 bcs=kspec.boundary_conditions,
                 dtype=np.dtype(kspec.dtype).type,
+                pace=self._pace[kname],
             )
             for f in acc_map:
-                offs_flat = [flatten_index([x or 0 for x in o], self.dims)
-                             for o in acc_map[f]]
-                st.min_off[f] = min(offs_flat + [0])
-                st.max_off[f] = max(offs_flat + [0])
+                st.min_off[f], st.max_off[f] = self._windows[(f, kname)]
             self.kernels[kname] = st
 
         for (src, dst), e in self.edges.items():
@@ -257,10 +311,12 @@ class Simulator:
             raise SimulationError(f"unknown BC {bc!r}")
         return st.in_edges[plan.field].peek(t + plan.flat_offset)
 
-    def _can_fire(self, st: _KernelState) -> bool:
+    def _can_fire(self, st: _KernelState, cycle: int) -> bool:
         t = st.pc
         if t >= self.N:
             return False
+        if cycle < st.pace + t:
+            return False  # paced to the model schedule (buffer-bound proof)
         for f, e in st.in_edges.items():
             if f in self.scalars:
                 continue
@@ -301,18 +357,22 @@ class Simulator:
         while any(pc < N for pc in out_pc.values()):
             progressed = False
 
-            # kernels: emit due pipeline results to out edges (and outputs)
+            # kernels: emit due pipeline results to out edges (and outputs).
+            # Edges whose consumer already finished are drained sinks —
+            # discard into them (the pipeline's drain phase).
             for kname in order:
                 st = self.kernels[kname]
                 while st.pipeline and st.pipeline[0][0] <= cycle:
                     _, idx, value = st.pipeline[0]
-                    ok = all(e.occupancy() < e.capacity
+                    ok = all(e.occupancy() < e.capacity or
+                             self.kernels[e.dst].pc >= N
                              for e in st.out_edges)
                     if not ok:
                         st.stall_cycles += 1
                         break
                     for e in st.out_edges:
-                        e.push(value)
+                        if self.kernels[e.dst].pc < N:
+                            e.push(value)
                     if kname in out_arrays and out_pc[kname] == idx:
                         out_arrays[kname][idx] = value
                         out_pc[kname] = idx + 1
@@ -322,7 +382,13 @@ class Simulator:
             # kernels: fire
             for kname in order:
                 st = self.kernels[kname]
-                if not self._can_fire(st):
+                # warmup discard: elements below the access window are never
+                # read — release them even before the first fire
+                # (reference: dist_to_center warmup, kernel.py:166-174)
+                for f, e in st.in_edges.items():
+                    if f not in self.scalars:
+                        e.release_to(st.pc + st.min_off[f])
+                if not self._can_fire(st, cycle):
                     continue
                 t = st.pc
                 # evaluate in the kernel's dtype (numpy scalar ops keep the
@@ -345,11 +411,15 @@ class Simulator:
                     e.release_to(st.pc + st.min_off[f])
                 progressed = True
 
-            # inputs feed successor edges (one element/cycle/edge)
+            # inputs feed successor edges (one element/cycle/edge);
+            # finished consumers absorb silently
             for name, arr in input_arrays.items():
                 for dst in self.graph.consumers(name):
                     sent = input_sent[(name, dst)]
                     if sent >= N:
+                        continue
+                    if self.kernels[dst].pc >= N:
+                        input_sent[(name, dst)] = N
                         continue
                     e = self.edges[(name, dst)]
                     if e.push(arr[sent]):

@@ -1,0 +1,118 @@
+"""Differential fuzzing: random stencil chains through every engine.
+
+Random DAGs (forks/joins, ternaries, min/max, mixed offsets and BCs, a
+lower-dimensional input and a scalar) evaluated by the numpy oracle, the
+fused-XLA backend, the streaming Pallas kernel (interpret), and the native
+C++ simulator — all must agree.  This is the dialect-wide generalization of
+the reference's fixture-based ProgramTest sweep."""
+import numpy as np
+import pytest
+
+import stencilflow_tpu as sft
+from stencilflow_tpu.backend.stream import run_chain_stream
+from stencilflow_tpu.backend.xla import run_chain
+from stencilflow_tpu.sim.native import NativeSimulator
+
+OPS = ["add", "sub", "mult"]
+BCS = ["constant", "copy"]
+
+
+def _offset_str(iters, offs):
+    parts = []
+    for it, o in zip(iters, offs):
+        parts.append(it if o == 0 else (f"{it}+{o}" if o > 0
+                                        else f"{it}-{-o}"))
+    return "[" + ", ".join(parts) + "]"
+
+
+def make_random_program(rng: np.random.Generator, seed_id: int):
+    ndim = int(rng.integers(2, 4))
+    dims = [int(rng.integers(4, 9)) for _ in range(ndim)]
+    iters = ["i", "j", "k"][3 - ndim:]
+    n_stages = int(rng.integers(2, 6))
+
+    def rand_access(field):
+        offs = [int(rng.integers(-2, 3)) for _ in range(ndim)]
+        return field + _offset_str(iters, offs)
+
+    def rand_expr(avail, depth=0):
+        r = rng.random()
+        if depth > 2 or r < 0.35:
+            choice = rng.random()
+            if choice < 0.6:
+                return rand_access(str(rng.choice(avail)))
+            if choice < 0.75:
+                return f"{rng.uniform(-2, 2):.3f}"
+            if choice < 0.9:
+                return "sc"
+            # lower-dim access arity matches the field rank (dialect rule)
+            return "row" + _offset_str(["k"], [int(rng.integers(-1, 2))])
+        if r < 0.75:
+            op = {"add": "+", "sub": "-", "mult": "*"}[
+                str(rng.choice(OPS))]
+            return (f"({rand_expr(avail, depth + 1)} {op} "
+                    f"{rand_expr(avail, depth + 1)})")
+        if r < 0.85:
+            return (f"min({rand_expr(avail, depth + 1)}, "
+                    f"{rand_expr(avail, depth + 1)})")
+        if r < 0.95:
+            return (f"({rand_expr(avail, depth + 1)} if "
+                    f"{rand_expr(avail, depth + 1)} > 0.0 else "
+                    f"{rand_expr(avail, depth + 1)})")
+        return f"abs({rand_expr(avail, depth + 1)})"
+
+    inputs = {
+        "a": {"data": "random:-1,1", "data_type": "float32"},
+        "row": {"data": "random:-1,1", "data_type": "float32",
+                "input_dims": ["k"]},
+        "sc": {"data": float(rng.uniform(-1, 1)), "data_type": "float32",
+               "input_dims": []},
+    }
+    program = {}
+    avail = ["a"]
+    for s in range(n_stages):
+        name = f"s{s}"
+        expr = rand_expr(avail)
+        # guarantee a structural dependency on the previous stage
+        if s > 0:
+            expr = f"({expr} + {rand_access(avail[-1])})"
+        used = sorted({f for f in ["a", "row"] + avail if f in expr})
+        bcs = {}
+        for f in used:
+            kind = str(rng.choice(BCS))
+            bcs[f] = {"type": kind, "value": float(rng.uniform(-1, 1))}
+        program[name] = {
+            "computation_string": f"{name} = {expr}",
+            "boundary_conditions": bcs,
+            "data_type": "float32",
+        }
+        avail.append(name)
+    return {
+        "inputs": inputs,
+        "outputs": [avail[-1]],
+        "dimensions": dims,
+        "program": program,
+    }
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_program_all_engines(seed):
+    rng = np.random.default_rng(1000 + seed)
+    spec = make_random_program(rng, seed)
+    p = sft.parse_program(spec, name=f"fuzz{seed}")
+    inputs = sft.load_input_arrays(p, seed=seed)
+    out = p.outputs[0]
+    ref = np.asarray(sft.run_interpreter(p, inputs)[out],
+                     dtype=np.float64)
+
+    got_xla = run_chain(p, inputs)[out]
+    np.testing.assert_allclose(got_xla, ref, rtol=2e-5, atol=1e-6,
+                               err_msg="xla backend")
+
+    got_stream = run_chain_stream(p, inputs, interpret=True)[out]
+    np.testing.assert_allclose(got_stream, ref, rtol=2e-5, atol=1e-6,
+                               err_msg="stream backend")
+
+    got_sim = NativeSimulator(p).run(inputs).outputs[out]
+    np.testing.assert_allclose(got_sim, ref, rtol=2e-5, atol=1e-6,
+                               err_msg="native simulator")
