@@ -22,6 +22,7 @@ def _cmd_run(args) -> int:
         res = run_program(
             args.stencil_file, mode=args.mode,
             generate_input=args.generate_input,
+            synthetic_reads=args.synthetic_reads,
             run_simulation=args.run_simulation,
             compare_to_reference=args.compare_to_reference,
             input_directory=args.input_directory,
@@ -84,6 +85,8 @@ def _cmd_report(args) -> int:
     report = Report.build(program, analysis)
     if args.json:
         print(json.dumps(report.as_dict(), indent=2, default=str))
+    elif args.verbose:
+        print(report.full_dump())
     else:
         print(report)
     if args.optimize_ratio is not None:
@@ -217,6 +220,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--generate-input", action="store_true",
                    help="replace file-backed inputs with constant data "
                         "(reference: -generate-input)")
+    p.add_argument("--synthetic-reads", action="store_true",
+                   help="replace ALL inputs with constants for "
+                        "pure-compute benchmarking")
     p.add_argument("--log-level", type=int, default=1, choices=[0, 1, 2, 3])
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=_cmd_run)
@@ -235,6 +241,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--json", action="store_true")
     p.add_argument("--plot", action="store_true",
                    help="write chain/compute graph PNGs")
+    p.add_argument("--verbose", action="store_true",
+                   help="full analysis dump (buffers, accesses, paths)")
     p.add_argument("--optimize-ratio", type=float, default=None,
                    help="also print the fast/slow placement at this ratio")
     p.set_defaults(fn=_cmd_report)

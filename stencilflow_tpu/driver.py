@@ -50,6 +50,7 @@ def run_program(stencil_file, mode: str = "emulation",
                 run_simulation: bool = False,
                 compare_to_reference: bool = False,
                 generate_input: bool = False,
+                synthetic_reads: bool = False,
                 input_directory: Optional[str] = None,
                 skip_execution: bool = False,
                 halo: int = 0,
@@ -68,13 +69,16 @@ def run_program(stencil_file, mode: str = "emulation",
         program = parse_program(stencil_file)
     analysis = ChainAnalysis.run(program)
 
-    if generate_input:
-        # replace file-backed inputs with constant data
-        # (reference: run_program.py:142-148)
+    if generate_input or synthetic_reads:
+        # generate_input: replace file-backed inputs with constant data
+        # (reference: run_program.py:142-148); synthetic_reads: replace ALL
+        # inputs for pure-compute benchmarking (sdfg_generator.py:284-385)
         import dataclasses as _dc
         for name, spec in program.inputs.items():
-            if isinstance(spec.data, str) and not spec.data.startswith(
-                    ("constant:", "random:")):
+            file_backed = (isinstance(spec.data, str) and
+                           not spec.data.startswith(("constant:",
+                                                     "random:")))
+            if synthetic_reads or file_backed:
                 program.inputs[name] = _dc.replace(spec,
                                                    data="constant:1.0")
     inputs = load_input_arrays(program, prefix=input_directory, seed=seed)
@@ -95,7 +99,17 @@ def run_program(stencil_file, mode: str = "emulation",
             result.outputs = sim_outputs
             result.backend = "simulator"
     else:
+        import jax
         import jax.numpy as jnp
+        # persistent compile cache — the analogue of the reference's
+        # -use-cached-sdfg / .dacecache reuse (run_program.py:69-88)
+        if os.environ.get("SFT_COMPILE_CACHE", "1") != "0":
+            try:
+                jax.config.update("jax_compilation_cache_dir",
+                                  os.path.join(os.path.expanduser("~"),
+                                               ".cache", "stencilflow_tpu"))
+            except Exception:
+                pass
         interpret = mode == "emulation"
         from .backend import compile_chain, compile_chain_best
         if backend == "auto":

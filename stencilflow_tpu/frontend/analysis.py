@@ -333,25 +333,6 @@ class ChainAnalysis:
     def fast_memory_bytes(self) -> int:
         return sum(e.total_bytes() for e in self.edges.values())
 
-    def kernel_fire_pace(self) -> Dict[str, int]:
-        """Model start cycle of each kernel's element 0 (the reference's
-        warmup/alignment schedule): a kernel may not fire element ``t``
-        before ``pace + t``.  The simulator paces producers to this
-        schedule, which is exactly the assumption under which the per-edge
-        delay sizing is valid."""
-        dims = self.program.dimensions
-        pace: Dict[str, int] = {}
-        for kname in self.graph.kernel_order:
-            max_access = _lex_max([
-                _lex_max([tuple(0 if o is None else o for o in a)
-                          for a in info.accesses])
-                for info in self.kernel_accesses[kname].values()
-            ])
-            vec = _vec_add(self.arrival[kname], max_access)
-            pace[kname] = max(0, flatten_index(vec, dims))
-        return pace
-
-    # -- TPU-facing quantities -------------------------------------------------
     def stage_halo(self) -> Dict[str, Vec3]:
         """Cumulative halo each kernel's *output tile* must carry so that a
         fused evaluation of the whole chain over one tile produces an exact

@@ -18,6 +18,9 @@ shallow ones HBM-bound.
 from __future__ import annotations
 
 import dataclasses
+
+import numpy as np
+
 from typing import Dict, Optional, Tuple
 
 from . import config
@@ -109,6 +112,31 @@ class Report:
             "bound_by": self.bound(),
             "roofline_gcell_s": self.roofline_gcell_s(),
         }
+
+    def full_dump(self) -> str:
+        """Complete analysis dump (the reference's KernelChainGraph.report,
+        kernel_chain_graph.py:603-719): per-kernel accesses, latencies, and
+        per-edge delay/line-buffer sizes."""
+        a = self.analysis
+        lines = [str(self), "", "kernels:"]
+        for kname in a.graph.kernel_order:
+            lines.append(f"  {kname}: latency={a.kernel_latencies[kname]} "
+                         f"cycles")
+            for field, info in a.kernel_accesses[kname].items():
+                lines.append(
+                    f"    reads {field}: accesses={info.accesses} "
+                    f"extent={info.buffer_extent} "
+                    f"line-buffer={info.buffer_size} elems")
+        lines.append("edges (delay + line buffers):")
+        for (src, dst), eb in a.edges.items():
+            lines.append(
+                f"  {src} -> {dst}: delay={eb.delay_size} "
+                f"internal={eb.internal_size} "
+                f"({eb.total_bytes()} B {np.dtype(eb.dtype).name})")
+        lines.append(f"critical path: {a.critical_path_cycles} cycles")
+        halos = a.input_halo()
+        lines.append(f"fused-tile input halos: {halos}")
+        return "\n".join(lines)
 
     def __str__(self) -> str:
         d = self.as_dict()
