@@ -1,0 +1,237 @@
+"""Linear-stencil extraction and banded-matmul (MXU) lowering.
+
+A stage whose expression is an affine combination of field accesses,
+
+    out[x] = bias + sum_f sum_o  c_{f,o} * f[x + o],
+
+can be computed per (j, k)-plane on the MXU instead of the VPU: group the
+coefficients by i-offset into small (2rj+1)x(2rk+1) matrices ``C``, factor
+each as ``C = sum_m u_m v_m^T`` (SVD of a tiny matrix, at compile time), and
+apply each rank term as a pair of *banded* matmuls
+
+    term_m = L(u_m) @ P @ R(v_m),   L[j, j+oj] = u_m[oj], R[k+ok, k] = v_m[ok]
+
+— O(J^2 K + J K^2) MXU flops replacing O(|footprint| * J * K) VPU ops, a
+large win for wide footprints (box/Gaussian stencils), with band truncation
+at the matrix edges implementing zero boundaries exactly and a static
+correction plane lifting them to arbitrary constant-BC values.
+
+This is compile-time analysis (numpy); the streaming kernel consumes the
+resulting plan (stream.py).  Fields with copy BCs fall back to the generic
+VPU path; shrink-BC halo cells are computed as constant-0 (their junk cells
+are pruned by -halo verification anyway, README.md:50-56).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import ir
+
+Offset2 = Tuple[int, int]
+
+
+class NotLinear(Exception):
+    pass
+
+
+def _combine(a: Dict, b: Dict, sign: float) -> Dict:
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = out.get(k, 0.0) + sign * v
+    return out
+
+
+def _scale(a: Dict, s: float) -> Dict:
+    return {k: v * s for k, v in a.items()}
+
+
+def _linear_expr(expr: ir.Expr, env: Dict[str, Dict]) -> Dict:
+    """Coefficient map {('const',): bias, (field, offsets): coeff}."""
+    if isinstance(expr, ir.Const):
+        return {("const",): float(expr.value)}
+    if isinstance(expr, ir.Ref):
+        if expr.name not in env:
+            raise NotLinear("unknown temporary")
+        return env[expr.name]
+    if isinstance(expr, ir.Access):
+        return {(expr.field, expr.offsets): 1.0}
+    if isinstance(expr, ir.UnaryOp):
+        return _scale(_linear_expr(expr.operand, env), -1.0)
+    if isinstance(expr, ir.BinOp):
+        if expr.op == "add":
+            return _combine(_linear_expr(expr.left, env),
+                            _linear_expr(expr.right, env), 1.0)
+        if expr.op == "sub":
+            return _combine(_linear_expr(expr.left, env),
+                            _linear_expr(expr.right, env), -1.0)
+        if expr.op in ("mult", "div"):
+            left = _linear_expr(expr.left, env)
+            right = _linear_expr(expr.right, env)
+            lconst = set(left) <= {("const",)}
+            rconst = set(right) <= {("const",)}
+            if expr.op == "mult":
+                if lconst:
+                    return _scale(right, left.get(("const",), 0.0))
+                if rconst:
+                    return _scale(left, right.get(("const",), 0.0))
+                raise NotLinear("product of two field terms")
+            if rconst:
+                d = right.get(("const",), 0.0)
+                if d == 0.0:
+                    raise NotLinear("division by zero constant")
+                return _scale(left, 1.0 / d)
+            raise NotLinear("division by a field term")
+    raise NotLinear(f"non-affine node {type(expr).__name__}")
+
+
+@dataclasses.dataclass
+class BandTerm:
+    """One rank term of one i-offset group: L @ P @ R (either side may be
+    identity, signaled by a None matrix key)."""
+    left_key: Optional[str]     # key into the shared matrix pool (J x J)
+    right_key: Optional[str]    # (K x K)
+    scale: float                # scalar factor (used when both sides None)
+
+
+@dataclasses.dataclass
+class PlaneGroup:
+    """All contributions of one field at one i-offset."""
+    field: str
+    oi: Optional[int]
+    terms: List[BandTerm]
+    weight_sum: float            # sum of coefficients (i-OOB constant value)
+    bc_value: float              # constant BC value (JUNK for shrink)
+    correction_key: Optional[str]  # static j/k constant-BC correction plane
+
+
+@dataclasses.dataclass
+class LinearStagePlan:
+    groups: List[PlaneGroup]
+    bias: float
+    footprint: int                  # total weighted accesses (for gating)
+
+
+def extract_linear(kspec: ir.KernelSpec) -> Optional[Dict]:
+    """Affine coefficient map of a kernel, or None if not affine."""
+    env: Dict[str, Dict] = {}
+    try:
+        for stmt in kspec.statements:
+            env[stmt.lhs] = _linear_expr(stmt.rhs, env)
+    except NotLinear:
+        return None
+    return env[kspec.output_statement.lhs]
+
+
+class MatrixPool:
+    """Deduplicated static matrices/planes shipped to the kernel as inputs."""
+
+    def __init__(self):
+        self.items: Dict[str, np.ndarray] = {}
+
+    def add(self, arr: np.ndarray, prefix: str) -> str:
+        key = f"{prefix}_{hash(arr.tobytes()) & 0xffffffff:08x}_" \
+              f"{'x'.join(map(str, arr.shape))}"
+        self.items.setdefault(key, arr)
+        return key
+
+
+def _band_matrix(n: int, offsets: List[int], weights: List[float]
+                 ) -> np.ndarray:
+    """Banded matrix M with M[p, p+o] = w_o (truncated at the edges —
+    exactly the zero-boundary contribution)."""
+    m = np.zeros((n, n), np.float32)
+    for o, wt in zip(offsets, weights):
+        idx = np.arange(max(0, -o), min(n, n - o))
+        m[idx, idx + o] = wt
+    return m
+
+
+def plan_linear_stage(kspec: ir.KernelSpec,
+                      plane: Tuple[int, int],
+                      dims: Tuple[int, int, int],
+                      pool: MatrixPool,
+                      min_footprint: int = 9,
+                      max_rank: int = 2) -> Optional[LinearStagePlan]:
+    """Build the MXU plan for one stage, or None if ineligible.
+
+    Eligibility: affine expression; every accessed array field has a
+    constant or shrink BC; footprint at least ``min_footprint``; every
+    i-offset group factors with rank <= ``max_rank``.
+    """
+    coeffs = extract_linear(kspec)
+    if coeffs is None:
+        return None
+    bias = 0.0
+    by_field_oi: Dict[Tuple[str, Optional[int]], Dict[Offset2, float]] = {}
+    for key, c in coeffs.items():
+        if key == ("const",):
+            bias += c
+            continue
+        field, offsets = key
+        bc = kspec.boundary_conditions.get(field)
+        if bc is not None and bc.kind == ir.BCKind.COPY:
+            return None    # copy BC: generic path
+        oi, oj, ok = offsets
+        by_field_oi.setdefault((field, oi), {})[(oj or 0, ok or 0)] = \
+            by_field_oi.get((field, oi), {}).get((oj or 0, ok or 0),
+                                                 0.0) + c
+    footprint = sum(len(v) for v in by_field_oi.values())
+    if footprint < min_footprint:
+        return None
+
+    pj, pk = plane
+    J, K = dims[1], dims[2]
+    groups: List[PlaneGroup] = []
+    for (field, oi), cmap in by_field_oi.items():
+        ojs = sorted({o[0] for o in cmap})
+        oks = sorted({o[1] for o in cmap})
+        C = np.zeros((len(ojs), len(oks)), np.float64)
+        for (oj, ok), c in cmap.items():
+            C[ojs.index(oj), oks.index(ok)] = c
+        terms: List[BandTerm] = []
+        if C.shape == (1, 1) and ojs == [0] and oks == [0]:
+            terms.append(BandTerm(None, None, float(C[0, 0])))
+        elif len(ojs) == 1 and ojs == [0]:
+            r = _band_matrix(pk, oks, list(C[0]))
+            terms.append(BandTerm(None, pool.add(r.T.copy(), "R"), 1.0))
+        elif len(oks) == 1 and oks == [0]:
+            lmat = _band_matrix(pj, ojs, list(C[:, 0]))
+            terms.append(BandTerm(pool.add(lmat, "L"), None, 1.0))
+        else:
+            u, s, vt = np.linalg.svd(C)
+            rank = int((s > 1e-10 * max(1.0, s[0])).sum())
+            if rank > max_rank:
+                return None
+            for m in range(rank):
+                uw = u[:, m] * s[m]
+                vw = vt[m]
+                lmat = _band_matrix(pj, ojs, list(uw))
+                rmat = _band_matrix(pk, oks, list(vw))
+                terms.append(BandTerm(pool.add(lmat, "L"),
+                                      pool.add(rmat.T.copy(), "R"), 1.0))
+        wsum = float(sum(cmap.values()))
+
+        # constant-BC correction: j/k-OOB cells contribute bc.value, not 0
+        # (per group, so i-OOB replacement composes correctly)
+        from ..config import JUNK_VAL
+        bc = kspec.boundary_conditions.get(field)
+        if bc is not None and bc.kind == ir.BCKind.SHRINK:
+            bval = JUNK_VAL   # only affects halo cells (pruned)
+        else:
+            bval = float(bc.value) if bc is not None else 0.0
+        corr_key = None
+        if bval != 0.0:
+            jj = np.arange(pj)[:, None]
+            kk = np.arange(pk)[None, :]
+            correction = np.zeros((pj, pk), np.float32)
+            for (oj, ok), c in cmap.items():
+                oob = ((jj + oj < 0) | (jj + oj >= J) |
+                       (kk + ok < 0) | (kk + ok >= K))
+                correction += np.float32(bval * c) * oob
+            corr_key = pool.add(correction, "corr")
+        groups.append(PlaneGroup(field, oi, terms, wsum, bval, corr_key))
+
+    return LinearStagePlan(groups=groups, bias=bias, footprint=footprint)

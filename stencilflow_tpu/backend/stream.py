@@ -108,20 +108,25 @@ class StreamPlan:
 
 def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         plan: StreamPlan, input_names, input_kinds,
-                        local_i, sharded, *refs):
+                        local_i, sharded, mxu_plans, pool_keys, *refs):
     """One grid step: ingest one input plane, advance every stage one plane,
     emit one output plane.  With ``sharded`` the first ref is a (1, 3) SMEM
-    block of global origin coordinates for this device's block."""
+    block of global origin coordinates for this device's block.  MXU-lowered
+    stages (mxu_plans) read their banded matrices / correction planes from
+    the ``pool_keys``-ordered refs that follow the inputs."""
     if sharded:
         origin_ref, *refs = refs
         origin = (origin_ref[0, 0], origin_ref[0, 1], origin_ref[0, 2])
     else:
         origin = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     n_in = len(input_names)
+    n_pool = len(pool_keys)
     n_out = len(program.outputs)
     in_refs = refs[:n_in]
-    out_refs = refs[n_in:n_in + n_out]
-    rings = dict(zip([f for f in plan.ring], refs[n_in + n_out:]))
+    pool = {k: refs[n_in + i] for i, k in enumerate(pool_keys)}
+    out_refs = refs[n_in + n_pool:n_in + n_pool + n_out]
+    rings = dict(zip([f for f in plan.ring],
+                     refs[n_in + n_pool + n_out:]))
 
     g = pl.program_id(0)
     dims = program.dimensions
@@ -197,10 +202,69 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
 
         return read
 
+    def fetch_plane(field, oi, q):
+        """Raw (un-BC'd) plane of ``field`` at i-offset ``oi`` (None for
+        non-streamed fields); returns (plane_or_scalar, i_oob_or_None)."""
+        if field in scalar_cache:
+            return scalar_cache[field], None
+        if field in plane_cache:
+            spec = program.inputs[field]
+            pjj = plan.plane[0] if spec.dim_mask[1] else 1
+            pkk = plan.plane[1] if spec.dim_mask[2] else 1
+            pln = plane_cache[field].reshape(pjj, pkk)
+            return jnp.broadcast_to(pln, plan.plane), None
+        W = plan.ring[field]
+        Wc = jnp.int32(W)
+        target = q + jnp.int32(oi or 0)
+        slot = jax.lax.rem(jax.lax.rem(target, Wc) + Wc, Wc)
+        gtarget = origin[0] + target
+        i_oob = (gtarget < 0) | (gtarget >= Ig)
+        return rings[field][slot], i_oob
+
+    def mxu_eval(mplan, q):
+        """Banded-matmul plane update (backend/linear.py)."""
+        acc = None
+        for grp in mplan.groups:
+            base, i_oob = fetch_plane(grp.field, grp.oi, q)
+            parts = None
+            for term in grp.terms:
+                if term.left_key is None and term.right_key is None:
+                    val = base * jnp.float32(term.scale)
+                    if not hasattr(val, "shape") or val.shape != plan.plane:
+                        val = jnp.broadcast_to(val, plan.plane)
+                else:
+                    val = base
+                    if not hasattr(val, "shape") or \
+                            val.shape != plan.plane:
+                        val = jnp.broadcast_to(val, plan.plane)
+                    # HIGHEST: full-f32 MXU passes (default truncates the
+                    # operands to bf16 — 1e-2-level error on deep chains)
+                    if term.left_key is not None:
+                        val = jnp.dot(pool[term.left_key][...], val,
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
+                    if term.right_key is not None:
+                        val = jnp.dot(val, pool[term.right_key][...],
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
+                parts = val if parts is None else parts + val
+            if grp.correction_key is not None:
+                parts = parts + pool[grp.correction_key][...]
+            if i_oob is not None:
+                alt = jnp.float32(grp.bc_value * grp.weight_sum)
+                parts = jnp.where(i_oob, alt, parts)
+            acc = parts if acc is None else acc + parts
+        if mplan.bias:
+            acc = acc + jnp.float32(mplan.bias)
+        return acc
+
     for kname in analysis.graph.kernel_order:
         kspec = program.kernels[kname]
         q = g - jnp.int32(plan.lag[kname])
-        result = eval_kernel_statements(kspec, make_read(kname, q))
+        if kname in mxu_plans:
+            result = mxu_eval(mxu_plans[kname], q)
+        else:
+            result = eval_kernel_statements(kspec, make_read(kname, q))
         result = jnp.asarray(result)
         if result.shape != plan.plane:
             result = jnp.broadcast_to(result, plan.plane)
@@ -225,11 +289,16 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
 def compile_chain_stream(program: ir.Program,
                          analysis: Optional[ChainAnalysis] = None,
                          interpret: bool = False,
-                         vmem_budget: int = 96 * 2**20):
+                         vmem_budget: int = 96 * 2**20,
+                         mxu: str = "auto",
+                         mxu_min_footprint: int = 12):
     """Build a jitted ``fn(inputs) -> outputs`` around the streaming kernel.
 
-    Raises ValueError when the program shape doesn't fit this lowering
-    (callers fall back to the overlapped-tile backend).
+    ``mxu``: "auto" lowers wide affine stages (footprint >=
+    ``mxu_min_footprint``) to banded matmuls on the MXU (backend/linear.py);
+    "off" keeps everything on the VPU.  Raises ValueError when the program
+    shape doesn't fit this lowering (callers fall back to the
+    overlapped-tile backend).
     """
     analysis = analysis or ChainAnalysis.run(program)
     plan = StreamPlan.build(analysis)
@@ -237,6 +306,28 @@ def compile_chain_stream(program: ir.Program,
     I, J, K = dims
     hj, hk = plan.halo_jk
     pj, pk = plan.plane
+
+    mxu_plans = {}
+    pool_keys: list = []
+    pool_arrays: list = []
+    if mxu != "off":
+        from .linear import MatrixPool, plan_linear_stage
+        pool = MatrixPool()
+        for kname, kspec in program.kernels.items():
+            mp = plan_linear_stage(kspec, (pj, pk), dims, pool,
+                                   min_footprint=mxu_min_footprint)
+            if mp is not None:
+                mxu_plans[kname] = mp
+        # only keep matrices actually referenced
+        used = set()
+        for mp in mxu_plans.values():
+            for grp in mp.groups:
+                if grp.correction_key:
+                    used.add(grp.correction_key)
+                for t in grp.terms:
+                    used.update(k for k in (t.left_key, t.right_key) if k)
+        pool_keys = sorted(used)
+        pool_arrays = [pool.items[k] for k in pool_keys]
 
     if plan.vmem_bytes(program) > vmem_budget * 0.7:
         raise ValueError(
@@ -252,7 +343,7 @@ def compile_chain_stream(program: ir.Program,
             input_kinds.append("scalar")
             in_specs.append(pl.BlockSpec((1, 1), lambda g: (0, 0),
                                          memory_space=pltpu.SMEM))
-        elif spec.dim_mask[0]:
+        elif spec.dim_mask[0]:  # noqa: SIM114
             if not (spec.dim_mask[1] and spec.dim_mask[2]):
                 raise ValueError(
                     f"input {name} spans i but not all of (j, k); "
@@ -286,8 +377,15 @@ def compile_chain_stream(program: ir.Program,
         for f in plan.ring
     ]
 
+    # static matrices / correction planes for MXU-lowered stages
+    for key, arr in zip(pool_keys, pool_arrays):
+        in_specs.append(pl.BlockSpec(
+            arr.shape, lambda g, n=arr.ndim: (0,) * n,
+            memory_space=pltpu.VMEM))
+
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
-                               input_names, input_kinds, I, False)
+                               input_names, input_kinds, I, False,
+                               mxu_plans, tuple(pool_keys))
 
     call = pl.pallas_call(
         kernel,
@@ -318,6 +416,8 @@ def compile_chain_stream(program: ir.Program,
             pads = [(0, 0) if d == 0 else ((hj, hj) if d == 1 else (hk, hk))
                     for d in spanned]
             args.append(jnp.pad(arr, pads))
+        for arr in pool_arrays:
+            args.append(jnp.asarray(arr))
         res = call(*args)
         if len(program.outputs) == 1:
             res = (res,)
@@ -394,7 +494,7 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
     ]
 
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
-                               input_names, input_kinds, Bi, True)
+                               input_names, input_kinds, Bi, True, {}, ())
 
     call = pl.pallas_call(
         kernel,

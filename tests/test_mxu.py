@@ -1,0 +1,111 @@
+"""MXU banded-matmul lowering tests (backend/linear.py + stream.py).
+
+Wide affine stages lower to L @ P @ R banded matmuls; results must match
+the oracle bit-for-nearly-bit (f32 matmul accumulation differs only in
+rounding association)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import stencilflow_tpu as sft
+from stencilflow_tpu.backend.linear import (MatrixPool, extract_linear,
+                                            plan_linear_stage)
+from stencilflow_tpu.backend.stream import compile_chain_stream
+from stencilflow_tpu.synthesize import synthesize_stencil
+
+
+def _run(program, inputs, mxu="auto"):
+    fn = compile_chain_stream(program, interpret=True, mxu=mxu)
+    out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+class TestExtraction:
+    def test_affine_chain_with_temporaries(self):
+        from stencilflow_tpu.frontend.parser import parse_computation
+        stmts = parse_computation(
+            "k", "t = 2.0 * a[i,j,k] + 1.0; k = t - 0.5 * a[i,j+1,k]",
+            {"a": (True, True, True)}, {}, {})
+        spec = sft.KernelSpec("k", stmts, np.dtype(np.float32), {})
+        coeffs = extract_linear(spec)
+        assert coeffs[("a", (0, 0, 0))] == 2.0
+        assert coeffs[("a", (0, 1, 0))] == -0.5
+        assert coeffs[("const",)] == 1.0
+
+    def test_nonlinear_returns_none(self):
+        from stencilflow_tpu.frontend.parser import parse_computation
+        stmts = parse_computation(
+            "k", "k = a[i,j,k] * a[i,j,k+1]", {"a": (True, True, True)},
+            {}, {})
+        spec = sft.KernelSpec("k", stmts, np.dtype(np.float32), {})
+        assert extract_linear(spec) is None
+
+    def test_plan_rank_and_groups(self):
+        spec = synthesize_stencil(num_stages=1, dimensions=(8, 12, 16),
+                                  shape="box", extent=1)
+        p = sft.parse_program(spec, name="b")
+        pool = MatrixPool()
+        mp = plan_linear_stage(list(p.kernels.values())[0], (12, 16),
+                               p.dimensions, pool, min_footprint=9)
+        assert mp is not None
+        assert mp.footprint == 27
+        assert len(mp.groups) == 3          # i-offsets -1, 0, +1
+        # box is rank 1: a single L/R pair per group
+        assert all(len(g.terms) == 1 for g in mp.groups)
+
+
+class TestMXUvsOracle:
+    @pytest.mark.parametrize("extent,bval", [(1, 0.0), (2, 0.7)])
+    def test_box_chain(self, extent, bval):
+        spec = synthesize_stencil(
+            num_stages=2, dimensions=(10, 12, 16), shape="box",
+            extent=extent, boundary="constant", boundary_value=bval)
+        p = sft.parse_program(spec, name=f"box{extent}")
+        inputs = sft.load_input_arrays(p, seed=extent)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s1"])
+        got = _run(p, inputs)["s1"]
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+
+    def test_cross_wide_is_rank2(self):
+        spec = synthesize_stencil(num_stages=2, dimensions=(12, 16),
+                                  shape="cross", extent=3)
+        p = sft.parse_program(spec, name="crossw")
+        pool = MatrixPool()
+        mp = plan_linear_stage(list(p.kernels.values())[0], (12, 16),
+                               p.dimensions, pool, min_footprint=9)
+        assert mp is not None and len(mp.groups) == 1
+        assert len(mp.groups[0].terms) == 2     # cross = rank 2
+        inputs = sft.load_input_arrays(p, seed=5)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s1"])
+        got = _run(p, inputs)["s1"]
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+
+    def test_shrink_box_matches_after_prune(self):
+        spec = synthesize_stencil(num_stages=2, dimensions=(12, 14, 16),
+                                  shape="box", extent=1, boundary="shrink")
+        p = sft.parse_program(spec, name="boxshrink")
+        inputs = sft.load_input_arrays(p, seed=6)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s1"])
+        got = _run(p, inputs)["s1"]
+        h = 2
+        core = (slice(h, -h),) * 3
+        np.testing.assert_allclose(got[core], ref[core], rtol=3e-5,
+                                   atol=1e-6)
+
+    def test_mxu_off_matches_on(self):
+        spec = synthesize_stencil(num_stages=1, dimensions=(8, 12, 16),
+                                  shape="box", extent=1)
+        p = sft.parse_program(spec, name="onoff")
+        inputs = sft.load_input_arrays(p, seed=7)
+        on = _run(p, inputs, mxu="auto")["s0"]
+        off = _run(p, inputs, mxu="off")["s0"]
+        np.testing.assert_allclose(on, off, rtol=3e-5, atol=1e-6)
+
+    def test_narrow_stencil_stays_on_vpu(self):
+        from stencilflow_tpu.synthesize import jacobi
+        p = sft.parse_program(jacobi(3, 8, iterations=1), name="nar")
+        pool = MatrixPool()
+        mp = plan_linear_stage(list(p.kernels.values())[0], (8, 8),
+                               p.dimensions, pool, min_footprint=12)
+        assert mp is None   # 6-point cross: below the MXU threshold
