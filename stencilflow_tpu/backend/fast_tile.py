@@ -22,7 +22,7 @@ masked evaluator afterwards (see pallas.py `_shell_fixup`).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from jax import lax

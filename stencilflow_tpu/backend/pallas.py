@@ -24,7 +24,6 @@ budget (config.TPU_VMEM_BYTES * VMEM_PLANNER_FRACTION).
 from __future__ import annotations
 
 import functools
-import math
 from typing import Any, Dict, Optional, Tuple
 
 import jax

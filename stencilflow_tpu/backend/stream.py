@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,6 @@ from .. import ir
 from ..config import JUNK_VAL
 from ..frontend.analysis import ChainAnalysis
 from .tile_eval import eval_kernel_statements, read_access_tile
-from .xla import chain_halo
 
 Vec3 = Tuple[int, int, int]
 

@@ -27,7 +27,6 @@ from .data import (arrays_are_equal, load_input_arrays, prune_halo,
 from .frontend.analysis import ChainAnalysis
 from .frontend.parser import parse_program
 from .interpreter import run_interpreter
-from .report import Report
 
 
 class VerificationError(RuntimeError):

@@ -21,8 +21,7 @@ dead-code cleanup.  The same roles here operate on the typed IR:
 from __future__ import annotations
 
 import copy
-import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -27,9 +27,7 @@ from __future__ import annotations
 import ast
 import json
 import os
-from typing import Any, Dict, List, Optional, Sequence, Tuple
-
-import numpy as np
+from typing import Dict, List, Optional, Tuple
 
 from .. import ir
 from ..config import ITERATORS

@@ -21,7 +21,7 @@ import dataclasses
 
 import numpy as np
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 from . import config
 from .frontend.analysis import ChainAnalysis

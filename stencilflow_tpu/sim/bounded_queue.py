@@ -10,7 +10,7 @@ when a buffer is spilled to slow memory.
 from __future__ import annotations
 
 from collections import deque
-from typing import Any, List, Optional, Sequence
+from typing import Any, List, Sequence
 
 
 class QueueOverflow(RuntimeError):

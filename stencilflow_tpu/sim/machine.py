@@ -23,7 +23,6 @@ import numpy as np
 from .. import ir
 from ..config import JUNK_VAL
 from ..frontend.analysis import ChainAnalysis, flatten_index
-from ..frontend.chain import ChainGraph
 
 
 class SimulationError(RuntimeError):

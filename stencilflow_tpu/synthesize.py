@@ -12,7 +12,7 @@ for scaling studies.
 from __future__ import annotations
 
 import itertools
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 SHAPES = ("cross", "box", "diffusion", "hotspot")
 

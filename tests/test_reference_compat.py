@@ -61,7 +61,7 @@ def test_reference_program(path):
         assert arrays_are_equal(exp, got), f"XLA mismatch on {o}"
 
     # simulator cross-check for small domains (cycle loop cost)
-    if program.total_elements <= 20000:
+    if program.total_elements <= 40000:
         from stencilflow_tpu.sim import simulate
         res = simulate(program, inputs, analysis=analysis)
         for o in program.outputs:
