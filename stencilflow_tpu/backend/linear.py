@@ -191,27 +191,37 @@ def plan_linear_stage(kspec: ir.KernelSpec,
         C = np.zeros((len(ojs), len(oks)), np.float64)
         for (oj, ok), c in cmap.items():
             C[ojs.index(oj), oks.index(ok)] = c
+        def _normalize(w):
+            """Scale a weight vector so its largest-|.| entry is 1 —
+            identical *patterns* then share one pooled matrix (and one
+            cached transformed plane) across i-offset groups and stages."""
+            a = w[int(np.argmax(np.abs(w)))]
+            return (w / a, float(a)) if a != 0 else (w, 1.0)
+
         terms: List[BandTerm] = []
         if C.shape == (1, 1) and ojs == [0] and oks == [0]:
             terms.append(BandTerm(None, None, float(C[0, 0])))
         elif len(ojs) == 1 and ojs == [0]:
-            r = _band_matrix(pk, oks, list(C[0]))
-            terms.append(BandTerm(None, pool.add(r.T.copy(), "R"), 1.0))
+            nv, b = _normalize(C[0])
+            r = _band_matrix(pk, oks, list(nv))
+            terms.append(BandTerm(None, pool.add(r.T.copy(), "R"), b))
         elif len(oks) == 1 and oks == [0]:
-            lmat = _band_matrix(pj, ojs, list(C[:, 0]))
-            terms.append(BandTerm(pool.add(lmat, "L"), None, 1.0))
+            nu, a = _normalize(C[:, 0])
+            lmat = _band_matrix(pj, ojs, list(nu))
+            terms.append(BandTerm(pool.add(lmat, "L"), None, a))
         else:
-            u, s, vt = np.linalg.svd(C)
-            rank = int((s > 1e-10 * max(1.0, s[0])).sum())
+            u, sv, vt = np.linalg.svd(C)
+            rank = int((sv > 1e-10 * max(1.0, sv[0])).sum())
             if rank > max_rank:
                 return None
             for m in range(rank):
-                uw = u[:, m] * s[m]
-                vw = vt[m]
-                lmat = _band_matrix(pj, ojs, list(uw))
-                rmat = _band_matrix(pk, oks, list(vw))
+                nu, a = _normalize(u[:, m])
+                nv, b = _normalize(vt[m])
+                lmat = _band_matrix(pj, ojs, list(nu))
+                rmat = _band_matrix(pk, oks, list(nv))
                 terms.append(BandTerm(pool.add(lmat, "L"),
-                                      pool.add(rmat.T.copy(), "R"), 1.0))
+                                      pool.add(rmat.T.copy(), "R"),
+                                      float(sv[m] * a * b)))
         wsum = float(sum(cmap.values()))
 
         # constant-BC correction: j/k-OOB cells contribute bc.value, not 0

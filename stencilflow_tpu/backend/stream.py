@@ -107,7 +107,8 @@ class StreamPlan:
 
 def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         plan: StreamPlan, input_names, input_kinds,
-                        local_i, sharded, mxu_plans, pool_keys, *refs):
+                        local_i, sharded, mxu_plans, pool_keys,
+                        transform_keys, *refs):
     """One grid step: ingest one input plane, advance every stage one plane,
     emit one output plane.  With ``sharded`` the first ref is a (1, 3) SMEM
     block of global origin coordinates for this device's block.  MXU-lowered
@@ -124,8 +125,34 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     in_refs = refs[:n_in]
     pool = {k: refs[n_in + i] for i, k in enumerate(pool_keys)}
     out_refs = refs[n_in + n_pool:n_in + n_pool + n_out]
+    n_rings = len(plan.ring)
+    base_idx = n_in + n_pool + n_out
     rings = dict(zip([f for f in plan.ring],
-                     refs[n_in + n_pool + n_out:]))
+                     refs[base_idx:base_idx + n_rings]))
+    transform_rings = dict(zip(transform_keys,
+                               refs[base_idx + n_rings:]))
+
+    def apply_transform(val, lkey, rkey):
+        """L @ val @ R with full-f32 MXU passes (the default truncates
+        operands to bf16 — 1e-2-level error on deep chains)."""
+        if not hasattr(val, "shape") or val.shape != plan.plane:
+            val = jnp.broadcast_to(val, plan.plane)
+        if lkey is not None:
+            val = jnp.dot(pool[lkey][...], val,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        if rkey is not None:
+            val = jnp.dot(val, pool[rkey][...],
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        return val
+
+    def write_transforms(field, slot, plane_f32):
+        for tkey in transform_keys:
+            if tkey[0] != field:
+                continue
+            t = apply_transform(plane_f32, tkey[1], tkey[2])
+            transform_rings[tkey][pl.ds(slot, 1)] = t[None]
 
     g = pl.program_id(0)
     dims = program.dimensions
@@ -147,6 +174,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             def _(name=name, ref=ref):
                 slot = jax.lax.rem(g, jnp.int32(plan.ring[name]))
                 rings[name][pl.ds(slot, 1)] = ref[...]
+                write_transforms(name, slot, ref[...][0])
         else:  # "static": does not span i; same widened plane every step
             plane_cache[name] = ref[...]
 
@@ -220,32 +248,48 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         i_oob = (gtarget < 0) | (gtarget >= Ig)
         return rings[field][slot], i_oob
 
+    # transformed-plane cache for non-streamed (broadcast) fields
+    static_transform_cache: Dict[Any, Any] = {}
+
+    def transformed_plane(field, oi, q, lkey, rkey):
+        """Plane of ``field`` at i-offset ``oi`` with (L, R) applied —
+        from the derived transform ring when available (computed once per
+        plane instead of once per consuming group)."""
+        tkey = (field, lkey, rkey)
+        if field in scalar_cache or field in plane_cache:
+            if tkey not in static_transform_cache:
+                base, _ = fetch_plane(field, None, q)
+                static_transform_cache[tkey] = \
+                    apply_transform(base, lkey, rkey)
+            return static_transform_cache[tkey], None
+        if tkey in transform_rings:
+            W = plan.ring[field]
+            Wc = jnp.int32(W)
+            target = q + jnp.int32(oi or 0)
+            slot = jax.lax.rem(jax.lax.rem(target, Wc) + Wc, Wc)
+            gtarget = origin[0] + target
+            i_oob = (gtarget < 0) | (gtarget >= Ig)
+            return transform_rings[tkey][slot], i_oob
+        base, i_oob = fetch_plane(field, oi, q)
+        return apply_transform(base, lkey, rkey), i_oob
+
     def mxu_eval(mplan, q):
         """Banded-matmul plane update (backend/linear.py)."""
         acc = None
         for grp in mplan.groups:
-            base, i_oob = fetch_plane(grp.field, grp.oi, q)
             parts = None
+            i_oob = None
             for term in grp.terms:
                 if term.left_key is None and term.right_key is None:
+                    base, i_oob = fetch_plane(grp.field, grp.oi, q)
                     val = base * jnp.float32(term.scale)
                     if not hasattr(val, "shape") or val.shape != plan.plane:
                         val = jnp.broadcast_to(val, plan.plane)
                 else:
-                    val = base
-                    if not hasattr(val, "shape") or \
-                            val.shape != plan.plane:
-                        val = jnp.broadcast_to(val, plan.plane)
-                    # HIGHEST: full-f32 MXU passes (default truncates the
-                    # operands to bf16 — 1e-2-level error on deep chains)
-                    if term.left_key is not None:
-                        val = jnp.dot(pool[term.left_key][...], val,
-                                      preferred_element_type=jnp.float32,
-                                      precision=jax.lax.Precision.HIGHEST)
-                    if term.right_key is not None:
-                        val = jnp.dot(val, pool[term.right_key][...],
-                                      preferred_element_type=jnp.float32,
-                                      precision=jax.lax.Precision.HIGHEST)
+                    val, i_oob = transformed_plane(
+                        grp.field, grp.oi, q, term.left_key, term.right_key)
+                    if term.scale != 1.0:
+                        val = val * jnp.float32(term.scale)
                 parts = val if parts is None else parts + val
             if grp.correction_key is not None:
                 parts = parts + pool[grp.correction_key][...]
@@ -274,6 +318,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         def _(kname=kname, result=result, q=q):
             slot = jax.lax.rem(q, jnp.int32(plan.ring[kname]))
             rings[kname][pl.ds(slot, 1)] = result[None]
+            write_transforms(kname, slot, result)
 
     # 3. emit: write output plane g - lag_max (clamped during warmup; the
     #    final write to each plane index is the correct one)
@@ -309,6 +354,7 @@ def compile_chain_stream(program: ir.Program,
     mxu_plans = {}
     pool_keys: list = []
     pool_arrays: list = []
+    transform_keys: list = []
     if mxu != "off":
         from .linear import MatrixPool, plan_linear_stage
         pool = MatrixPool()
@@ -319,14 +365,23 @@ def compile_chain_stream(program: ir.Program,
                 mxu_plans[kname] = mp
         # only keep matrices actually referenced
         used = set()
+        transform_keys = set()
         for mp in mxu_plans.values():
             for grp in mp.groups:
                 if grp.correction_key:
                     used.add(grp.correction_key)
                 for t in grp.terms:
                     used.update(k for k in (t.left_key, t.right_key) if k)
+                    ringed = (grp.field in program.kernels or
+                              (grp.field in program.inputs and
+                               program.inputs[grp.field].dim_mask[0]))
+                    if (t.left_key or t.right_key) and ringed:
+                        transform_keys.add(
+                            (grp.field, t.left_key, t.right_key))
         pool_keys = sorted(used)
         pool_arrays = [pool.items[k] for k in pool_keys]
+        transform_keys = sorted(transform_keys,
+                                key=lambda t: (t[0], t[1] or "", t[2] or ""))
 
     if plan.vmem_bytes(program) > vmem_budget * 0.7:
         raise ValueError(
@@ -375,6 +430,11 @@ def compile_chain_stream(program: ir.Program,
                    jax.dtypes.canonicalize_dtype(program.field_dtype(f)))
         for f in plan.ring
     ]
+    # derived rings of (L @ P @ R)-transformed planes, one per transform key
+    scratch_shapes += [
+        pltpu.VMEM((plan.ring[field], pj, pk), jnp.float32)
+        for (field, _l, _r) in transform_keys
+    ]
 
     # static matrices / correction planes for MXU-lowered stages
     for key, arr in zip(pool_keys, pool_arrays):
@@ -384,7 +444,8 @@ def compile_chain_stream(program: ir.Program,
 
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
                                input_names, input_kinds, I, False,
-                               mxu_plans, tuple(pool_keys))
+                               mxu_plans, tuple(pool_keys),
+                               tuple(transform_keys))
 
     call = pl.pallas_call(
         kernel,
@@ -493,7 +554,8 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
     ]
 
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
-                               input_names, input_kinds, Bi, True, {}, ())
+                               input_names, input_kinds, Bi, True, {}, (),
+                               ())
 
     call = pl.pallas_call(
         kernel,
