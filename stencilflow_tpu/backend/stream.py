@@ -55,7 +55,8 @@ class StreamPlan:
     @classmethod
     def build(cls, analysis: ChainAnalysis,
               local_jk: Optional[Tuple[int, int]] = None,
-              halo_jk: Tuple[int, int] = (0, 0)) -> "StreamPlan":
+              halo_jk: Tuple[int, int] = (0, 0),
+              block: int = 1) -> "StreamPlan":
         # Single chip: planes span the full (J, K) domain, unwidened —
         # circular-roll wrap-around of a j/k-offset read lands exactly on
         # the cells whose global index is out of domain, and every read
@@ -81,6 +82,9 @@ class StreamPlan:
                 lag[f] + i_range(kname, f)[1]
                 for f in analysis.graph.producers(kname))
         lag_max = max(lag[o] for o in program.outputs)
+        # pad the output skew to a block multiple so emitted planes align
+        # with whole output blocks (micro-step blocking)
+        lag_max = -(-lag_max // block) * block
 
         ring: Dict[str, int] = {}
         for f in list(program.inputs) + list(program.kernels):
@@ -108,12 +112,13 @@ class StreamPlan:
 def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         plan: StreamPlan, input_names, input_kinds,
                         local_i, sharded, mxu_plans, pool_keys,
-                        transform_keys, *refs):
-    """One grid step: ingest one input plane, advance every stage one plane,
-    emit one output plane.  With ``sharded`` the first ref is a (1, 3) SMEM
-    block of global origin coordinates for this device's block.  MXU-lowered
-    stages (mxu_plans) read their banded matrices / correction planes from
-    the ``pool_keys``-ordered refs that follow the inputs."""
+                        transform_keys, block, *refs):
+    """One grid step: ingest ``block`` input planes, advance every stage
+    ``block`` planes, emit ``block`` output planes (micro-steps amortize the
+    per-grid-step pipeline overhead).  With ``sharded`` the first ref is a
+    (1, 3) SMEM block of global origin coordinates for this device's block.
+    MXU-lowered stages (mxu_plans) read their banded matrices / correction
+    planes from the ``pool_keys``-ordered refs that follow the inputs."""
     if sharded:
         origin_ref, *refs = refs
         origin = (origin_ref[0, 0], origin_ref[0, 1], origin_ref[0, 2])
@@ -131,6 +136,16 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                      refs[base_idx:base_idx + n_rings]))
     transform_rings = dict(zip(transform_keys,
                                refs[base_idx + n_rings:]))
+
+    gb = pl.program_id(0)
+    dims = program.dimensions
+    I = local_i                      # local streamed extent (== global I
+    Ig = dims[0]                     # unless i were sharded)
+    hj, hk = plan.halo_jk
+    J, K = dims[1], dims[2]          # GLOBAL extents (for BC masks)
+    core_j = plan.plane[0] - 2 * hj  # local core block extents
+    core_k = plan.plane[1] - 2 * hk
+    lagB = plan.lag_max // block     # lag_max is padded to a block multiple
 
     def apply_transform(val, lkey, rkey):
         """L @ val @ R with full-f32 MXU passes (the default truncates
@@ -154,31 +169,15 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             t = apply_transform(plane_f32, tkey[1], tkey[2])
             transform_rings[tkey][pl.ds(slot, 1)] = t[None]
 
-    g = pl.program_id(0)
-    dims = program.dimensions
-    I = local_i                      # local streamed extent (== global I
-    Ig = dims[0]                     # unless i were sharded)
-    hj, hk = plan.halo_jk
-    J, K = dims[1], dims[2]          # GLOBAL extents (for BC masks)
-    core_j = plan.plane[0] - 2 * hj  # local core block extents
-    core_k = plan.plane[1] - 2 * hk
-
-    # 1. ingest: copy fetched input planes into their rings
-    plane_cache: Dict[str, Any] = {}   # non-streamed fields, read whole
+    # g-independent caches: scalars and non-streamed ("static") planes
+    plane_cache: Dict[str, Any] = {}
     scalar_cache: Dict[str, Any] = {}
     for name, kind, ref in zip(input_names, input_kinds, in_refs):
         if kind == "scalar":
             scalar_cache[name] = ref[0, 0]
-        elif kind == "stream":
-            @pl.when(g < I)
-            def _(name=name, ref=ref):
-                slot = jax.lax.rem(g, jnp.int32(plan.ring[name]))
-                rings[name][pl.ds(slot, 1)] = ref[...]
-                write_transforms(name, slot, ref[...][0])
-        else:  # "static": does not span i; same widened plane every step
+        elif kind == "static":
             plane_cache[name] = ref[...]
 
-    # 2. advance stages
     def make_read(kname, q):
         bcs = program.kernels[kname].boundary_conditions
 
@@ -301,33 +300,51 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             acc = acc + jnp.float32(mplan.bias)
         return acc
 
-    for kname in analysis.graph.kernel_order:
-        kspec = program.kernels[kname]
-        q = g - jnp.int32(plan.lag[kname])
-        if kname in mxu_plans:
-            result = mxu_eval(mxu_plans[kname], q)
-        else:
-            result = eval_kernel_statements(kspec, make_read(kname, q))
-        result = jnp.asarray(result)
-        if result.shape != plan.plane:
-            result = jnp.broadcast_to(result, plan.plane)
-        result = result.astype(
-            jax.dtypes.canonicalize_dtype(kspec.dtype))
+    # ---- micro-steps: block planes per grid step --------------------------
+    for m in range(block):
+        g = gb * jnp.int32(block) + jnp.int32(m)
 
-        @pl.when(q >= 0)
-        def _(kname=kname, result=result, q=q):
-            slot = jax.lax.rem(q, jnp.int32(plan.ring[kname]))
-            rings[kname][pl.ds(slot, 1)] = result[None]
-            write_transforms(kname, slot, result)
+        # 1. ingest plane m of this input block
+        for name, kind, ref in zip(input_names, input_kinds, in_refs):
+            if kind != "stream":
+                continue
 
-    # 3. emit: write output plane g - lag_max (clamped during warmup; the
-    #    final write to each plane index is the correct one)
-    p_out = jnp.maximum(g - jnp.int32(plan.lag_max), 0)
-    for out_name, ref in zip(program.outputs, out_refs):
-        oslot = jax.lax.rem(p_out, jnp.int32(plan.ring[out_name]))
-        plane = rings[out_name][oslot]
-        core = jax.lax.slice(plane, (hj, hk), (hj + core_j, hk + core_k))
-        ref[...] = core.reshape(1, core_j, core_k)
+            @pl.when(g < I)
+            def _(name=name, ref=ref, m=m, g=g):
+                slot = jax.lax.rem(g, jnp.int32(plan.ring[name]))
+                rings[name][pl.ds(slot, 1)] = ref[pl.ds(m, 1)]
+                write_transforms(name, slot, ref[m])
+
+        # 2. advance every stage one plane
+        for kname in analysis.graph.kernel_order:
+            kspec = program.kernels[kname]
+            q = g - jnp.int32(plan.lag[kname])
+            if kname in mxu_plans:
+                result = mxu_eval(mxu_plans[kname], q)
+            else:
+                result = eval_kernel_statements(kspec, make_read(kname, q))
+            result = jnp.asarray(result)
+            if result.shape != plan.plane:
+                result = jnp.broadcast_to(result, plan.plane)
+            result = result.astype(
+                jax.dtypes.canonicalize_dtype(kspec.dtype))
+
+            @pl.when(q >= 0)
+            def _(kname=kname, result=result, q=q):
+                slot = jax.lax.rem(q, jnp.int32(plan.ring[kname]))
+                rings[kname][pl.ds(slot, 1)] = result[None]
+                write_transforms(kname, slot, result)
+
+        # 3. emit plane m of the output block at index max(gb - lagB, 0)
+        #    (clamped during warmup; the final write to each block wins)
+        p_out = jnp.maximum(gb - jnp.int32(lagB), 0) * jnp.int32(block) \
+            + jnp.int32(m)
+        for out_name, ref in zip(program.outputs, out_refs):
+            oslot = jax.lax.rem(p_out, jnp.int32(plan.ring[out_name]))
+            plane = rings[out_name][oslot]
+            core = jax.lax.slice(plane, (hj, hk),
+                                 (hj + core_j, hk + core_k))
+            ref[pl.ds(m, 1)] = core.reshape(1, core_j, core_k)
 
 
 def compile_chain_stream(program: ir.Program,
@@ -335,19 +352,26 @@ def compile_chain_stream(program: ir.Program,
                          interpret: bool = False,
                          vmem_budget: int = 96 * 2**20,
                          mxu: str = "auto",
-                         mxu_min_footprint: int = 12):
+                         mxu_min_footprint: int = 12,
+                         block: int = 0):
     """Build a jitted ``fn(inputs) -> outputs`` around the streaming kernel.
 
     ``mxu``: "auto" lowers wide affine stages (footprint >=
     ``mxu_min_footprint``) to banded matmuls on the MXU (backend/linear.py);
-    "off" keeps everything on the VPU.  Raises ValueError when the program
-    shape doesn't fit this lowering (callers fall back to the
-    overlapped-tile backend).
+    "off" keeps everything on the VPU.  ``block``: planes per grid step
+    (0 = auto: more micro-steps for small planes, where per-grid-step
+    pipeline overhead dominates).  Raises ValueError when the program shape
+    doesn't fit this lowering (callers fall back to the overlapped-tile
+    backend).
     """
     analysis = analysis or ChainAnalysis.run(program)
-    plan = StreamPlan.build(analysis)
     dims = program.dimensions
     I, J, K = dims
+    if block <= 0:
+        area = J * K
+        block = 8 if area <= 128 * 128 else (4 if area <= 224 * 224 else 1)
+        block = max(1, min(block, I))
+    plan = StreamPlan.build(analysis, block=block)
     hj, hk = plan.halo_jk
     pj, pk = plan.plane
 
@@ -403,24 +427,26 @@ def compile_chain_stream(program: ir.Program,
                     f"input {name} spans i but not all of (j, k); "
                     "unsupported by the streaming lowering")
             input_kinds.append("stream")
+            n_in_blocks = -(-I // block)
             in_specs.append(pl.BlockSpec(
-                (1, pj, pk),
-                lambda g: (jnp.minimum(g, I - 1), 0, 0),
+                (block, pj, pk),
+                lambda g, nb=n_in_blocks: (jnp.minimum(g, nb - 1), 0, 0),
                 memory_space=pltpu.VMEM))
         else:
             input_kinds.append("static")
             spanned = [d for d in (1, 2) if spec.dim_mask[d]]
-            block = tuple((pj, pk)[d - 1] for d in spanned)
+            sblock = tuple((pj, pk)[d - 1] for d in spanned)
             in_specs.append(pl.BlockSpec(
-                block, lambda g, n=len(spanned): (0,) * n,
+                sblock, lambda g, n=len(spanned): (0,) * n,
                 memory_space=pltpu.VMEM))
 
+    lagB = plan.lag_max // block
     out_specs = []
     out_shapes = []
     for out in program.outputs:
         out_specs.append(pl.BlockSpec(
-            (1, J, K),
-            lambda g: (jnp.maximum(g - plan.lag_max, 0), 0, 0),
+            (block, J, K),
+            lambda g, lagB=lagB: (jnp.maximum(g - lagB, 0), 0, 0),
             memory_space=pltpu.VMEM))
         out_dtype = jax.dtypes.canonicalize_dtype(program.kernels[out].dtype)
         out_shapes.append(jax.ShapeDtypeStruct((I, J, K), out_dtype))
@@ -445,11 +471,11 @@ def compile_chain_stream(program: ir.Program,
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
                                input_names, input_kinds, I, False,
                                mxu_plans, tuple(pool_keys),
-                               tuple(transform_keys))
+                               tuple(transform_keys), block)
 
     call = pl.pallas_call(
         kernel,
-        grid=(I + plan.lag_max,),
+        grid=(-(-I // block) + lagB,),
         in_specs=in_specs,
         out_specs=out_specs[0] if len(out_specs) == 1 else out_specs,
         out_shape=out_shapes[0] if len(out_shapes) == 1 else out_shapes,
@@ -555,7 +581,7 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
 
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
                                input_names, input_kinds, Bi, True, {}, (),
-                               ())
+                               (), 1)
 
     call = pl.pallas_call(
         kernel,
