@@ -112,7 +112,7 @@ class StreamPlan:
 def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         plan: StreamPlan, input_names, input_kinds,
                         local_i, sharded, mxu_plans, pool_keys,
-                        transform_keys, block, *refs):
+                        transform_keys, block, jtiled, *refs):
     """One grid step: ingest ``block`` input planes, advance every stage
     ``block`` planes, emit ``block`` output planes (micro-steps amortize the
     per-grid-step pipeline overhead).  With ``sharded`` the first ref is a
@@ -122,6 +122,11 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     if sharded:
         origin_ref, *refs = refs
         origin = (origin_ref[0, 0], origin_ref[0, 1], origin_ref[0, 2])
+    elif jtiled:
+        # grid = (j-tiles, stream); tile origin drives the global BC masks
+        core_j0 = plan.plane[0] - 2 * plan.halo_jk[0]
+        origin = (jnp.int32(0), pl.program_id(0) * jnp.int32(core_j0),
+                  jnp.int32(0))
     else:
         origin = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     n_in = len(input_names)
@@ -137,7 +142,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     transform_rings = dict(zip(transform_keys,
                                refs[base_idx + n_rings:]))
 
-    gb = pl.program_id(0)
+    gb = pl.program_id(1) if jtiled else pl.program_id(0)
     dims = program.dimensions
     I = local_i                      # local streamed extent (== global I
     Ig = dims[0]                     # unless i were sharded)
@@ -368,18 +373,48 @@ def compile_chain_stream(program: ir.Program,
     dims = program.dimensions
     I, J, K = dims
     if block <= 0:
-        area = J * K
-        block = 8 if area <= 128 * 128 else (4 if area <= 224 * 224 else 1)
-        block = max(1, min(block, I))
+        if interpret:
+            # interpreter-mode tracing cost scales with the unroll; keep it
+            # small (blocking logic still exercised)
+            block = min(2, I)
+        else:
+            area = J * K
+            block = 8 if area <= 128 * 128 else \
+                (4 if area <= 224 * 224 else 1)
+            block = max(1, min(block, I))
     plan = StreamPlan.build(analysis, block=block)
+
+    # planes too large for VMEM rings: tile the j dimension, widening each
+    # tile by the chain's cumulative j-halo (BC masks use the tile origin)
+    jtiles = 1
+    if plan.vmem_bytes(program) > vmem_budget * 0.7:
+        from .xla import chain_halo
+        hjt = chain_halo(analysis)[1]
+        tj = None
+        for cand_tiles in range(2, J + 1):
+            if J % cand_tiles:
+                continue
+            cand = J // cand_tiles
+            if cand % 8 or cand <= hjt:
+                continue
+            trial = StreamPlan.build(analysis, local_jk=(cand, K),
+                                     halo_jk=(hjt, 0), block=block)
+            if trial.vmem_bytes(program) <= vmem_budget * 0.7:
+                plan, tj, jtiles = trial, cand, cand_tiles
+                break
+        if tj is None:
+            raise ValueError(
+                f"stream rings need {plan.vmem_bytes(program)/2**20:.1f} "
+                "MiB VMEM even with j-tiling; plane too large")
     hj, hk = plan.halo_jk
     pj, pk = plan.plane
+    core_j = pj - 2 * hj
 
     mxu_plans = {}
     pool_keys: list = []
     pool_arrays: list = []
     transform_keys: list = []
-    if mxu != "off":
+    if mxu != "off" and jtiles == 1:
         from .linear import MatrixPool, plan_linear_stage
         pool = MatrixPool()
         for kname, kspec in program.kernels.items():
@@ -407,11 +442,6 @@ def compile_chain_stream(program: ir.Program,
         transform_keys = sorted(transform_keys,
                                 key=lambda t: (t[0], t[1] or "", t[2] or ""))
 
-    if plan.vmem_bytes(program) > vmem_budget * 0.7:
-        raise ValueError(
-            f"stream rings need {plan.vmem_bytes(program)/2**20:.1f} MiB "
-            "VMEM; plane too large for the streaming lowering")
-
     input_names = list(program.inputs)
     input_kinds = []
     in_specs = []
@@ -419,8 +449,9 @@ def compile_chain_stream(program: ir.Program,
         spec = program.inputs[name]
         if spec.is_scalar:
             input_kinds.append("scalar")
-            in_specs.append(pl.BlockSpec((1, 1), lambda g: (0, 0),
-                                         memory_space=pltpu.SMEM))
+            in_specs.append(pl.BlockSpec(
+                (1, 1), (lambda jt, g: (0, 0)) if jtiles > 1 else
+                (lambda g: (0, 0)), memory_space=pltpu.SMEM))
         elif spec.dim_mask[0]:  # noqa: SIM114
             if not (spec.dim_mask[1] and spec.dim_mask[2]):
                 raise ValueError(
@@ -428,26 +459,51 @@ def compile_chain_stream(program: ir.Program,
                     "unsupported by the streaming lowering")
             input_kinds.append("stream")
             n_in_blocks = -(-I // block)
-            in_specs.append(pl.BlockSpec(
-                (block, pj, pk),
-                lambda g, nb=n_in_blocks: (jnp.minimum(g, nb - 1), 0, 0),
-                memory_space=pltpu.VMEM))
+            if jtiles > 1:
+                # Mosaic: block dims must be all-Element or all-Blocked
+                in_specs.append(pl.BlockSpec(
+                    (pl.Element(block), pl.Element(pj), pl.Element(pk)),
+                    lambda jt, g, nb=n_in_blocks, cj=core_j, b=block:
+                        (jnp.minimum(g, nb - 1) * b, jt * cj, 0),
+                    memory_space=pltpu.VMEM))
+            else:
+                in_specs.append(pl.BlockSpec(
+                    (block, pj, pk),
+                    lambda g, nb=n_in_blocks:
+                        (jnp.minimum(g, nb - 1), 0, 0),
+                    memory_space=pltpu.VMEM))
         else:
             input_kinds.append("static")
             spanned = [d for d in (1, 2) if spec.dim_mask[d]]
             sblock = tuple((pj, pk)[d - 1] for d in spanned)
-            in_specs.append(pl.BlockSpec(
-                sblock, lambda g, n=len(spanned): (0,) * n,
-                memory_space=pltpu.VMEM))
+            if jtiles > 1:
+                bdims = tuple(pl.Element((pj, pk)[d - 1]) for d in spanned)
+
+                def smap(jt, g, spanned=tuple(spanned), cj=core_j):
+                    return tuple(jt * cj if d == 1 else 0 for d in spanned)
+
+                in_specs.append(pl.BlockSpec(bdims, smap,
+                                             memory_space=pltpu.VMEM))
+            else:
+                in_specs.append(pl.BlockSpec(
+                    sblock, lambda g, n=len(spanned): (0,) * n,
+                    memory_space=pltpu.VMEM))
 
     lagB = plan.lag_max // block
     out_specs = []
     out_shapes = []
     for out in program.outputs:
-        out_specs.append(pl.BlockSpec(
-            (block, J, K),
-            lambda g, lagB=lagB: (jnp.maximum(g - lagB, 0), 0, 0),
-            memory_space=pltpu.VMEM))
+        if jtiles > 1:
+            out_specs.append(pl.BlockSpec(
+                (block, core_j, K),
+                lambda jt, g, lagB=lagB:
+                    (jnp.maximum(g - lagB, 0), jt, 0),
+                memory_space=pltpu.VMEM))
+        else:
+            out_specs.append(pl.BlockSpec(
+                (block, J, K),
+                lambda g, lagB=lagB: (jnp.maximum(g - lagB, 0), 0, 0),
+                memory_space=pltpu.VMEM))
         out_dtype = jax.dtypes.canonicalize_dtype(program.kernels[out].dtype)
         out_shapes.append(jax.ShapeDtypeStruct((I, J, K), out_dtype))
 
@@ -471,18 +527,23 @@ def compile_chain_stream(program: ir.Program,
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
                                input_names, input_kinds, I, False,
                                mxu_plans, tuple(pool_keys),
-                               tuple(transform_keys), block)
+                               tuple(transform_keys), block, jtiles > 1)
 
+    grid = (-(-I // block) + lagB,)
+    semantics = ("arbitrary",)
+    if jtiles > 1:
+        grid = (jtiles,) + grid
+        semantics = ("arbitrary", "arbitrary")
     call = pl.pallas_call(
         kernel,
-        grid=(-(-I // block) + lagB,),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs[0] if len(out_specs) == 1 else out_specs,
         out_shape=out_shapes[0] if len(out_shapes) == 1 else out_shapes,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=semantics,
             vmem_limit_bytes=vmem_budget + 16 * 2**20),
     )
 
@@ -581,7 +642,7 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
 
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
                                input_names, input_kinds, Bi, True, {}, (),
-                               (), 1)
+                               (), 1, False)
 
     call = pl.pallas_call(
         kernel,

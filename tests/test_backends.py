@@ -150,6 +150,19 @@ class TestStreamBackend:
         got = run_chain_stream(p, inputs, interpret=True)["v"]
         np.testing.assert_allclose(got, ref, rtol=1e-6)
 
+    @pytest.mark.parametrize("boundary", ["constant", "copy"])
+    def test_jtiled_large_plane_fallback(self, boundary):
+        """Planes over the VMEM budget stream in j-tiles widened by the
+        chain halo (BC masks use the tile origin)."""
+        from stencilflow_tpu.backend.stream import compile_chain_stream
+        p = _program_jacobi3d(size=16, iters=2, boundary=boundary)
+        inputs = sft.load_input_arrays(p, seed=31)
+        ref = _oracle(p, inputs)["s1"]
+        fn = compile_chain_stream(p, interpret=True, vmem_budget=12 * 1024)
+        got = np.asarray(fn({k: jnp.asarray(v)
+                             for k, v in inputs.items()})["s1"])
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+
     def test_best_backend_selector(self):
         from stencilflow_tpu.backend import compile_chain_best
         p = _program_jacobi3d(size=12, iters=2)
