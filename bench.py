@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "stream", "pallas", "xla"])
+    ap.add_argument("--workload", default="jacobi",
+                    choices=["jacobi", "box"],
+                    help="jacobi: headline 6-point chain; box: wide-footprint"
+                         " radius-2 chain (exercises the MXU lowering)")
     args = ap.parse_args()
 
     import jax
@@ -43,9 +47,18 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     size = args.size or (256 if on_tpu else 32)
 
-    program = sft.parse_program(
-        jacobi(3, size, iterations=args.iters),
-        name=f"jacobi3d_{size}_{args.iters}itr")
+    if args.workload == "box":
+        from stencilflow_tpu.synthesize import synthesize_stencil
+        size = args.size or (128 if on_tpu else 16)
+        program = sft.parse_program(
+            synthesize_stencil(num_stages=args.iters,
+                               dimensions=(size,) * 3, shape="box",
+                               extent=2),
+            name=f"box3d_{size}_{args.iters}itr")
+    else:
+        program = sft.parse_program(
+            jacobi(3, size, iterations=args.iters),
+            name=f"jacobi3d_{size}_{args.iters}itr")
 
     if args.backend in ("auto",):
         from stencilflow_tpu.backend import compile_chain_best
@@ -90,7 +103,7 @@ def main():
     vs = report.roofline_time_s() / dt if on_tpu else None
 
     print(json.dumps({
-        "metric": f"jacobi3d_{size}^3_{args.iters}itr_{backend}"
+        "metric": f"{args.workload}3d_{size}^3_{args.iters}itr_{backend}"
                   f"_{jax.devices()[0].platform}",
         "value": round(gcell_s, 3),
         "unit": "GCell/s",

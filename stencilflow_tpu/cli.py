@@ -29,6 +29,7 @@ def _cmd_run(args) -> int:
             skip_execution=args.skip_execution,
             halo=args.halo, repetitions=args.repetitions,
             backend=args.backend, print_result=args.print_result,
+            mxu="off" if args.no_mxu else "auto",
             seed=args.seed)
     except VerificationError as exc:
         print(f"VERIFICATION FAILED: {exc}", file=sys.stderr)
@@ -216,6 +217,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="auto",
                    choices=["auto", "stream", "pallas", "xla",
                             "interpreter"])
+    p.add_argument("--no-mxu", action="store_true",
+                   help="disable banded-matmul lowering of wide stages")
     p.add_argument("--print-result", action="store_true")
     p.add_argument("--generate-input", action="store_true",
                    help="replace file-backed inputs with constant data "

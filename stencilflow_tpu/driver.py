@@ -55,6 +55,7 @@ def run_program(stencil_file, mode: str = "emulation",
                 halo: int = 0,
                 repetitions: int = 1,
                 backend: str = "auto",
+                mxu: str = "auto",
                 save_results: bool = True,
                 results_base: str = "results",
                 seed: int = 0,
@@ -117,7 +118,8 @@ def run_program(stencil_file, mode: str = "emulation",
         elif backend == "stream":
             from .backend.stream import compile_chain_stream
             fn, bname = (compile_chain_stream(program, analysis,
-                                              interpret=interpret), "stream")
+                                              interpret=interpret,
+                                              mxu=mxu), "stream")
         elif backend == "pallas":
             from .backend.pallas import compile_chain_pallas
             fn, bname = (compile_chain_pallas(program, analysis,
