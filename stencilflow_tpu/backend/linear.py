@@ -138,6 +138,14 @@ class MatrixPool:
         return key
 
 
+def _normalize(w):
+    """Scale a weight vector so its largest-|.| entry is 1 — identical
+    *patterns* then share one pooled matrix (and one cached transformed
+    plane) across i-offset groups and stages."""
+    a = w[int(np.argmax(np.abs(w)))]
+    return (w / a, float(a)) if a != 0 else (w, 1.0)
+
+
 def _band_matrix(n: int, offsets: List[int], weights: List[float]
                  ) -> np.ndarray:
     """Banded matrix M with M[p, p+o] = w_o (truncated at the edges —
@@ -191,13 +199,6 @@ def plan_linear_stage(kspec: ir.KernelSpec,
         C = np.zeros((len(ojs), len(oks)), np.float64)
         for (oj, ok), c in cmap.items():
             C[ojs.index(oj), oks.index(ok)] = c
-        def _normalize(w):
-            """Scale a weight vector so its largest-|.| entry is 1 —
-            identical *patterns* then share one pooled matrix (and one
-            cached transformed plane) across i-offset groups and stages."""
-            a = w[int(np.argmax(np.abs(w)))]
-            return (w / a, float(a)) if a != 0 else (w, 1.0)
-
         terms: List[BandTerm] = []
         if C.shape == (1, 1) and ojs == [0] and oks == [0]:
             terms.append(BandTerm(None, None, float(C[0, 0])))
@@ -209,11 +210,15 @@ def plan_linear_stage(kspec: ir.KernelSpec,
             nu, a = _normalize(C[:, 0])
             lmat = _band_matrix(pj, ojs, list(nu))
             terms.append(BandTerm(pool.add(lmat, "L"), None, a))
+        elif not np.any(C):
+            continue   # fully cancelled coefficients: zero contribution
         else:
             u, sv, vt = np.linalg.svd(C)
             rank = int((sv > 1e-10 * max(1.0, sv[0])).sum())
             if rank > max_rank:
                 return None
+            if rank == 0:
+                continue   # numerically zero group
             for m in range(rank):
                 nu, a = _normalize(u[:, m])
                 nv, b = _normalize(vt[m])

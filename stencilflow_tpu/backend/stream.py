@@ -233,6 +233,14 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
 
         return read
 
+    def ring_slot(field, oi, q):
+        """(ring slot, i_oob) of field's plane at i-offset ``oi``."""
+        Wc = jnp.int32(plan.ring[field])
+        target = q + jnp.int32(oi or 0)
+        slot = jax.lax.rem(jax.lax.rem(target, Wc) + Wc, Wc)
+        gtarget = origin[0] + target
+        return slot, (gtarget < 0) | (gtarget >= Ig)
+
     def fetch_plane(field, oi, q):
         """Raw (un-BC'd) plane of ``field`` at i-offset ``oi`` (None for
         non-streamed fields); returns (plane_or_scalar, i_oob_or_None)."""
@@ -244,12 +252,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             pkk = plan.plane[1] if spec.dim_mask[2] else 1
             pln = plane_cache[field].reshape(pjj, pkk)
             return jnp.broadcast_to(pln, plan.plane), None
-        W = plan.ring[field]
-        Wc = jnp.int32(W)
-        target = q + jnp.int32(oi or 0)
-        slot = jax.lax.rem(jax.lax.rem(target, Wc) + Wc, Wc)
-        gtarget = origin[0] + target
-        i_oob = (gtarget < 0) | (gtarget >= Ig)
+        slot, i_oob = ring_slot(field, oi, q)
         return rings[field][slot], i_oob
 
     # transformed-plane cache for non-streamed (broadcast) fields
@@ -267,12 +270,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                     apply_transform(base, lkey, rkey)
             return static_transform_cache[tkey], None
         if tkey in transform_rings:
-            W = plan.ring[field]
-            Wc = jnp.int32(W)
-            target = q + jnp.int32(oi or 0)
-            slot = jax.lax.rem(jax.lax.rem(target, Wc) + Wc, Wc)
-            gtarget = origin[0] + target
-            i_oob = (gtarget < 0) | (gtarget >= Ig)
+            slot, i_oob = ring_slot(field, oi, q)
             return transform_rings[tkey][slot], i_oob
         base, i_oob = fetch_plane(field, oi, q)
         return apply_transform(base, lkey, rkey), i_oob
@@ -372,25 +370,21 @@ def compile_chain_stream(program: ir.Program,
     analysis = analysis or ChainAnalysis.run(program)
     dims = program.dimensions
     I, J, K = dims
-    if block <= 0:
-        if interpret:
-            # interpreter-mode tracing cost scales with the unroll; keep it
-            # small (blocking logic still exercised)
-            block = min(2, I)
-        else:
-            area = J * K
-            block = 8 if area <= 128 * 128 else \
-                (4 if area <= 224 * 224 else 1)
-            block = max(1, min(block, I))
-    plan = StreamPlan.build(analysis, block=block)
 
     # planes too large for VMEM rings: tile the j dimension, widening each
-    # tile by the chain's cumulative j-halo (BC masks use the tile origin)
+    # tile by the chain's cumulative j-halo (BC masks use the tile origin).
+    # Sizing is block-independent (block only pads the output skew), so
+    # search with block=1 and pick the micro-step block from the final
+    # (possibly tiled) plane afterwards.
     jtiles = 1
+    tile_jk = None
+    halo_jk = (0, 0)
+    plan = StreamPlan.build(analysis)
     if plan.vmem_bytes(program) > vmem_budget * 0.7:
         from .xla import chain_halo
         hjt = chain_halo(analysis)[1]
-        tj = None
+        found = None
+        trial_bytes = plan.vmem_bytes(program)
         for cand_tiles in range(2, J + 1):
             if J % cand_tiles:
                 continue
@@ -398,14 +392,30 @@ def compile_chain_stream(program: ir.Program,
             if cand % 8 or cand <= hjt:
                 continue
             trial = StreamPlan.build(analysis, local_jk=(cand, K),
-                                     halo_jk=(hjt, 0), block=block)
-            if trial.vmem_bytes(program) <= vmem_budget * 0.7:
-                plan, tj, jtiles = trial, cand, cand_tiles
+                                     halo_jk=(hjt, 0))
+            trial_bytes = trial.vmem_bytes(program)
+            if trial_bytes <= vmem_budget * 0.7:
+                found, jtiles = cand, cand_tiles
+                tile_jk, halo_jk = (cand, K), (hjt, 0)
                 break
-        if tj is None:
+        if found is None:
             raise ValueError(
-                f"stream rings need {plan.vmem_bytes(program)/2**20:.1f} "
-                "MiB VMEM even with j-tiling; plane too large")
+                f"stream rings need {trial_bytes/2**20:.1f} MiB VMEM at "
+                "the smallest j-tile; plane too large for the streaming "
+                "lowering")
+
+    if block <= 0:
+        if interpret:
+            # interpreter-mode tracing cost scales with the unroll; keep it
+            # small (blocking logic still exercised)
+            block = min(2, I)
+        else:
+            area = (tile_jk[0] + 2 * halo_jk[0] if tile_jk else J) * K
+            block = 8 if area <= 128 * 128 else \
+                (4 if area <= 224 * 224 else 1)
+            block = max(1, min(block, I))
+    plan = StreamPlan.build(analysis, local_jk=tile_jk, halo_jk=halo_jk,
+                            block=block)
     hj, hk = plan.halo_jk
     pj, pk = plan.plane
     core_j = pj - 2 * hj
@@ -441,6 +451,15 @@ def compile_chain_stream(program: ir.Program,
         pool_arrays = [pool.items[k] for k in pool_keys]
         transform_keys = sorted(transform_keys,
                                 key=lambda t: (t[0], t[1] or "", t[2] or ""))
+        # the derived f32 transform rings are VMEM too — drop the MXU
+        # lowering if they would blow the budget (VPU path stays correct)
+        transform_bytes = sum(plan.ring[f] * pj * pk * 4
+                              for (f, _l, _r) in transform_keys)
+        pool_bytes = sum(a.nbytes for a in pool_arrays)
+        if (plan.vmem_bytes(program) + transform_bytes + pool_bytes
+                > vmem_budget * 0.7):
+            mxu_plans, pool_keys, pool_arrays, transform_keys = \
+                {}, [], [], []
 
     input_names = list(program.inputs)
     input_kinds = []
