@@ -70,6 +70,29 @@ def _cmd_simulate(args) -> int:
     return 0
 
 
+def _cmd_compile(args) -> int:
+    """Lower a program and save the compiled artifact (StableHLO text) —
+    the analogue of bin/sdfg_generator.py's JSON -> SDFG file flow."""
+    import jax.numpy as jnp
+
+    from .backend import compile_chain_best
+    from .data import load_input_arrays
+    from .frontend.parser import parse_program
+    program = parse_program(args.stencil_file)
+    fn, backend = compile_chain_best(program, interpret=args.emulation)
+    inputs = {k: jnp.asarray(v)
+              for k, v in load_input_arrays(program, seed=0).items()}
+    import jax
+    lowered = jax.jit(fn).lower(inputs)
+    text = lowered.as_text()
+    out = args.output or f"{program.name}.stablehlo.txt"
+    with open(out, "w") as f:
+        f.write(text)
+    print(f"lowered with backend '{backend}' -> {out} "
+          f"({len(text)} bytes)")
+    return 0
+
+
 def _cmd_report(args) -> int:
     from .frontend.analysis import ChainAnalysis
     from .frontend.parser import parse_program
@@ -238,6 +261,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the Python machine instead of the C++ core")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=_cmd_simulate)
+
+    p = sub.add_parser("compile",
+                       help="lower a program and save the StableHLO "
+                            "artifact")
+    p.add_argument("stencil_file")
+    p.add_argument("-o", "--output")
+    p.add_argument("--emulation", action="store_true",
+                   help="lower the emulation (interpret) path")
+    p.set_defaults(fn=_cmd_compile)
 
     p = sub.add_parser("report", help="analytic performance report")
     p.add_argument("stencil_file")

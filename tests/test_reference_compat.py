@@ -60,6 +60,20 @@ def test_reference_program(path):
         got = prune_halo(out[o], program.raw_dimensions, halo)
         assert arrays_are_equal(exp, got), f"XLA mismatch on {o}"
 
+    # streaming-backend cross-check (interpret mode) for small domains
+    if program.total_elements <= 4096:
+        from stencilflow_tpu.backend.stream import run_chain_stream
+        try:
+            got_s = run_chain_stream(program, inputs, interpret=True)
+        except ValueError:
+            got_s = None   # documented lowering limit (e.g. i-spanning
+            #                lower-dim inputs); auto falls back to pallas/xla
+        for o in (program.outputs if got_s is not None else []):
+            exp = prune_halo(np.asarray(ref[o]), program.raw_dimensions,
+                             halo)
+            got = prune_halo(got_s[o], program.raw_dimensions, halo)
+            assert arrays_are_equal(exp, got), f"stream mismatch on {o}"
+
     # simulator cross-check for small domains (cycle loop cost)
     if program.total_elements <= 40000:
         from stencilflow_tpu.sim import simulate
