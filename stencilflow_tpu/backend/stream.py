@@ -19,9 +19,9 @@ FIFOs + init/drain pipeline phases) and its delay-buffer alignment analysis
   plane coordinates, i handled by whole-plane selects on the (traced)
   streamed plane index.
 
-Limitations of this lowering (fall back to the overlapped-tile backend
-otherwise): all (j, k) planes plus rings must fit VMEM, and every non-scalar
-input must span the streamed dimension or be k/j-only (broadcast per plane).
+Planes larger than the VMEM budget stream in halo-widened j-tiles; inputs
+of any dimensionality are supported (lower-dimensional planes broadcast on
+ingest).
 """
 from __future__ import annotations
 
@@ -307,16 +307,25 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     for m in range(block):
         g = gb * jnp.int32(block) + jnp.int32(m)
 
-        # 1. ingest plane m of this input block
+        # 1. ingest plane m of this input block (partial planes broadcast
+        #    to the full widened-plane shape)
         for name, kind, ref in zip(input_names, input_kinds, in_refs):
-            if kind != "stream":
+            if kind not in ("stream", "stream_partial"):
                 continue
 
             @pl.when(g < I)
-            def _(name=name, ref=ref, m=m, g=g):
+            def _(name=name, kind=kind, ref=ref, m=m, g=g):
                 slot = jax.lax.rem(g, jnp.int32(plan.ring[name]))
-                rings[name][pl.ds(slot, 1)] = ref[pl.ds(m, 1)]
-                write_transforms(name, slot, ref[m])
+                if kind == "stream":
+                    plane = ref[m]
+                else:
+                    mask = program.inputs[name].dim_mask
+                    shape = (plan.plane[0] if mask[1] else 1,
+                             plan.plane[1] if mask[2] else 1)
+                    plane = jnp.broadcast_to(ref[m].reshape(shape),
+                                             plan.plane)
+                rings[name][pl.ds(slot, 1)] = plane[None]
+                write_transforms(name, slot, plane)
 
         # 2. advance every stage one plane
         for kname in analysis.graph.kernel_order:
@@ -471,25 +480,30 @@ def compile_chain_stream(program: ir.Program,
             in_specs.append(pl.BlockSpec(
                 (1, 1), (lambda jt, g: (0, 0)) if jtiles > 1 else
                 (lambda g: (0, 0)), memory_space=pltpu.SMEM))
-        elif spec.dim_mask[0]:  # noqa: SIM114
-            if not (spec.dim_mask[1] and spec.dim_mask[2]):
-                raise ValueError(
-                    f"input {name} spans i but not all of (j, k); "
-                    "unsupported by the streaming lowering")
-            input_kinds.append("stream")
+        elif spec.dim_mask[0]:
+            # full or partial streamed input: block covers the spanned
+            # (j, k) dims; the kernel broadcasts partial planes on ingest
+            full = spec.dim_mask[1] and spec.dim_mask[2]
+            input_kinds.append("stream" if full else "stream_partial")
             n_in_blocks = -(-I // block)
+            jk_dims = [d for d in (1, 2) if spec.dim_mask[d]]
+            sizes = [block] + [(pj, pk)[d - 1] for d in jk_dims]
             if jtiles > 1:
-                # Mosaic: block dims must be all-Element or all-Blocked
-                in_specs.append(pl.BlockSpec(
-                    (pl.Element(block), pl.Element(pj), pl.Element(pk)),
-                    lambda jt, g, nb=n_in_blocks, cj=core_j, b=block:
-                        (jnp.minimum(g, nb - 1) * b, jt * cj, 0),
-                    memory_space=pltpu.VMEM))
+                bdims = tuple(pl.Element(sz) for sz in sizes)
+
+                def imap(jt, g, nb=n_in_blocks, cj=core_j, b=block,
+                         jk=tuple(jk_dims)):
+                    out = [jnp.minimum(g, nb - 1) * b]
+                    out += [jt * cj if d == 1 else 0 for d in jk]
+                    return tuple(out)
+
+                in_specs.append(pl.BlockSpec(bdims, imap,
+                                             memory_space=pltpu.VMEM))
             else:
                 in_specs.append(pl.BlockSpec(
-                    (block, pj, pk),
-                    lambda g, nb=n_in_blocks:
-                        (jnp.minimum(g, nb - 1), 0, 0),
+                    tuple(sizes),
+                    lambda g, nb=n_in_blocks, n=len(jk_dims):
+                        (jnp.minimum(g, nb - 1),) + (0,) * n,
                     memory_space=pltpu.VMEM))
         else:
             input_kinds.append("static")
