@@ -79,8 +79,9 @@ class StreamPlan:
         lag: Dict[str, int] = {n: 0 for n in program.inputs}
         for kname in analysis.graph.kernel_order:
             lag[kname] = max(
-                lag[f] + i_range(kname, f)[1]
-                for f in analysis.graph.producers(kname))
+                (lag[f] + i_range(kname, f)[1]
+                 for f in analysis.graph.producers(kname)),
+                default=0)  # constant/scalar-only kernels read no fields
         lag_max = max(lag[o] for o in program.outputs)
         # pad the output skew to a block multiple so emitted planes align
         # with whole output blocks (micro-step blocking)

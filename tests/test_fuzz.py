@@ -43,10 +43,16 @@ def make_random_program(rng: np.random.Generator, seed_id: int):
                 return rand_access(str(rng.choice(avail)))
             if choice < 0.75:
                 return f"{rng.uniform(-2, 2):.3f}"
-            if choice < 0.9:
+            if choice < 0.85:
                 return "sc"
-            # lower-dim access arity matches the field rank (dialect rule)
-            return "row" + _offset_str(["k"], [int(rng.integers(-1, 2))])
+            if choice < 0.93 or ndim == 2:
+                # lower-dim access arity matches the field rank
+                return "row" + _offset_str(["k"],
+                                           [int(rng.integers(-1, 2))])
+            # i-spanning partial field (3-D programs only)
+            return "ik" + _offset_str(
+                ["i", "k"], [int(rng.integers(-1, 2)),
+                             int(rng.integers(-1, 2))])
         if r < 0.75:
             op = {"add": "+", "sub": "-", "mult": "*"}[
                 str(rng.choice(OPS))]
@@ -68,6 +74,9 @@ def make_random_program(rng: np.random.Generator, seed_id: int):
         "sc": {"data": float(rng.uniform(-1, 1)), "data_type": "float32",
                "input_dims": []},
     }
+    if ndim == 3:
+        inputs["ik"] = {"data": "random:-1,1", "data_type": "float32",
+                        "input_dims": ["i", "k"]}
     program = {}
     avail = ["a"]
     for s in range(n_stages):
@@ -76,7 +85,8 @@ def make_random_program(rng: np.random.Generator, seed_id: int):
         # guarantee a structural dependency on the previous stage
         if s > 0:
             expr = f"({expr} + {rand_access(avail[-1])})"
-        used = sorted({f for f in ["a", "row"] + avail if f in expr})
+        used = sorted({f for f in ["a", "row", "ik"] + avail
+                       if f in expr})
         bcs = {}
         for f in used:
             kind = str(rng.choice(BCS))
