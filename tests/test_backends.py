@@ -163,6 +163,51 @@ class TestStreamBackend:
                              for k, v in inputs.items()})["s1"])
         np.testing.assert_allclose(got, ref, rtol=1e-6)
 
+    def test_multiple_outputs_at_different_lags(self):
+        """Two outputs at different pipeline depths: the emit logic pads
+        the shallower output's ring and both arrive intact."""
+        from stencilflow_tpu.backend.stream import run_chain_stream
+        from stencilflow_tpu.sim.native import NativeSimulator
+        rng = np.random.default_rng(41)
+        a = rng.random((10, 8, 16)).astype(np.float32)
+        p = sft.parse_program({
+            "inputs": {"a": {"data": a, "data_type": "float32"}},
+            "outputs": ["shallow", "deep"],
+            "dimensions": [10, 8, 16],
+            "program": {
+                "shallow": {
+                    "computation_string":
+                        "shallow = 0.5 * (a[i-1,j,k] + a[i+1,j,k])",
+                    "boundary_conditions": {
+                        "a": {"type": "constant", "value": 0.0}},
+                    "data_type": "float32"},
+                "mid": {
+                    "computation_string":
+                        "mid = shallow[i,j-1,k] + shallow[i,j+1,k]",
+                    "boundary_conditions": {
+                        "shallow": {"type": "constant", "value": 1.0}},
+                    "data_type": "float32"},
+                "deep": {
+                    "computation_string":
+                        "deep = mid[i+2,j,k] - a[i,j,k]",
+                    "boundary_conditions": {
+                        "mid": {"type": "constant", "value": 0.0},
+                        "a": {"type": "constant", "value": 0.0}},
+                    "data_type": "float32"},
+            },
+        }, name="multiout")
+        inputs = {"a": a}
+        ref = _oracle(p, inputs)
+        got_s = run_chain_stream(p, inputs, interpret=True)
+        got_x = run_chain(p, inputs)
+        got_sim = NativeSimulator(p).run(inputs).outputs
+        for o in ("shallow", "deep"):
+            np.testing.assert_allclose(got_s[o], ref[o], rtol=1e-6,
+                                       err_msg=f"stream {o}")
+            np.testing.assert_allclose(got_x[o], ref[o], rtol=1e-6,
+                                       err_msg=f"xla {o}")
+            np.testing.assert_array_equal(got_sim[o], ref[o])
+
     def test_best_backend_selector(self):
         from stencilflow_tpu.backend import compile_chain_best
         p = _program_jacobi3d(size=12, iters=2)
