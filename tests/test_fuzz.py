@@ -105,6 +105,54 @@ def make_random_program(rng: np.random.Generator, seed_id: int):
     }
 
 
+def _deep_program(rng, stages, max_r=3):
+    """Deep chain with random radii and occasional long-range reconvergence
+    (stresses lag/ring-depth algebra in the streaming backend)."""
+    dims = [int(rng.integers(8, 13)) for _ in range(3)]
+    prog = {}
+    avail = ["a"]
+    for s in range(stages):
+        prev = avail[-1]
+        offs = [[int(rng.integers(-max_r, max_r + 1)) for _ in range(3)]
+                for _ in range(int(rng.integers(2, 5)))]
+        terms = " + ".join(
+            prev + "[" + ",".join(
+                f"{it}{o:+d}" if o else it
+                for it, o in zip("ijk", off)) + "]"
+            for off in offs)
+        fields = {prev}
+        extra = ""
+        if s > 2 and rng.random() < 0.4:
+            far = str(rng.choice(avail[:-1]))
+            extra = f" + 0.1 * {far}[i,j,k]"
+            fields.add(far)
+        prog[f"s{s}"] = {
+            "computation_string":
+                f"s{s} = {1.0/len(offs):.5f} * ({terms}){extra}",
+            "boundary_conditions": {
+                f: {"type": "constant",
+                    "value": float(rng.uniform(-1, 1))} for f in fields},
+            "data_type": "float32"}
+        avail.append(f"s{s}")
+    return {"inputs": {"a": {"data": "random:-1,1",
+                             "data_type": "float32"}},
+            "outputs": [avail[-1]], "dimensions": dims, "program": prog}
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_deep_chain_stream_and_sim(seed):
+    rng = np.random.default_rng(7000 + seed)
+    spec = _deep_program(rng, int(rng.integers(10, 17)))
+    p = sft.parse_program(spec, name=f"deep{seed}")
+    inputs = sft.load_input_arrays(p, seed=seed)
+    out = p.outputs[0]
+    ref = np.asarray(sft.run_interpreter(p, inputs)[out], dtype=np.float64)
+    got = run_chain_stream(p, inputs, interpret=True)[out]
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+    gs = NativeSimulator(p).run(inputs).outputs[out]
+    np.testing.assert_allclose(gs, ref, rtol=3e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("seed", range(20))
 def test_random_program_all_engines(seed):
     rng = np.random.default_rng(1000 + seed)
