@@ -22,6 +22,7 @@ from .frontend.chain import ChainGraph, CycleError
 from .frontend.analysis import ChainAnalysis, flatten_index
 from .frontend.canonicalize import canonicalize, version_program
 from .frontend.trace import trace_program
+from .frontend.export import program_to_json
 from .interpreter import ChainInterpreter, run_interpreter
 from .data import (arrays_are_equal, load_array, load_input_arrays,
                    prune_halo, save_array, save_output_arrays)
@@ -35,7 +36,7 @@ __all__ = [
     "parse_program", "StencilSyntaxError",
     "ChainGraph", "CycleError",
     "ChainAnalysis", "flatten_index",
-    "canonicalize", "version_program", "trace_program",
+    "canonicalize", "version_program", "trace_program", "program_to_json",
     "ChainInterpreter", "run_interpreter",
     "arrays_are_equal", "load_array", "load_input_arrays", "prune_halo",
     "save_array", "save_output_arrays",

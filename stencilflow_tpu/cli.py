@@ -70,6 +70,31 @@ def _cmd_simulate(args) -> int:
     return 0
 
 
+def _cmd_canonicalize(args) -> int:
+    """Canonicalization passes + JSON re-export — the analogue of
+    bin/canonicalize_sdfg.py (cleanup) + bin/sdfg_to_stencilflow.py
+    (dialect emission)."""
+    import json as _json
+
+    from .frontend.canonicalize import canonicalize
+    from .frontend.export import program_to_json
+    from .frontend.parser import parse_program
+    program = parse_program(args.stencil_file)
+    constants = {}
+    if args.symbols:
+        for kv in args.symbols.split(","):
+            k, v = kv.split("=")
+            constants[k.strip()] = float(v)
+    program = canonicalize(program, constants=constants or None,
+                           min_max_to_select=args.predicate_min_max)
+    spec = program_to_json(program)
+    out = args.output or f"{program.name}_canonical.json"
+    with open(out, "w") as f:
+        _json.dump(spec, f, indent=2)
+    print(f"wrote {out} ({len(program.kernels)} kernels)")
+    return 0
+
+
 def _cmd_compile(args) -> int:
     """Lower a program and save the compiled artifact (StableHLO text) —
     the analogue of bin/sdfg_generator.py's JSON -> SDFG file flow."""
@@ -261,6 +286,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the Python machine instead of the C++ core")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=_cmd_simulate)
+
+    p = sub.add_parser("canonicalize",
+                       help="cleanup passes + JSON dialect re-export")
+    p.add_argument("stencil_file")
+    p.add_argument("-o", "--output")
+    p.add_argument("--symbols", help='e.g. "C=1.5,D=2"')
+    p.add_argument("--predicate-min-max", action="store_true")
+    p.set_defaults(fn=_cmd_canonicalize)
 
     p = sub.add_parser("compile",
                        help="lower a program and save the StableHLO "

@@ -202,6 +202,58 @@ class TestTracedFrontend:
         np.testing.assert_array_equal(res.outputs["b"], ref)
 
 
+class TestExport:
+    def test_roundtrip_json_fixture(self):
+        """parse -> export -> parse reproduces identical results."""
+        from stencilflow_tpu.frontend.export import program_to_json
+        spec = sft_jacobi_dict()
+        p = sft.parse_program(spec, name="rt")
+        inputs = sft.load_input_arrays(p, seed=1)
+        ref = sft.run_interpreter(p, inputs)
+        p2 = sft.parse_program(program_to_json(p), name="rt2")
+        out = sft.run_interpreter(p2, inputs)
+        np.testing.assert_array_equal(np.asarray(ref["s1"]),
+                                      np.asarray(out["s1"]))
+
+    def test_traced_program_exports(self):
+        from stencilflow_tpu.frontend.export import program_to_json
+        rng = np.random.default_rng(4)
+        a = rng.random((8, 8)).astype(np.float32)
+
+        def model(av):
+            b = 0.25 * (av[0, -1, 0] + av[0, 1, 0] +
+                        av[0, 0, -1] + av[0, 0, 1])
+            return {"b": b}
+
+        p = trace_program(model, dimensions=(8, 8),
+                          inputs={"a": np.float32}, name="texp")
+        spec = program_to_json(p)
+        p2 = sft.parse_program(spec, name="texp2")
+        ref = sft.run_interpreter(p, {"a": a})["b"]
+        out = sft.run_interpreter(p2, {"a": a})["b"]
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    def test_multistatement_and_ternary_roundtrip(self):
+        from stencilflow_tpu.frontend.export import program_to_json
+        rng = np.random.default_rng(5)
+        a = rng.random((6, 6)).astype(np.float32)
+        p = sft.parse_program({
+            "inputs": {"a": {"data": a, "data_type": "float32"}},
+            "outputs": ["b"], "dimensions": [6, 6],
+            "program": {"b": {
+                "computation_string":
+                    "t = a[j,k] * 2.0; b = t if a[j,k-1] > 0.5 "
+                    "else min(t, 0.25)",
+                "boundary_conditions": {
+                    "a": {"type": "copy", "value": 0.0}},
+                "data_type": "float32"}},
+        }, name="ms")
+        p2 = sft.parse_program(program_to_json(p), name="ms2")
+        ref = sft.run_interpreter(p, {"a": a})["b"]
+        out = sft.run_interpreter(p2, {"a": a})["b"]
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
 def sft_jacobi_dict():
     from stencilflow_tpu.synthesize import jacobi
     return jacobi(2, 16, iterations=2)
