@@ -30,6 +30,7 @@ def _cmd_run(args) -> int:
             halo=args.halo, repetitions=args.repetitions,
             backend=args.backend, print_result=args.print_result,
             mxu="off" if args.no_mxu else "auto",
+            log_level=args.log_level,
             seed=args.seed)
     except VerificationError as exc:
         print(f"VERIFICATION FAILED: {exc}", file=sys.stderr)

@@ -60,14 +60,23 @@ def run_program(stencil_file, mode: str = "emulation",
                 results_base: str = "results",
                 seed: int = 0,
                 print_result: bool = False,
+                log_level: int = 1,
                 raise_on_mismatch: bool = True) -> RunResult:
     """Run one stencil program end to end.  ``stencil_file`` may be a path,
     a JSON dict, or an already-parsed Program."""
+    from .utils.log import LogLevel, log
     if isinstance(stencil_file, ir.Program):
         program = stencil_file
     else:
         program = parse_program(stencil_file)
     analysis = ChainAnalysis.run(program)
+    log(LogLevel.BASIC, log_level,
+        f"[{program.name}] {len(program.kernels)} kernels, "
+        f"dims {list(program.raw_dimensions)}, "
+        f"critical path {analysis.critical_path_cycles} cycles")
+    if int(log_level) >= int(LogLevel.MODERATE):
+        from .report import Report
+        print(Report.build(program, analysis).full_dump())
 
     if generate_input or synthetic_reads:
         # generate_input: replace file-backed inputs with constant data
