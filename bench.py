@@ -84,17 +84,19 @@ def main():
             return fn({in_name: x})[out_name]
         return jax.lax.fori_loop(0, r, body, a).sum()
 
-    def timed(reps: int) -> float:
+    def timed(reps: int, trials: int) -> float:
         np.asarray(loop(reps))  # warm up (compile shared across reps)
         best = float("inf")
-        for _ in range(3):
+        for _ in range(trials):
             t0 = time.perf_counter()
             np.asarray(loop(reps))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    small, big = (2, 10) if not on_tpu else (4, 20)
-    dt = (timed(big) - timed(small)) / (big - small)
+    # the device tunnel adds noisy per-dispatch latency: difference two
+    # loop lengths, best-of-N trials each
+    small, big, trials = (2, 10, 3) if not on_tpu else (6, 30, 5)
+    dt = (timed(big, trials) - timed(small, trials)) / (big - small)
 
     cells = float(np.prod(program.dimensions))
     gcell_s = cells / dt / 1e9
