@@ -15,11 +15,13 @@ def compile_chain_best(program, analysis=None, interpret: bool = False):
     one write per element), then overlapped-tile Pallas, then plain XLA.
     Returns ``(fn, backend_name)``.
     """
+    import jax
+
     from ..frontend.analysis import ChainAnalysis
     analysis = analysis or ChainAnalysis.run(program)
-    if interpret:
-        # emulation: interpreted Pallas walks the grid in Python — the
-        # fused-XLA path is orders of magnitude faster and equally correct
+    if interpret or jax.devices()[0].platform == "cpu":
+        # emulation (or CPU host, where compiled Mosaic is unavailable):
+        # the fused-XLA path is fast everywhere and equally correct
         return compile_chain(program, analysis), "xla"
     try:
         from .stream import compile_chain_stream

@@ -71,6 +71,26 @@ def _cmd_simulate(args) -> int:
     return 0
 
 
+def _cmd_iterate(args) -> int:
+    """Time-step a chain with device-resident state and checkpoints."""
+    from .data import load_input_arrays, save_output_arrays
+    from .frontend.parser import parse_program
+    from .iterate import iterate
+    program = parse_program(args.stencil_file)
+    inputs = load_input_arrays(program, prefix=args.input_directory,
+                               seed=args.seed)
+    state = iterate(program, inputs, args.steps,
+                    chunk=args.chunk,
+                    checkpoint_every=args.checkpoint_every,
+                    checkpoint_dir=args.checkpoint_dir,
+                    resume=not args.no_resume)
+    print(f"ran {args.steps} steps")
+    if args.output_dir:
+        save_output_arrays(state, args.output_dir)
+        print(f"state written to {args.output_dir}/")
+    return 0
+
+
 def _cmd_canonicalize(args) -> int:
     """Canonicalization passes + JSON re-export — the analogue of
     bin/canonicalize_sdfg.py (cleanup) + bin/sdfg_to_stencilflow.py
@@ -287,6 +307,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the Python machine instead of the C++ core")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=_cmd_simulate)
+
+    p = sub.add_parser("iterate",
+                       help="time-step a chain with checkpoint/resume")
+    p.add_argument("stencil_file")
+    p.add_argument("--steps", type=int, required=True)
+    p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--checkpoint-dir")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--output-dir")
+    p.add_argument("--input-directory")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=_cmd_iterate)
 
     p = sub.add_parser("canonicalize",
                        help="cleanup passes + JSON dialect re-export")

@@ -211,10 +211,10 @@ class TestStreamBackend:
     def test_best_backend_selector(self):
         from stencilflow_tpu.backend import compile_chain_best
         p = _program_jacobi3d(size=12, iters=2)
-        # on-hardware selection prefers the streaming kernel
+        # CPU host (this test env) and emulation both route to the fused-XLA
+        # path — compiled Mosaic needs real TPU, interpreted pallas is slow
         fn_hw, name_hw = compile_chain_best(p)
-        assert name_hw == "stream"
-        # emulation routes to the fused-XLA path (interpreted pallas is slow)
+        assert name_hw == "xla"
         fn, name = compile_chain_best(p, interpret=True)
         assert name == "xla"
         inputs = sft.load_input_arrays(p, seed=13)

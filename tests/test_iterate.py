@@ -1,0 +1,99 @@
+"""Iterative solver driver tests: unrolled-vs-iterated equivalence,
+checkpoint/resume, and multi-chip iteration."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+import stencilflow_tpu as sft
+from stencilflow_tpu.iterate import IterateError, iterate
+from stencilflow_tpu.synthesize import jacobi
+
+
+def _one_step_program(size=16, dims=2):
+    return sft.parse_program(jacobi(dims, size, iterations=1),
+                             name=f"step{dims}d")
+
+
+class TestIterate:
+    def test_matches_unrolled_chain(self):
+        """N iterations of a 1-step program == the N-step unrolled chain."""
+        p1 = _one_step_program()
+        p4 = sft.parse_program(jacobi(2, 16, iterations=4), name="unroll4")
+        inputs = sft.load_input_arrays(p1, seed=1)
+        ref = np.asarray(sft.run_interpreter(p4, inputs)["s3"])
+        state = iterate(p1, inputs, steps=4, interpret=True, chunk=2)
+        np.testing.assert_allclose(state["a"], ref, rtol=1e-5, atol=1e-7)
+
+    def test_checkpoint_and_resume(self, tmp_path):
+        p1 = _one_step_program()
+        inputs = sft.load_input_arrays(p1, seed=2)
+        ckpt = str(tmp_path / "ck")
+        full = iterate(p1, inputs, steps=6, interpret=True, chunk=2,
+                       checkpoint_every=2, checkpoint_dir=ckpt)
+        # checkpoints written at steps 2, 4, 6
+        names = sorted(os.listdir(ckpt))
+        assert "step_2.npz" in names and "step_6.npz" in names
+
+        # delete the last checkpoint; resume continues from step 4
+        os.remove(os.path.join(ckpt, "step_6.npz"))
+        resumed = iterate(p1, inputs, steps=6, interpret=True, chunk=2,
+                          checkpoint_every=2, checkpoint_dir=ckpt)
+        np.testing.assert_array_equal(full["a"], resumed["a"])
+
+    def test_resume_ignores_inputs(self, tmp_path):
+        """After a checkpoint exists, fresh inputs are ignored (state
+        restores from disk)."""
+        p1 = _one_step_program()
+        inputs = sft.load_input_arrays(p1, seed=3)
+        ckpt = str(tmp_path / "ck2")
+        iterate(p1, inputs, steps=4, interpret=True,
+                checkpoint_every=4, checkpoint_dir=ckpt)
+        junk = {"a": np.zeros_like(inputs["a"])}
+        resumed = iterate(p1, junk, steps=4, interpret=True,
+                          checkpoint_every=4, checkpoint_dir=ckpt)
+        expect = iterate(p1, inputs, steps=4, interpret=True)
+        np.testing.assert_array_equal(resumed["a"], expect["a"])
+
+    def test_multichip_iterate(self):
+        p1 = _one_step_program(size=16, dims=3)
+        inputs = sft.load_input_arrays(p1, seed=4)
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
+        state = iterate(p1, inputs, steps=3, mesh=mesh,
+                        dim_axes=(None, "x", "y"), chunk=3)
+        p3 = sft.parse_program(jacobi(3, 16, iterations=3), name="u3")
+        ref = np.asarray(sft.run_interpreter(p3, inputs)["s2"])
+        np.testing.assert_allclose(state["a"], ref, rtol=1e-5, atol=1e-7)
+
+    def test_ambiguous_feed_raises(self):
+        rng = np.random.default_rng(5)
+        p = sft.parse_program({
+            "inputs": {"a": {"data": rng.random((4, 4)),
+                             "data_type": "float32"},
+                       "b": {"data": rng.random((4, 4)),
+                             "data_type": "float32"}},
+            "outputs": ["c"], "dimensions": [4, 4],
+            "program": {"c": {
+                "computation_string": "c = a[j,k] + b[j,k]",
+                "boundary_conditions": {
+                    "a": {"type": "constant", "value": 0},
+                    "b": {"type": "constant", "value": 0}},
+                "data_type": "float32"}},
+        }, name="amb")
+        with pytest.raises(IterateError):
+            iterate(p, sft.load_input_arrays(p), steps=1, interpret=True)
+
+    def test_cli_iterate(self, tmp_path, capsys):
+        import json
+        from stencilflow_tpu.cli import main as cli_main
+        spec = jacobi(2, 8, iterations=1)
+        path = tmp_path / "p.json"
+        path.write_text(json.dumps(spec, default=str))
+        rc = cli_main(["iterate", str(path), "--steps", "3",
+                       "--output-dir", str(tmp_path / "out")])
+        assert rc == 0
+        assert (tmp_path / "out" / "a.dat").exists()
