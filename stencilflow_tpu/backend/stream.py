@@ -56,7 +56,8 @@ class StreamPlan:
     def build(cls, analysis: ChainAnalysis,
               local_jk: Optional[Tuple[int, int]] = None,
               halo_jk: Tuple[int, int] = (0, 0),
-              block: int = 1) -> "StreamPlan":
+              block: int = 1,
+              min_lag_max: int = 0) -> "StreamPlan":
         # Single chip: planes span the full (J, K) domain, unwidened —
         # circular-roll wrap-around of a j/k-offset read lands exactly on
         # the cells whose global index is out of domain, and every read
@@ -83,8 +84,10 @@ class StreamPlan:
                  for f in analysis.graph.producers(kname)),
                 default=0)  # constant/scalar-only kernels read no fields
         lag_max = max(lag[o] for o in program.outputs)
-        # pad the output skew to a block multiple so emitted planes align
-        # with whole output blocks (micro-step blocking)
+        # floor for i-sharded decomposition (emission must outlast the
+        # top-halo ingestion), then pad to a block multiple so emitted
+        # planes align with whole output blocks (micro-step blocking)
+        lag_max = max(lag_max, min_lag_max)
         lag_max = -(-lag_max // block) * block
 
         ring: Dict[str, int] = {}
@@ -113,7 +116,7 @@ class StreamPlan:
 def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         plan: StreamPlan, input_names, input_kinds,
                         local_i, sharded, mxu_plans, pool_keys,
-                        transform_keys, block, jtiled, *refs):
+                        transform_keys, block, jtiled, emit_off, *refs):
     """One grid step: ingest ``block`` input planes, advance every stage
     ``block`` planes, emit ``block`` output planes (micro-steps amortize the
     per-grid-step pipeline overhead).  With ``sharded`` the first ref is a
@@ -349,9 +352,11 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 write_transforms(kname, slot, result)
 
         # 3. emit plane m of the output block at index max(gb - lagB, 0)
-        #    (clamped during warmup; the final write to each block wins)
-        p_out = jnp.maximum(gb - jnp.int32(lagB), 0) * jnp.int32(block) \
-            + jnp.int32(m)
+        #    (clamped during warmup; the final write to each block wins).
+        #    With an i-halo (emit_off, sharded i-decomposition, block == 1)
+        #    the emitted ring plane is offset into the core region.
+        p_out = (jnp.maximum(gb - jnp.int32(lagB + emit_off), 0)
+                 + jnp.int32(emit_off)) * jnp.int32(block) + jnp.int32(m)
         for out_name, ref in zip(program.outputs, out_refs):
             oslot = jax.lax.rem(p_out, jnp.int32(plan.ring[out_name]))
             plane = rings[out_name][oslot]
@@ -561,7 +566,7 @@ def compile_chain_stream(program: ir.Program,
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
                                input_names, input_kinds, I, False,
                                mxu_plans, tuple(pool_keys),
-                               tuple(transform_keys), block, jtiles > 1)
+                               tuple(transform_keys), block, jtiles > 1, 0)
 
     grid = (-(-I // block) + lagB,)
     semantics = ("arbitrary",)
@@ -618,17 +623,20 @@ def run_chain_stream(program: ir.Program, inputs: Dict[str, Any],
 def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
                          plan: StreamPlan, local_block,
                          interpret: bool = False,
-                         vmem_budget: int = 96 * 2**20):
+                         vmem_budget: int = 96 * 2**20,
+                         halo_i: int = 0):
     """Per-shard streaming kernel for domain decomposition.
 
     Returns ``fn(origin_i32[3], widened_inputs: dict) -> outputs: dict`` of
     local core blocks; inputs are the halo-exchanged local blocks (widened
-    by ``plan.halo_jk`` in the sharded dims), ``origin`` the global offset
-    of this device's core block.  Called inside shard_map
+    by ``plan.halo_jk`` in the sharded dims and by ``halo_i`` planes in the
+    streamed dim when dim 0 is sharded), ``origin`` the global offset of
+    this device's core block minus ``halo_i``.  Called inside shard_map
     (parallel/domain.py)."""
     Bi, Bj, Bk = local_block
     pj, pk = plan.plane
     dims = program.dimensions
+    Ii = Bi + 2 * halo_i       # local streamed extent (widened planes)
 
     input_names = list(program.inputs)
     input_kinds = []
@@ -641,14 +649,14 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
             in_specs.append(pl.BlockSpec((1, 1), lambda g: (0, 0),
                                          memory_space=pltpu.SMEM))
         elif spec.dim_mask[0]:
-            if not (spec.dim_mask[1] and spec.dim_mask[2]):
-                raise ValueError(
-                    f"input {name} spans i but not all of (j, k); "
-                    "unsupported by the streaming lowering")
-            input_kinds.append("stream")
+            full = spec.dim_mask[1] and spec.dim_mask[2]
+            input_kinds.append("stream" if full else "stream_partial")
+            jk_dims = [d for d in (1, 2) if spec.dim_mask[d]]
+            sizes = tuple([1] + [(pj, pk)[d - 1] for d in jk_dims])
             in_specs.append(pl.BlockSpec(
-                (1, pj, pk),
-                lambda g: (jnp.minimum(g, Bi - 1), 0, 0),
+                sizes,
+                lambda g, n=len(jk_dims): (jnp.minimum(g, Ii - 1),)
+                + (0,) * n,
                 memory_space=pltpu.VMEM))
         else:
             input_kinds.append("static")
@@ -663,7 +671,7 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
     for out in program.outputs:
         out_specs.append(pl.BlockSpec(
             (1, Bj, Bk),
-            lambda g: (jnp.maximum(g - plan.lag_max, 0), 0, 0),
+            lambda g: (jnp.maximum(g - plan.lag_max - halo_i, 0), 0, 0),
             memory_space=pltpu.VMEM))
         out_dtype = jax.dtypes.canonicalize_dtype(program.kernels[out].dtype)
         out_shapes.append(jax.ShapeDtypeStruct((Bi, Bj, Bk), out_dtype))
@@ -675,12 +683,14 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
     ]
 
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
-                               input_names, input_kinds, Bi, True, {}, (),
-                               (), 1, False)
+                               input_names, input_kinds, Ii, True, {}, (),
+                               (), 1, False, halo_i)
 
+    assert plan.lag_max >= halo_i, \
+        "sharded-i plans must be built with min_lag_max=halo_i"
     call = pl.pallas_call(
         kernel,
-        grid=(Bi + plan.lag_max,),
+        grid=(Bi + halo_i + plan.lag_max,),
         in_specs=in_specs,
         out_specs=out_specs[0] if len(out_specs) == 1 else out_specs,
         out_shape=out_shapes[0] if len(out_shapes) == 1 else out_shapes,

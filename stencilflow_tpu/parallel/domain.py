@@ -171,7 +171,12 @@ def _local_forward_stream(plan: DomainDecomposition, stream_fn,
     for d in range(3):
         ax = plan.dim_axes[d]
         idx = lax.axis_index(ax) if ax is not None else 0
-        origin.append(jnp.int32(idx * plan.block[d]))
+        off = jnp.int32(idx * plan.block[d])
+        if d == 0:
+            # local plane g corresponds to global i = origin + g with the
+            # origin shifted back by the exchanged i-halo
+            off = off - jnp.int32(plan.halo[0])
+        origin.append(off)
     results = stream_fn(jnp.stack(origin), tiles)
     raw = program.raw_dimensions
     local_raw = tuple(plan.block[3 - len(raw) + i] for i in range(len(raw)))
@@ -199,18 +204,17 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
 
     if local_backend == "auto":
         on_cpu = jax.devices()[0].platform == "cpu"
-        local_backend = "xla" if (interpret or on_cpu or
-                                  dim_axes[0] is not None) else "stream"
+        local_backend = "xla" if (interpret or on_cpu) else "stream"
     if local_backend == "stream":
         from ..backend.stream import StreamPlan, compile_local_stream
-        if plan.dim_axes[0] is not None and mesh.shape[plan.dim_axes[0]] > 1:
-            raise ValueError("stream local backend requires the streamed "
-                             "dim 0 to be unsharded")
+        halo_i = plan.halo[0]
         splan = StreamPlan.build(analysis,
                                  local_jk=(plan.block[1], plan.block[2]),
-                                 halo_jk=(plan.halo[1], plan.halo[2]))
+                                 halo_jk=(plan.halo[1], plan.halo[2]),
+                                 min_lag_max=halo_i)
         stream_fn = compile_local_stream(program, analysis, splan,
-                                         plan.block, interpret=interpret)
+                                         plan.block, interpret=interpret,
+                                         halo_i=halo_i)
         body = functools.partial(_local_forward_stream, plan, stream_fn)
     else:
         body = functools.partial(_local_forward, plan, graph)

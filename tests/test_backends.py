@@ -151,6 +151,25 @@ class TestStreamBackend:
         np.testing.assert_allclose(got, ref, rtol=1e-6)
 
     @pytest.mark.parametrize("boundary", ["constant", "copy"])
+    def test_i_sharded_stream_local_backend(self, boundary):
+        """Streamed dim sharded across devices: i-halo exchanged planes
+        feed the per-shard stream kernel with a shifted origin."""
+        from stencilflow_tpu.parallel.domain import compile_sharded_chain
+        p = _program_jacobi3d(size=16, iters=2, boundary=boundary)
+        inputs = sft.load_input_arrays(p, seed=51)
+        ref = _oracle(p, inputs)["s1"]
+        devs = np.array(jax.devices()[:4]).reshape(2, 2)
+        mesh = Mesh(devs, ("x", "y"))
+        fn, plan = compile_sharded_chain(p, mesh, ("x", "y", None),
+                                         local_backend="stream",
+                                         interpret=True)
+        sh = plan.input_shardings()
+        dev_in = {n: jax.device_put(jnp.asarray(v), sh[n])
+                  for n, v in inputs.items()}
+        out = np.asarray(fn(dev_in)["s1"])
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+    @pytest.mark.parametrize("boundary", ["constant", "copy"])
     def test_jtiled_large_plane_fallback(self, boundary):
         """Planes over the VMEM budget stream in j-tiles widened by the
         chain halo (BC masks use the tile origin)."""
