@@ -116,7 +116,8 @@ class StreamPlan:
 def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         plan: StreamPlan, input_names, input_kinds,
                         local_i, sharded, mxu_plans, pool_keys,
-                        transform_keys, block, jtiled, emit_off, *refs):
+                        transform_keys, block, jtiled, emit_off,
+                        compute_dtype, *refs):
     """One grid step: ingest ``block`` input planes, advance every stage
     ``block`` planes, emit ``block`` output planes (micro-steps amortize the
     per-grid-step pipeline overhead).  With ``sharded`` the first ref is a
@@ -343,6 +344,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             if result.shape != plan.plane:
                 result = jnp.broadcast_to(result, plan.plane)
             result = result.astype(
+                compute_dtype or
                 jax.dtypes.canonicalize_dtype(kspec.dtype))
 
             @pl.when(q >= 0)
@@ -362,7 +364,8 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             plane = rings[out_name][oslot]
             core = jax.lax.slice(plane, (hj, hk),
                                  (hj + core_j, hk + core_k))
-            ref[pl.ds(m, 1)] = core.reshape(1, core_j, core_k)
+            ref[pl.ds(m, 1)] = core.reshape(1, core_j, core_k).astype(
+                ref.dtype)
 
 
 def compile_chain_stream(program: ir.Program,
@@ -371,9 +374,13 @@ def compile_chain_stream(program: ir.Program,
                          vmem_budget: int = 96 * 2**20,
                          mxu: str = "auto",
                          mxu_min_footprint: int = 12,
-                         block: int = 0):
+                         block: int = 0,
+                         compute_dtype=None):
     """Build a jitted ``fn(inputs) -> outputs`` around the streaming kernel.
 
+    ``compute_dtype``: optional reduced-precision storage/compute type
+    (e.g. "bfloat16") — halves HBM traffic and VMEM for bandwidth-bound
+    chains at reduced accuracy (outputs cast back to the program dtype).
     ``mxu``: "auto" lowers wide affine stages (footprint >=
     ``mxu_min_footprint``) to banded matmuls on the MXU (backend/linear.py);
     "off" keeps everything on the VPU.  ``block``: planes per grid step
@@ -385,6 +392,9 @@ def compile_chain_stream(program: ir.Program,
     analysis = analysis or ChainAnalysis.run(program)
     dims = program.dimensions
     I, J, K = dims
+    if compute_dtype is not None:
+        compute_dtype = jax.dtypes.canonicalize_dtype(
+            jnp.dtype(compute_dtype))
 
     # planes too large for VMEM rings: tile the j dimension, widening each
     # tile by the chain's cumulative j-halo (BC masks use the tile origin).
@@ -548,6 +558,7 @@ def compile_chain_stream(program: ir.Program,
 
     scratch_shapes = [
         pltpu.VMEM((plan.ring[f], pj, pk),
+                   compute_dtype or
                    jax.dtypes.canonicalize_dtype(program.field_dtype(f)))
         for f in plan.ring
     ]
@@ -566,7 +577,8 @@ def compile_chain_stream(program: ir.Program,
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
                                input_names, input_kinds, I, False,
                                mxu_plans, tuple(pool_keys),
-                               tuple(transform_keys), block, jtiles > 1, 0)
+                               tuple(transform_keys), block, jtiles > 1, 0,
+                               compute_dtype)
 
     grid = (-(-I // block) + lagB,)
     semantics = ("arbitrary",)
@@ -601,7 +613,10 @@ def compile_chain_stream(program: ir.Program,
             arr = arr.reshape(shape)
             pads = [(0, 0) if d == 0 else ((hj, hj) if d == 1 else (hk, hk))
                     for d in spanned]
-            args.append(jnp.pad(arr, pads))
+            arr = jnp.pad(arr, pads)
+            if compute_dtype is not None:
+                arr = arr.astype(compute_dtype)
+            args.append(arr)
         for arr in pool_arrays:
             args.append(jnp.asarray(arr))
         res = call(*args)
@@ -684,7 +699,7 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
 
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
                                input_names, input_kinds, Ii, True, {}, (),
-                               (), 1, False, halo_i)
+                               (), 1, False, halo_i, None)
 
     assert plan.lag_max >= halo_i, \
         "sharded-i plans must be built with min_lag_max=halo_i"

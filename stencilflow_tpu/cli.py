@@ -31,6 +31,7 @@ def _cmd_run(args) -> int:
             backend=args.backend, print_result=args.print_result,
             mxu="off" if args.no_mxu else "auto",
             log_level=args.log_level,
+            profile_dir=args.profile,
             seed=args.seed)
     except VerificationError as exc:
         print(f"VERIFICATION FAILED: {exc}", file=sys.stderr)
@@ -296,6 +297,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="replace ALL inputs with constants for "
                         "pure-compute benchmarking")
     p.add_argument("--log-level", type=int, default=1, choices=[0, 1, 2, 3])
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a jax.profiler trace of the run")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=_cmd_run)
 

@@ -61,6 +61,7 @@ def run_program(stencil_file, mode: str = "emulation",
                 seed: int = 0,
                 print_result: bool = False,
                 log_level: int = 1,
+                profile_dir: Optional[str] = None,
                 raise_on_mismatch: bool = True) -> RunResult:
     """Run one stencil program end to end.  ``stencil_file`` may be a path,
     a JSON dict, or an already-parsed Program."""
@@ -145,11 +146,21 @@ def run_program(stencil_file, mode: str = "emulation",
                       getattr(v, "ndim", 0) > 0 else v
                       for k, v in inputs.items()}
         out = fn(dev_inputs)  # warm up: compile outside the timed region
-        t0 = time.perf_counter()
-        for _ in range(max(1, repetitions)):
-            out = fn(dev_inputs)
-        outputs = {k: np.asarray(v) for k, v in out.items()}
-        result.wall_time_s = (time.perf_counter() - t0) / max(1, repetitions)
+        import contextlib
+        ctx = contextlib.nullcontext()
+        if profile_dir:
+            import jax
+            ctx = jax.profiler.trace(profile_dir)
+        with ctx:
+            t0 = time.perf_counter()
+            for _ in range(max(1, repetitions)):
+                out = fn(dev_inputs)
+            outputs = {k: np.asarray(v) for k, v in out.items()}
+            result.wall_time_s = (time.perf_counter() - t0) \
+                / max(1, repetitions)
+        if profile_dir:
+            print(f"profiler trace written to {profile_dir}/ "
+                  "(view with TensorBoard or xprof)")
         result.outputs = outputs
         result.backend = bname
 

@@ -227,6 +227,18 @@ class TestStreamBackend:
                                        err_msg=f"xla {o}")
             np.testing.assert_array_equal(got_sim[o], ref[o])
 
+    def test_bfloat16_compute_dtype(self):
+        from stencilflow_tpu.backend.stream import compile_chain_stream
+        p = _program_jacobi3d(size=12, iters=2)
+        inputs = sft.load_input_arrays(p, seed=61)
+        ref = _oracle(p, inputs)["s1"]
+        fn = compile_chain_stream(p, interpret=True,
+                                  compute_dtype="bfloat16")
+        got = np.asarray(fn({k: jnp.asarray(v)
+                             for k, v in inputs.items()})["s1"])
+        assert got.dtype == np.float32      # cast back to the program dtype
+        np.testing.assert_allclose(got, ref, rtol=3e-2, atol=1e-2)
+
     def test_best_backend_selector(self):
         from stencilflow_tpu.backend import compile_chain_best
         p = _program_jacobi3d(size=12, iters=2)
