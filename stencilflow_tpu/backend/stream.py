@@ -90,8 +90,12 @@ class StreamPlan:
         lag_max = max(lag_max, min_lag_max)
         lag_max = -(-lag_max // block) * block
 
+        # rings exist only for streamed fields (kernels and i-spanning
+        # inputs); scalars and static planes are cached, not ring-buffered
+        streamed = [n for n, sp in program.inputs.items()
+                    if not sp.is_scalar and sp.dim_mask[0]]
         ring: Dict[str, int] = {}
-        for f in list(program.inputs) + list(program.kernels):
+        for f in streamed + list(program.kernels):
             depth = 1
             for c in analysis.graph.consumers(f):
                 if c not in program.kernels:
@@ -104,11 +108,13 @@ class StreamPlan:
         return cls(lag, ring, lag_max, (hj, hk),
                    (lj + 2 * hj, lk + 2 * hk))
 
-    def vmem_bytes(self, program: ir.Program) -> int:
+    def vmem_bytes(self, program: ir.Program, compute_dtype=None) -> int:
         pj, pk = self.plane
         total = 0
         for f, depth in self.ring.items():
-            itemsize = np.dtype(program.field_dtype(f)).itemsize
+            itemsize = (np.dtype(compute_dtype).itemsize if compute_dtype
+                        is not None else
+                        np.dtype(program.field_dtype(f)).itemsize)
             total += depth * pj * pk * itemsize
         return total
 
@@ -405,11 +411,11 @@ def compile_chain_stream(program: ir.Program,
     tile_jk = None
     halo_jk = (0, 0)
     plan = StreamPlan.build(analysis)
-    if plan.vmem_bytes(program) > vmem_budget * 0.7:
+    if plan.vmem_bytes(program, compute_dtype) > vmem_budget * 0.7:
         from .xla import chain_halo
         hjt = chain_halo(analysis)[1]
         found = None
-        trial_bytes = plan.vmem_bytes(program)
+        trial_bytes = plan.vmem_bytes(program, compute_dtype)
         for cand_tiles in range(2, J + 1):
             if J % cand_tiles:
                 continue
@@ -418,7 +424,7 @@ def compile_chain_stream(program: ir.Program,
                 continue
             trial = StreamPlan.build(analysis, local_jk=(cand, K),
                                      halo_jk=(hjt, 0))
-            trial_bytes = trial.vmem_bytes(program)
+            trial_bytes = trial.vmem_bytes(program, compute_dtype)
             if trial_bytes <= vmem_budget * 0.7:
                 found, jtiles = cand, cand_tiles
                 tile_jk, halo_jk = (cand, K), (hjt, 0)
@@ -481,8 +487,8 @@ def compile_chain_stream(program: ir.Program,
         transform_bytes = sum(plan.ring[f] * pj * pk * 4
                               for (f, _l, _r) in transform_keys)
         pool_bytes = sum(a.nbytes for a in pool_arrays)
-        if (plan.vmem_bytes(program) + transform_bytes + pool_bytes
-                > vmem_budget * 0.7):
+        if (plan.vmem_bytes(program, compute_dtype) + transform_bytes
+                + pool_bytes > vmem_budget * 0.7):
             mxu_plans, pool_keys, pool_arrays, transform_keys = \
                 {}, [], [], []
 

@@ -34,10 +34,16 @@ class IterateError(ValueError):
 
 
 def _default_feed(program: ir.Program) -> Dict[str, str]:
-    """Map each array input to an output of matching shape (unique case)."""
-    array_inputs = [n for n, s in program.inputs.items() if not s.is_scalar]
-    if len(array_inputs) == 1 and len(program.outputs) == 1:
-        return {array_inputs[0]: program.outputs[0]}
+    """Map the unique full-domain input to the unique output (only
+    full-domain inputs are feedable; lower-rank coefficient arrays and
+    scalars are carried unchanged)."""
+    raw = tuple(program.raw_dimensions)
+    feedable = [
+        n for n, s in program.inputs.items()
+        if not s.is_scalar and tuple(s.shape(program.dimensions)) == raw
+    ]
+    if len(feedable) == 1 and len(program.outputs) == 1:
+        return {feedable[0]: program.outputs[0]}
     raise IterateError(
         "ambiguous feedback: pass feed={input_name: output_name}")
 
@@ -63,13 +69,27 @@ def make_step(program: ir.Program,
 
     analysis = ChainAnalysis.run(program)
     if mesh is not None:
+        if dim_axes is None:
+            raise IterateError("mesh requires dim_axes, e.g. "
+                               "(None, 'x', 'y')")
         from .parallel.domain import compile_sharded_chain
         fn, _plan = compile_sharded_chain(program, mesh, dim_axes,
                                           analysis, interpret=interpret)
-    else:
+    elif backend == "auto":
         from .backend import compile_chain_best
         fn, _name = compile_chain_best(program, analysis,
                                        interpret=interpret)
+    elif backend == "stream":
+        from .backend.stream import compile_chain_stream
+        fn = compile_chain_stream(program, analysis, interpret=interpret)
+    elif backend == "pallas":
+        from .backend.pallas import compile_chain_pallas
+        fn = compile_chain_pallas(program, analysis, interpret=interpret)
+    elif backend == "xla":
+        from .backend import compile_chain
+        fn = compile_chain(program, analysis)
+    else:
+        raise IterateError(f"unknown backend: {backend}")
 
     def step(state: Dict[str, Any]) -> Dict[str, Any]:
         out = fn(state)
@@ -124,6 +144,11 @@ def iterate(program: ir.Program, inputs: Dict[str, Any], steps: int,
             latest = _latest_checkpoint(checkpoint_dir)
             if latest is not None:
                 start, path = latest
+                if start > steps:
+                    raise IterateError(
+                        f"checkpoint {path} is at step {start}, beyond the "
+                        f"requested {steps}; pass resume=False or a fresh "
+                        "checkpoint_dir")
                 data = np.load(path)
                 state = {k: jnp.asarray(data[k]) for k in state}
         # checkpoints must land on chunk boundaries
@@ -144,7 +169,10 @@ def iterate(program: ir.Program, inputs: Dict[str, Any], steps: int,
         if checkpoint_every > 0 and (done % checkpoint_every == 0 or
                                      done >= steps):
             jax.block_until_ready(state)
-            np.savez(os.path.join(checkpoint_dir, f"step_{done}.npz"),
-                     **{k: np.asarray(v) for k, v in state.items()})
+            final = os.path.join(checkpoint_dir, f"step_{done}.npz")
+            tmp = final + ".tmp.npz"
+            np.savez(tmp, **{k: np.asarray(v) for k, v in state.items()})
+            os.replace(tmp, final)  # atomic: a crash never corrupts
+            #                         the newest resumable checkpoint
 
     return {k: np.asarray(v) for k, v in state.items()}

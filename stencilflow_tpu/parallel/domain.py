@@ -60,6 +60,10 @@ class DomainDecomposition:
         analysis = analysis or ChainAnalysis.run(program)
         full_halo = chain_halo(analysis)
         dims = program.dimensions
+        if dim_axes is None:
+            raise ValueError(
+                "dim_axes is required, e.g. (None, 'x', 'y') to shard "
+                "(j, k) over a 2-D mesh")
         dim_axes = tuple(dim_axes)
         block = []
         halo = []
@@ -101,7 +105,7 @@ class DomainDecomposition:
                 for n in self.program.inputs}
 
 
-def _exchange_halo(arr, spanned_dims: Sequence[int], local_dims: Dict[int, int],
+def _exchange_halo(arr, local_dims: Dict[int, int],
                    plan: DomainDecomposition):
     """Widen a local block by the halo in every spanned dim, pulling neighbor
     slabs over ICI (zeros at global boundaries)."""
@@ -129,10 +133,12 @@ def _exchange_halo(arr, spanned_dims: Sequence[int], local_dims: Dict[int, int],
     return arr
 
 
-def _local_forward(plan: DomainDecomposition, graph: ChainGraph,
-                   inputs: Dict[str, Any]) -> Dict[str, Any]:
+def _widen_and_origin(plan: DomainDecomposition, inputs: Dict[str, Any],
+                      i_origin_shift: int = 0):
+    """Shared per-device preamble: halo-exchange every array input and
+    compute this shard's global origin (optionally shifted back by the
+    exchanged i-halo for the streaming kernel)."""
     program = plan.program
-    halo = plan.halo
     tiles: Dict[str, Any] = {}
     for name, spec in program.inputs.items():
         arr = inputs[name]
@@ -141,12 +147,23 @@ def _local_forward(plan: DomainDecomposition, graph: ChainGraph,
             continue
         spanned = [d for d in range(3) if spec.dim_mask[d]]
         local_dims = {d: plan.block[d] for d in spanned}
-        tiles[name] = _exchange_halo(arr, spanned, local_dims, plan)
+        tiles[name] = _exchange_halo(arr, local_dims, plan)
     origin = []
     for d in range(3):
         ax = plan.dim_axes[d]
         idx = lax.axis_index(ax) if ax is not None else 0
-        origin.append(idx * plan.block[d])
+        off = jnp.int32(idx * plan.block[d])
+        if d == 0 and i_origin_shift:
+            off = off - jnp.int32(i_origin_shift)
+        origin.append(off)
+    return tiles, origin
+
+
+def _local_forward(plan: DomainDecomposition, graph: ChainGraph,
+                   inputs: Dict[str, Any]) -> Dict[str, Any]:
+    program = plan.program
+    halo = plan.halo
+    tiles, origin = _widen_and_origin(plan, inputs)
     results = evaluate_chain_tile(program, graph, tiles, origin, halo)
     core = tuple(slice(halo[d], halo[d] + plan.block[d]) for d in range(3))
     raw = program.raw_dimensions
@@ -156,27 +173,12 @@ def _local_forward(plan: DomainDecomposition, graph: ChainGraph,
 
 def _local_forward_stream(plan: DomainDecomposition, stream_fn,
                           inputs: Dict[str, Any]) -> Dict[str, Any]:
-    """Per-device body: halo exchange, then the streaming Pallas kernel."""
+    """Per-device body: halo exchange, then the streaming Pallas kernel
+    (origin shifted back by the i-halo: local plane g is global i =
+    origin + g)."""
     program = plan.program
-    tiles: Dict[str, Any] = {}
-    for name, spec in program.inputs.items():
-        arr = inputs[name]
-        if spec.is_scalar:
-            tiles[name] = arr
-            continue
-        spanned = [d for d in range(3) if spec.dim_mask[d]]
-        local_dims = {d: plan.block[d] for d in spanned}
-        tiles[name] = _exchange_halo(arr, spanned, local_dims, plan)
-    origin = []
-    for d in range(3):
-        ax = plan.dim_axes[d]
-        idx = lax.axis_index(ax) if ax is not None else 0
-        off = jnp.int32(idx * plan.block[d])
-        if d == 0:
-            # local plane g corresponds to global i = origin + g with the
-            # origin shifted back by the exchanged i-halo
-            off = off - jnp.int32(plan.halo[0])
-        origin.append(off)
+    tiles, origin = _widen_and_origin(plan, inputs,
+                                      i_origin_shift=plan.halo[0])
     results = stream_fn(jnp.stack(origin), tiles)
     raw = program.raw_dimensions
     local_raw = tuple(plan.block[3 - len(raw) + i] for i in range(len(raw)))
@@ -191,8 +193,8 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
     """Build a jitted, mesh-sharded ``fn(inputs) -> outputs`` for the chain.
 
     ``local_backend``: per-shard compute path — "stream" (the streaming
-    Pallas kernel, the production TPU path; requires the streamed dim 0 to
-    be unsharded), "xla" (fused-XLA tile evaluation, runs anywhere), or
+    Pallas kernel, the production TPU path; any subset of (i, j, k) may be
+    sharded), "xla" (fused-XLA tile evaluation, runs anywhere), or
     "auto".  Inputs must be committed with ``plan.input_shardings()`` (or
     will be resharded on entry).  Returns ``(fn, plan)``.
     """
@@ -212,10 +214,18 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
                                  local_jk=(plan.block[1], plan.block[2]),
                                  halo_jk=(plan.halo[1], plan.halo[2]),
                                  min_lag_max=halo_i)
-        stream_fn = compile_local_stream(program, analysis, splan,
-                                         plan.block, interpret=interpret,
-                                         halo_i=halo_i)
-        body = functools.partial(_local_forward_stream, plan, stream_fn)
+        if splan.vmem_bytes(program) > 0.7 * 96 * 2**20:
+            # local rings don't fit VMEM (no per-shard j-tiling yet):
+            # fall back to the fused-XLA local body rather than failing
+            # deep inside the Mosaic compiler
+            body = functools.partial(_local_forward, plan, graph)
+        else:
+            stream_fn = compile_local_stream(program, analysis, splan,
+                                             plan.block,
+                                             interpret=interpret,
+                                             halo_i=halo_i)
+            body = functools.partial(_local_forward_stream, plan,
+                                     stream_fn)
     else:
         body = functools.partial(_local_forward, plan, graph)
     fn = shard_map(body, mesh=mesh, in_specs=in_specs,
