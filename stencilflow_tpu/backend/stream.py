@@ -132,7 +132,11 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     planes from the ``pool_keys``-ordered refs that follow the inputs."""
     if sharded:
         origin_ref, *refs = refs
-        origin = (origin_ref[0, 0], origin_ref[0, 1], origin_ref[0, 2])
+        origin_j = origin_ref[0, 1]
+        if jtiled:   # shard origin + j-tile offset within the shard
+            core_j0 = plan.plane[0] - 2 * plan.halo_jk[0]
+            origin_j = origin_j + pl.program_id(0) * jnp.int32(core_j0)
+        origin = (origin_ref[0, 0], origin_j, origin_ref[0, 2])
     elif jtiled:
         # grid = (j-tiles, stream); tile origin drives the global BC masks
         core_j0 = plan.plane[0] - 2 * plan.halo_jk[0]
@@ -645,7 +649,8 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
                          plan: StreamPlan, local_block,
                          interpret: bool = False,
                          vmem_budget: int = 96 * 2**20,
-                         halo_i: int = 0):
+                         halo_i: int = 0,
+                         jtiles: int = 1):
     """Per-shard streaming kernel for domain decomposition.
 
     Returns ``fn(origin_i32[3], widened_inputs: dict) -> outputs: dict`` of
@@ -658,42 +663,75 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
     pj, pk = plan.plane
     dims = program.dimensions
     Ii = Bi + 2 * halo_i       # local streamed extent (widened planes)
+    hjl = plan.halo_jk[0]
+    core_j = pj - 2 * hjl      # j-tile core (== Bj + exchange halo parts
+    #                            when jtiles == 1)
 
+    nargs = 2 if jtiles > 1 else 1
+    idx0 = (lambda jt, g: (0, 0)) if jtiles > 1 else (lambda g: (0, 0))
     input_names = list(program.inputs)
     input_kinds = []
-    in_specs = [pl.BlockSpec((1, 3), lambda g: (0, 0),
-                             memory_space=pltpu.SMEM)]
+    in_specs = [pl.BlockSpec((1, 3), idx0, memory_space=pltpu.SMEM)]
     for name in input_names:
         spec = program.inputs[name]
         if spec.is_scalar:
             input_kinds.append("scalar")
-            in_specs.append(pl.BlockSpec((1, 1), lambda g: (0, 0),
+            in_specs.append(pl.BlockSpec((1, 1), idx0,
                                          memory_space=pltpu.SMEM))
         elif spec.dim_mask[0]:
             full = spec.dim_mask[1] and spec.dim_mask[2]
             input_kinds.append("stream" if full else "stream_partial")
             jk_dims = [d for d in (1, 2) if spec.dim_mask[d]]
-            sizes = tuple([1] + [(pj, pk)[d - 1] for d in jk_dims])
-            in_specs.append(pl.BlockSpec(
-                sizes,
-                lambda g, n=len(jk_dims): (jnp.minimum(g, Ii - 1),)
-                + (0,) * n,
-                memory_space=pltpu.VMEM))
+            sizes = [1] + [(pj, pk)[d - 1] for d in jk_dims]
+            if jtiles > 1:
+                # all-Element windows: j-tiles overlap by the j-halo
+                bdims = tuple(pl.Element(sz) for sz in sizes)
+
+                def imap(jt, g, jk=tuple(jk_dims), cj=core_j):
+                    out = [jnp.minimum(g, Ii - 1)]
+                    out += [jt * cj if d == 1 else 0 for d in jk]
+                    return tuple(out)
+
+                in_specs.append(pl.BlockSpec(bdims, imap,
+                                             memory_space=pltpu.VMEM))
+            else:
+                in_specs.append(pl.BlockSpec(
+                    tuple(sizes),
+                    lambda g, n=len(jk_dims): (jnp.minimum(g, Ii - 1),)
+                    + (0,) * n,
+                    memory_space=pltpu.VMEM))
         else:
             input_kinds.append("static")
             spanned = [d for d in (1, 2) if spec.dim_mask[d]]
-            block = tuple((pj, pk)[d - 1] for d in spanned)
-            in_specs.append(pl.BlockSpec(
-                block, lambda g, n=len(spanned): (0,) * n,
-                memory_space=pltpu.VMEM))
+            if jtiles > 1:
+                bdims = tuple(pl.Element((pj, pk)[d - 1]) for d in spanned)
+
+                def smap(jt, g, spanned=tuple(spanned), cj=core_j):
+                    return tuple(jt * cj if d == 1 else 0 for d in spanned)
+
+                in_specs.append(pl.BlockSpec(bdims, smap,
+                                             memory_space=pltpu.VMEM))
+            else:
+                block = tuple((pj, pk)[d - 1] for d in spanned)
+                in_specs.append(pl.BlockSpec(
+                    block, lambda g, n=len(spanned): (0,) * n,
+                    memory_space=pltpu.VMEM))
 
     out_specs = []
     out_shapes = []
     for out in program.outputs:
-        out_specs.append(pl.BlockSpec(
-            (1, Bj, Bk),
-            lambda g: (jnp.maximum(g - plan.lag_max - halo_i, 0), 0, 0),
-            memory_space=pltpu.VMEM))
+        if jtiles > 1:
+            out_specs.append(pl.BlockSpec(
+                (1, core_j, Bk),
+                lambda jt, g: (jnp.maximum(g - plan.lag_max - halo_i, 0),
+                               jt, 0),
+                memory_space=pltpu.VMEM))
+        else:
+            out_specs.append(pl.BlockSpec(
+                (1, Bj, Bk),
+                lambda g: (jnp.maximum(g - plan.lag_max - halo_i, 0),
+                           0, 0),
+                memory_space=pltpu.VMEM))
         out_dtype = jax.dtypes.canonicalize_dtype(program.kernels[out].dtype)
         out_shapes.append(jax.ShapeDtypeStruct((Bi, Bj, Bk), out_dtype))
 
@@ -705,20 +743,25 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
 
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
                                input_names, input_kinds, Ii, True, {}, (),
-                               (), 1, False, halo_i, None)
+                               (), 1, jtiles > 1, halo_i, None)
 
     assert plan.lag_max >= halo_i, \
         "sharded-i plans must be built with min_lag_max=halo_i"
+    grid = (Bi + halo_i + plan.lag_max,)
+    semantics = ("arbitrary",)
+    if jtiles > 1:
+        grid = (jtiles,) + grid
+        semantics = ("arbitrary", "arbitrary")
     call = pl.pallas_call(
         kernel,
-        grid=(Bi + halo_i + plan.lag_max,),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs[0] if len(out_specs) == 1 else out_specs,
         out_shape=out_shapes[0] if len(out_shapes) == 1 else out_shapes,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=semantics,
             vmem_limit_bytes=vmem_budget + 16 * 2**20),
     )
 

@@ -172,13 +172,23 @@ def _local_forward(plan: DomainDecomposition, graph: ChainGraph,
 
 
 def _local_forward_stream(plan: DomainDecomposition, stream_fn,
+                          extra_j_pad: int,
                           inputs: Dict[str, Any]) -> Dict[str, Any]:
     """Per-device body: halo exchange, then the streaming Pallas kernel
     (origin shifted back by the i-halo: local plane g is global i =
-    origin + g)."""
+    origin + g).  ``extra_j_pad`` widens the local j extent when per-shard
+    j-tiling needs margins the mesh exchange did not provide."""
     program = plan.program
     tiles, origin = _widen_and_origin(plan, inputs,
                                       i_origin_shift=plan.halo[0])
+    if extra_j_pad:
+        for name, spec in program.inputs.items():
+            if spec.is_scalar or not spec.dim_mask[1]:
+                continue
+            pos = sum(spec.dim_mask[:1])
+            pad = [(0, 0)] * tiles[name].ndim
+            pad[pos] = (extra_j_pad, extra_j_pad)
+            tiles[name] = jnp.pad(tiles[name], pad)
     results = stream_fn(jnp.stack(origin), tiles)
     raw = program.raw_dimensions
     local_raw = tuple(plan.block[3 - len(raw) + i] for i in range(len(raw)))
@@ -214,18 +224,42 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
                                  local_jk=(plan.block[1], plan.block[2]),
                                  halo_jk=(plan.halo[1], plan.halo[2]),
                                  min_lag_max=halo_i)
-        if splan.vmem_bytes(program) > 0.7 * 96 * 2**20:
-            # local rings don't fit VMEM (no per-shard j-tiling yet):
-            # fall back to the fused-XLA local body rather than failing
-            # deep inside the Mosaic compiler
-            body = functools.partial(_local_forward, plan, graph)
-        else:
+        budget = 96 * 2**20
+        jtiles = 1
+        extra_j_pad = 0
+        if splan.vmem_bytes(program) > 0.7 * budget:
+            # j-tile the shard's block (overlapped windows widened by the
+            # chain's j-halo); pad j locally if the mesh exchange did not
+            # already provide that margin
+            hjt = chain_halo(analysis)[1]
+            Bj = plan.block[1]
+            found = None
+            for cand_tiles in range(2, max(2, Bj) + 1):
+                if Bj % cand_tiles:
+                    continue
+                tj = Bj // cand_tiles
+                if tj % 8 or tj <= hjt:
+                    continue
+                trial = StreamPlan.build(
+                    analysis, local_jk=(tj, plan.block[2]),
+                    halo_jk=(hjt, plan.halo[2]), min_lag_max=halo_i)
+                if trial.vmem_bytes(program) <= 0.7 * budget:
+                    splan, jtiles, found = trial, cand_tiles, tj
+                    extra_j_pad = max(0, hjt - plan.halo[1])
+                    break
+            if found is None:
+                # nothing fits: fused-XLA local body rather than failing
+                # deep inside the Mosaic compiler
+                body = functools.partial(_local_forward, plan, graph)
+                jtiles = 0
+        if jtiles != 0:
             stream_fn = compile_local_stream(program, analysis, splan,
                                              plan.block,
                                              interpret=interpret,
-                                             halo_i=halo_i)
+                                             halo_i=halo_i,
+                                             jtiles=jtiles)
             body = functools.partial(_local_forward_stream, plan,
-                                     stream_fn)
+                                     stream_fn, extra_j_pad)
     else:
         body = functools.partial(_local_forward, plan, graph)
     fn = shard_map(body, mesh=mesh, in_specs=in_specs,

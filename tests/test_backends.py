@@ -227,6 +227,35 @@ class TestStreamBackend:
                                        err_msg=f"xla {o}")
             np.testing.assert_array_equal(got_sim[o], ref[o])
 
+    def test_sharded_jtiled_stream(self, monkeypatch):
+        """Per-shard j-tiling engages when a shard's rings exceed the VMEM
+        budget (overlapped j-windows inside the exchanged local block)."""
+        import stencilflow_tpu.backend.stream as st
+        from stencilflow_tpu.frontend.analysis import ChainAnalysis
+        from stencilflow_tpu.parallel.domain import compile_sharded_chain
+        p = _program_jacobi3d(size=32, iters=2)
+        inputs = sft.load_input_arrays(p, seed=71)
+        ref = _oracle(p, inputs)["s1"]
+        an = ChainAnalysis.run(p)
+        whole = st.StreamPlan.build(
+            an, local_jk=(16, 16), halo_jk=(0, 2)).vmem_bytes(p)
+        tiled = st.StreamPlan.build(
+            an, local_jk=(8, 16), halo_jk=(2, 2)).vmem_bytes(p)
+        scale = (0.7 * 96 * 2**20) / ((whole + tiled) / 2)
+        orig = st.StreamPlan.vmem_bytes
+        monkeypatch.setattr(
+            st.StreamPlan, "vmem_bytes",
+            lambda self, prog, cd=None: int(orig(self, prog, cd) * scale))
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
+        fn, plan = compile_sharded_chain(p, mesh, (None, "x", "y"),
+                                         local_backend="stream",
+                                         interpret=True)
+        sh = plan.input_shardings()
+        dev_in = {n: jax.device_put(jnp.asarray(v), sh[n])
+                  for n, v in inputs.items()}
+        out = np.asarray(fn(dev_in)["s1"])
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
+
     def test_bfloat16_compute_dtype(self):
         from stencilflow_tpu.backend.stream import compile_chain_stream
         p = _program_jacobi3d(size=12, iters=2)
