@@ -142,6 +142,28 @@ class TestCLI:
         assert "OK" in capsys.readouterr().out
 
 
+class TestCLIMore:
+    def test_compile_command(self, j2d_file, tmp_path, capsys):
+        out = str(tmp_path / "art.stablehlo.txt")
+        rc = cli_main(["compile", j2d_file, "--emulation", "-o", out])
+        assert rc == 0
+        text = open(out).read()
+        assert "module" in text and len(text) > 1000
+
+    def test_canonicalize_command(self, j2d_file, tmp_path):
+        out = str(tmp_path / "canon.json")
+        rc = cli_main(["canonicalize", j2d_file, "-o", out])
+        assert rc == 0
+        p2 = sft.parse_program(out)
+        assert len(p2.kernels) == 2
+
+    def test_report_verbose(self, j2d_file, capsys):
+        rc = cli_main(["report", j2d_file, "--verbose"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "line-buffer" in out and "critical path" in out
+
+
 class TestOptimizer:
     def test_strategies(self):
         from stencilflow_tpu.optimizer import Optimizer
