@@ -111,6 +111,11 @@ class Report:
             "roofline_time_s": self.roofline_time_s(),
             "bound_by": self.bound(),
             "roofline_gcell_s": self.roofline_gcell_s(),
+            # GOp/s framing (the reference's headline unit, bin/report.py)
+            "peak_gop_s": self.total_ops() / self.vpu_time_s() / 1e9
+            if self.vpu_time_s() > 0 else 0.0,
+            "achievable_gop_s":
+                self.total_ops() / self.roofline_time_s() / 1e9,
         }
 
     def full_dump(self) -> str:
@@ -154,6 +159,7 @@ class Report:
             f"roofline [{d['hardware']}]: "
             f"HBM {d['hbm_time_s']*1e6:.1f} us vs VPU "
             f"{d['vpu_time_s']*1e6:.1f} us -> bound by {d['bound_by']}; "
-            f"best possible {d['roofline_gcell_s']:.1f} GCell/s",
+            f"best possible {d['roofline_gcell_s']:.1f} GCell/s "
+            f"({d['achievable_gop_s']:.0f} GOp/s)",
         ]
         return "\n".join(lines)

@@ -23,9 +23,35 @@ def _layers(graph: ChainGraph) -> Dict[str, int]:
     return depth
 
 
+def chain_graph_dot(program: ir.Program,
+                    graph: Optional[ChainGraph] = None) -> str:
+    """Graphviz DOT text of the program DAG (the reference plots through
+    graphviz; we emit the text for external tooling)."""
+    graph = graph or ChainGraph.build(program)
+    lines = [f'digraph "{program.name}" {{', "  rankdir=LR;"]
+    for n in graph.order:
+        if n in program.inputs:
+            shape, color = "box", "lightblue"
+        elif n in program.outputs:
+            shape, color = "ellipse", "lightgreen"
+        else:
+            shape, color = "ellipse", "orange"
+        lines.append(f'  "{n}" [shape={shape}, style=filled, '
+                     f'fillcolor={color}];')
+    for u, v in graph.edge_list():
+        lines.append(f'  "{u}" -> "{v}";')
+    lines.append("}")
+    return "\n".join(lines)
+
+
 def plot_chain_graph(program: ir.Program, path: str,
                      graph: Optional[ChainGraph] = None) -> str:
-    """Render the program DAG (inputs → kernels → outputs) to ``path``."""
+    """Render the program DAG (inputs → kernels → outputs) to ``path``
+    (.dot suffix emits Graphviz text; anything else renders a PNG)."""
+    if path.endswith(".dot"):
+        with open(path, "w") as f:
+            f.write(chain_graph_dot(program, graph))
+        return path
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
