@@ -126,16 +126,82 @@ def extract_linear(kspec: ir.KernelSpec) -> Optional[Dict]:
 
 
 class MatrixPool:
-    """Deduplicated static matrices/planes shipped to the kernel as inputs."""
+    """Deduplicated static matrices/planes shipped to the kernel as inputs.
+
+    ``meta[key]`` holds the static source-window starts of *blocked* banded
+    matrices (see ``_blocked_rows``); plain matrices have no meta entry.
+    """
 
     def __init__(self):
         self.items: Dict[str, np.ndarray] = {}
+        self.meta: Dict[str, Tuple[int, ...]] = {}
 
-    def add(self, arr: np.ndarray, prefix: str) -> str:
+    def add(self, arr: np.ndarray, prefix: str,
+            meta: Optional[Tuple[int, ...]] = None) -> str:
         key = f"{prefix}_{hash(arr.tobytes()) & 0xffffffff:08x}_" \
               f"{'x'.join(map(str, arr.shape))}"
         self.items.setdefault(key, arr)
+        if meta is not None:
+            self.meta.setdefault(key, meta)
         return key
+
+
+BLOCK_T = 128          # output rows/cols per blocked-banded matmul block
+_BLOCK_ALIGN = 8       # source-window start alignment (sublane granularity)
+
+
+def _blocked_rows(full: np.ndarray, T: int = BLOCK_T):
+    """Blocked form of a banded matrix: row blocks x their nonzero windows.
+
+    Returns ``(blocks, starts)`` with ``blocks[t] = full[tT:(t+1)T,
+    s_t:s_t+Twin]`` such that ``(full @ P)[tT:(t+1)T] = blocks[t] @
+    P[s_t:s_t+Twin]`` exactly, or None when blocking brings no flop saving
+    (small matrix, indivisible size, or band too wide).  Replaces the
+    O(n^2 k) full-banded matmul with O(n Twin k) — the rectangular-matmul
+    optimization for wide planes.
+    """
+    n = full.shape[0]
+    if n % T or n < 2 * T:
+        return None
+    spans = []
+    for t in range(n // T):
+        nz = np.nonzero(np.any(full[t * T:(t + 1) * T] != 0, axis=0))[0]
+        if len(nz) == 0:
+            spans.append((t * T, t * T + 1))
+        else:
+            spans.append((int(nz[0]), int(nz[-1]) + 1))
+    starts = [(a // _BLOCK_ALIGN) * _BLOCK_ALIGN for a, _b in spans]
+    twin = max(b - s for (_a, b), s in zip(spans, starts))
+    twin = -(-twin // _BLOCK_ALIGN) * _BLOCK_ALIGN
+    if twin > (3 * n) // 4:   # band too wide vs the plane: keep full
+        return None
+    starts = [max(0, min(s, n - twin)) for s in starts]
+    blocks = np.stack([full[t * T:(t + 1) * T, s:s + twin]
+                       for t, s in enumerate(starts)])
+    return blocks, tuple(starts)
+
+
+def _pool_band(pool: MatrixPool, full: np.ndarray, side: str) -> str:
+    """Add a banded transform matrix to the pool, blocked when profitable.
+
+    ``side`` "L": full is (n, n), applied as ``full @ P`` — blocked over
+    output rows.  "R": full is the (n, n) right matrix already transposed
+    for ``P @ full`` — blocked over output columns, i.e. row blocks of
+    ``full.T`` transposed back, so ``blocks[t]`` is (Twin, T) and
+    ``(P @ full)[:, tT:(t+1)T] = P[:, s_t:s_t+Twin] @ blocks[t]``.
+    """
+    if side == "L":
+        blocked = _blocked_rows(full)
+        if blocked is None:
+            return pool.add(full, "L")
+        blocks, starts = blocked
+        return pool.add(blocks, "Lb", meta=starts)
+    blocked = _blocked_rows(full.T)
+    if blocked is None:
+        return pool.add(full, "R")
+    blocks, starts = blocked
+    return pool.add(np.ascontiguousarray(blocks.transpose(0, 2, 1)),
+                    "Rb", meta=starts)
 
 
 def _normalize(w):
@@ -205,11 +271,12 @@ def plan_linear_stage(kspec: ir.KernelSpec,
         elif len(ojs) == 1 and ojs == [0]:
             nv, b = _normalize(C[0])
             r = _band_matrix(pk, oks, list(nv))
-            terms.append(BandTerm(None, pool.add(r.T.copy(), "R"), b))
+            terms.append(BandTerm(None, _pool_band(pool, r.T.copy(), "R"),
+                                  b))
         elif len(oks) == 1 and oks == [0]:
             nu, a = _normalize(C[:, 0])
             lmat = _band_matrix(pj, ojs, list(nu))
-            terms.append(BandTerm(pool.add(lmat, "L"), None, a))
+            terms.append(BandTerm(_pool_band(pool, lmat, "L"), None, a))
         elif not np.any(C):
             continue   # fully cancelled coefficients: zero contribution
         else:
@@ -224,8 +291,8 @@ def plan_linear_stage(kspec: ir.KernelSpec,
                 nv, b = _normalize(vt[m])
                 lmat = _band_matrix(pj, ojs, list(nu))
                 rmat = _band_matrix(pk, oks, list(nv))
-                terms.append(BandTerm(pool.add(lmat, "L"),
-                                      pool.add(rmat.T.copy(), "R"),
+                terms.append(BandTerm(_pool_band(pool, lmat, "L"),
+                                      _pool_band(pool, rmat.T.copy(), "R"),
                                       float(sv[m] * a * b)))
         wsum = float(sum(cmap.values()))
 

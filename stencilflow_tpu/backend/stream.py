@@ -121,9 +121,9 @@ class StreamPlan:
 
 def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         plan: StreamPlan, input_names, input_kinds,
-                        local_i, sharded, mxu_plans, pool_keys,
+                        local_i, sharded, mxu_plans, pool_keys, pool_meta,
                         transform_keys, block, jtiled, emit_off,
-                        compute_dtype, *refs):
+                        compute_dtype, interpret, *refs):
     """One grid step: ingest ``block`` input planes, advance every stage
     ``block`` planes, emit ``block`` output planes (micro-steps amortize the
     per-grid-step pipeline overhead).  With ``sharded`` the first ref is a
@@ -167,19 +167,94 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     core_k = plan.plane[1] - 2 * hk
     lagB = plan.lag_max // block     # lag_max is padded to a block multiple
 
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+
+    def _split_bf16(val):
+        """bf16 hi/lo decomposition of an f32 plane (val == hi + lo up to
+        one bf16 rounding of the residual).  In interpret mode the rounding
+        is emulated with reduce_precision in f32 — XLA elides plain
+        f32->bf16->f32 convert pairs as excess precision, which would
+        silently zero the lo part."""
+        if interpret:
+            hi = jax.lax.reduce_precision(val, 8, 7)
+            lo = jax.lax.reduce_precision(val - hi, 8, 7)
+            return [hi, lo]
+        hi = val.astype(jnp.bfloat16)
+        lo = (val - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return [hi, lo]
+
+    def _band_dot(key, val, side):
+        """``pool[key] @ val`` (side "L") or ``val @ pool[key]`` ("R").
+
+        f32 pool matrices use full-precision MXU passes (HIGHEST; the
+        default truncates operands to bf16 — 1e-2-level error on deep
+        chains).  bf16 pool matrices are the split-float fast path: the
+        plane splits into bf16 hi+lo parts, each multiplied by the bf16
+        matrix (plus a ``<key>__lo`` residual matrix when the weights are
+        not exactly representable) with f32 accumulation — 2-3 single-pass
+        bf16 matmuls instead of ~6 emulation passes, exact to ~1e-7 when
+        the banded weights are bf16-exact (normalized patterns usually
+        are).  Blocked-banded matrices (pool_meta entries,
+        backend/linear.py:_blocked_rows) apply per output block against
+        only their narrow source window — O(n*Twin*k) rectangular matmuls
+        instead of O(n^2*k) full ones."""
+        starts = pool_meta.get(key)
+        mref = pool[key]
+        if mref.dtype == jnp.bfloat16:
+            lo_ref = pool.get(key + "__lo")
+            if val.dtype == jnp.bfloat16:
+                vparts = [val]
+            else:
+                vparts = _split_bf16(val.astype(jnp.float32))
+            mats = [mref] + ([lo_ref] if lo_ref is not None else [])
+            pieces = []
+            # skip the lo@lo cross term (~2^-32 relative)
+            pairs = [(m, v) for mi, m in enumerate(mats)
+                     for vi, v in enumerate(vparts) if mi == 0 or vi == 0]
+            if interpret:
+                # outside Mosaic, XLA-on-TPU accumulates bf16 dots in bf16;
+                # upcasting the (already bf16-rounded) operands models the
+                # Mosaic split path exactly
+                fdot = lambda a, b: jnp.dot(
+                    a.astype(jnp.float32), b.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            else:
+                fdot = functools.partial(jnp.dot,
+                                         preferred_element_type=jnp.float32)
+        else:
+            pairs = [(mref, val)]
+            fdot = dot
+        if starts is None:
+            acc = None
+            for m, v in pairs:
+                t = fdot(m[...], v) if side == "L" else fdot(v, m[...])
+                acc = t if acc is None else acc + t
+            return acc
+        blocks = []
+        for t, s in enumerate(starts):
+            acc = None
+            for m, v in pairs:
+                if side == "L":
+                    twin = m.shape[2]
+                    win = jax.lax.slice(v, (s, 0), (s + twin, v.shape[1]))
+                    r = fdot(m[t], win)
+                else:
+                    twin = m.shape[1]
+                    win = jax.lax.slice(v, (0, s), (v.shape[0], s + twin))
+                    r = fdot(win, m[t])
+                acc = r if acc is None else acc + r
+            blocks.append(acc)
+        return jnp.concatenate(blocks, axis=0 if side == "L" else 1)
+
     def apply_transform(val, lkey, rkey):
-        """L @ val @ R with full-f32 MXU passes (the default truncates
-        operands to bf16 — 1e-2-level error on deep chains)."""
         if not hasattr(val, "shape") or val.shape != plan.plane:
             val = jnp.broadcast_to(val, plan.plane)
         if lkey is not None:
-            val = jnp.dot(pool[lkey][...], val,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+            val = _band_dot(lkey, val, "L")
         if rkey is not None:
-            val = jnp.dot(val, pool[rkey][...],
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+            val = _band_dot(rkey, val, "R")
         return val
 
     def write_transforms(field, slot, plane_f32):
@@ -384,6 +459,7 @@ def compile_chain_stream(program: ir.Program,
                          vmem_budget: int = 96 * 2**20,
                          mxu: str = "auto",
                          mxu_min_footprint: int = 12,
+                         mxu_precision: str = "split",
                          block: int = 0,
                          compute_dtype=None):
     """Build a jitted ``fn(inputs) -> outputs`` around the streaming kernel.
@@ -393,7 +469,10 @@ def compile_chain_stream(program: ir.Program,
     chains at reduced accuracy (outputs cast back to the program dtype).
     ``mxu``: "auto" lowers wide affine stages (footprint >=
     ``mxu_min_footprint``) to banded matmuls on the MXU (backend/linear.py);
-    "off" keeps everything on the VPU.  ``block``: planes per grid step
+    "off" keeps everything on the VPU.  ``mxu_precision``: "split" (default)
+    runs the band transforms as 2-3 single-pass bf16 matmuls with f32
+    accumulation via hi/lo operand splitting (near-f32 accuracy, ~3x the
+    throughput); "exact" uses full f32 (HIGHEST) passes.  ``block``: planes per grid step
     (0 = auto: more micro-steps for small planes, where per-grid-step
     pipeline overhead dominates).  Raises ValueError when the program shape
     doesn't fit this lowering (callers fall back to the overlapped-tile
@@ -458,6 +537,7 @@ def compile_chain_stream(program: ir.Program,
     mxu_plans = {}
     pool_keys: list = []
     pool_arrays: list = []
+    pool_meta: dict = {}
     transform_keys: list = []
     if mxu != "off" and jtiles == 1:
         from .linear import MatrixPool, plan_linear_stage
@@ -484,6 +564,25 @@ def compile_chain_stream(program: ir.Program,
                             (grp.field, t.left_key, t.right_key))
         pool_keys = sorted(used)
         pool_arrays = [pool.items[k] for k in pool_keys]
+        pool_meta = {k: pool.meta[k] for k in pool_keys if k in pool.meta}
+        if mxu_precision == "split":
+            # band matrices ship as bf16 hi (+ bf16 lo residual when the
+            # weights aren't bf16-exact); correction planes stay f32
+            import ml_dtypes
+            keys2, arrays2 = [], []
+            for k, a in zip(pool_keys, pool_arrays):
+                if k.startswith(("L", "R")):
+                    hi = a.astype(ml_dtypes.bfloat16)
+                    lo = a - hi.astype(np.float32)
+                    keys2.append(k)
+                    arrays2.append(hi)
+                    if np.any(lo):
+                        keys2.append(k + "__lo")
+                        arrays2.append(lo.astype(ml_dtypes.bfloat16))
+                else:
+                    keys2.append(k)
+                    arrays2.append(a)
+            pool_keys, pool_arrays = keys2, arrays2
         transform_keys = sorted(transform_keys,
                                 key=lambda t: (t[0], t[1] or "", t[2] or ""))
         # the derived f32 transform rings are VMEM too — drop the MXU
@@ -495,6 +594,7 @@ def compile_chain_stream(program: ir.Program,
                 + pool_bytes > vmem_budget * 0.7):
             mxu_plans, pool_keys, pool_arrays, transform_keys = \
                 {}, [], [], []
+            pool_meta = {}
 
     input_names = list(program.inputs)
     input_kinds = []
@@ -586,9 +686,9 @@ def compile_chain_stream(program: ir.Program,
 
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
                                input_names, input_kinds, I, False,
-                               mxu_plans, tuple(pool_keys),
+                               mxu_plans, tuple(pool_keys), pool_meta,
                                tuple(transform_keys), block, jtiles > 1, 0,
-                               compute_dtype)
+                               compute_dtype, interpret)
 
     grid = (-(-I // block) + lagB,)
     semantics = ("arbitrary",)
@@ -743,7 +843,8 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
 
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
                                input_names, input_kinds, Ii, True, {}, (),
-                               (), 1, jtiles > 1, halo_i, None)
+                               {}, (), 1, jtiles > 1, halo_i, None,
+                               interpret)
 
     assert plan.lag_max >= halo_i, \
         "sharded-i plans must be built with min_lag_max=halo_i"

@@ -30,6 +30,7 @@ def _cmd_run(args) -> int:
             halo=args.halo, repetitions=args.repetitions,
             backend=args.backend, print_result=args.print_result,
             mxu="off" if args.no_mxu else "auto",
+            mxu_precision=args.mxu_precision,
             log_level=args.log_level,
             profile_dir=args.profile,
             seed=args.seed)
@@ -289,6 +290,11 @@ def build_parser() -> argparse.ArgumentParser:
                             "interpreter"])
     p.add_argument("--no-mxu", action="store_true",
                    help="disable banded-matmul lowering of wide stages")
+    p.add_argument("--mxu-precision", default="split",
+                   choices=["split", "exact"],
+                   help="band-transform matmul precision: split = bf16 "
+                        "hi/lo operand splitting with f32 accumulation "
+                        "(near-f32, ~3x faster); exact = full-f32 passes")
     p.add_argument("--print-result", action="store_true")
     p.add_argument("--generate-input", action="store_true",
                    help="replace file-backed inputs with constant data "

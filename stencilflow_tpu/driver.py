@@ -56,6 +56,7 @@ def run_program(stencil_file, mode: str = "emulation",
                 repetitions: int = 1,
                 backend: str = "auto",
                 mxu: str = "auto",
+                mxu_precision: str = "split",
                 save_results: bool = True,
                 results_base: str = "results",
                 seed: int = 0,
@@ -129,7 +130,9 @@ def run_program(stencil_file, mode: str = "emulation",
             from .backend.stream import compile_chain_stream
             fn, bname = (compile_chain_stream(program, analysis,
                                               interpret=interpret,
-                                              mxu=mxu), "stream")
+                                              mxu=mxu,
+                                              mxu_precision=mxu_precision),
+                         "stream")
         elif backend == "pallas":
             from .backend.pallas import compile_chain_pallas
             fn, bname = (compile_chain_pallas(program, analysis,

@@ -102,6 +102,52 @@ class TestMXUvsOracle:
         off = _run(p, inputs, mxu="off")["s0"]
         np.testing.assert_allclose(on, off, rtol=3e-5, atol=1e-6)
 
+    def test_blocked_band_exact(self):
+        # blocked representation reproduces the full banded product exactly
+        from stencilflow_tpu.backend.linear import (_band_matrix,
+                                                    _blocked_rows)
+        rng = np.random.default_rng(0)
+        full = _band_matrix(256, [-2, -1, 0, 1, 3], [1., 2., 3., 4., 5.])
+        blocks, starts = _blocked_rows(full)
+        assert blocks.shape[0] == 2 and blocks.shape[1] == 128
+        assert blocks.shape[2] <= 3 * 256 // 4
+        p = rng.standard_normal((256, 48)).astype(np.float32)
+        want = full @ p
+        got = np.concatenate([blocks[t] @ p[s:s + blocks.shape[2]]
+                              for t, s in enumerate(starts)], axis=0)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_blocked_band_skipped_when_unprofitable(self):
+        from stencilflow_tpu.backend.linear import (_band_matrix,
+                                                    _blocked_rows)
+        # indivisible size
+        assert _blocked_rows(_band_matrix(200, [0, 1], [1., 1.])) is None
+        # too small
+        assert _blocked_rows(_band_matrix(128, [0, 1], [1., 1.])) is None
+        # band too wide relative to the plane
+        wide = _band_matrix(256, list(range(-100, 101)), [1.0] * 201)
+        assert _blocked_rows(wide) is None
+
+    @pytest.mark.parametrize("dims", [(4, 256, 16), (4, 16, 256)])
+    def test_blocked_chain_matches_oracle(self, dims):
+        # 256-wide planes trigger the blocked-banded lowering on the wide
+        # axis; result must still match the whole-domain oracle
+        spec = synthesize_stencil(num_stages=2, dimensions=dims,
+                                  shape="box", extent=2,
+                                  boundary="constant", boundary_value=0.25)
+        p = sft.parse_program(spec, name=f"blk{dims[1]}x{dims[2]}")
+        pool = MatrixPool()
+        mp = plan_linear_stage(list(p.kernels.values())[0],
+                               (dims[1], dims[2]), p.dimensions, pool,
+                               min_footprint=12)
+        assert mp is not None
+        assert any(k.startswith(("Lb", "Rb")) for k in pool.items), \
+            "expected at least one blocked band matrix"
+        inputs = sft.load_input_arrays(p, seed=9)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s1"])
+        got = _run(p, inputs)["s1"]
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+
     def test_narrow_stencil_stays_on_vpu(self):
         from stencilflow_tpu.synthesize import jacobi
         p = sft.parse_program(jacobi(3, 8, iterations=1), name="nar")
