@@ -146,6 +146,12 @@ class MatrixPool:
         return key
 
 
+def is_stacked_key(key: str) -> bool:
+    """True for pool entries holding one slice per tile/shard instance
+    (leading dim selected by BlockSpec index map or sharding)."""
+    return key.startswith(("Ls_", "Rs_", "corrs_"))
+
+
 BLOCK_T = 128          # output rows/cols per blocked-banded matmul block
 _BLOCK_ALIGN = 8       # source-window start alignment (sublane granularity)
 
@@ -212,13 +218,25 @@ def _normalize(w):
     return (w / a, float(a)) if a != 0 else (w, 1.0)
 
 
-def _band_matrix(n: int, offsets: List[int], weights: List[float]
+def _band_matrix(n: int, offsets: List[int], weights: List[float],
+                 g0: Optional[int] = None, N: Optional[int] = None
                  ) -> np.ndarray:
-    """Banded matrix M with M[p, p+o] = w_o (truncated at the edges —
-    exactly the zero-boundary contribution)."""
+    """Banded matrix M with M[p, p+o] = w_o (truncated at the window edges —
+    exactly the zero-boundary contribution when the window IS the domain).
+
+    With ``g0``/``N``, row p corresponds to global coordinate ``g0 + p`` of
+    a domain of size ``N`` (a halo-widened tile/shard plane): entries whose
+    source global coordinate leaves [0, N) are zeroed — the origin-aware
+    band truncation for tiled/sharded planes.  ``g0=None`` keeps every
+    in-window entry (an interior tile, where the exchanged halo provides
+    all band sources).
+    """
     m = np.zeros((n, n), np.float32)
     for o, wt in zip(offsets, weights):
         idx = np.arange(max(0, -o), min(n, n - o))
+        if g0 is not None:
+            g = g0 + idx + o
+            idx = idx[(g >= 0) & (g < N)]
         m[idx, idx + o] = wt
     return m
 
@@ -228,12 +246,25 @@ def plan_linear_stage(kspec: ir.KernelSpec,
                       dims: Tuple[int, int, int],
                       pool: MatrixPool,
                       min_footprint: int = 9,
-                      max_rank: int = 2) -> Optional[LinearStagePlan]:
+                      max_rank: int = 2,
+                      contexts: Optional[List[Tuple[Optional[int],
+                                                    Optional[int]]]] = None
+                      ) -> Optional[LinearStagePlan]:
     """Build the MXU plan for one stage, or None if ineligible.
 
     Eligibility: affine expression; every accessed array field has a
     constant or shrink BC; footprint at least ``min_footprint``; every
     i-offset group factors with rank <= ``max_rank``.
+
+    ``contexts``: for tiled/sharded planes, one (g0j, g0k) pair per
+    tile/shard instance giving the GLOBAL coordinate of the widened
+    plane's row/col 0 (None = interior instance, no global band edge).
+    Matrices and correction planes are then built origin-aware and pooled
+    stacked (one slice per instance, leading dim; collapsed back to a
+    single matrix when every instance agrees); the kernel selects its
+    instance's slice via BlockSpec index maps or sharded inputs.  With
+    ``contexts=None`` (plane == global domain) matrices are unstacked and
+    may use the blocked-banded representation.
     """
     coeffs = extract_linear(kspec)
     if coeffs is None:
@@ -258,6 +289,25 @@ def plan_linear_stage(kspec: ir.KernelSpec,
 
     pj, pk = plane
     J, K = dims[1], dims[2]
+
+    def add_band(n, offs, wts, side):
+        """Pool one band matrix (or a per-context stack of them)."""
+        if contexts is None:
+            full = _band_matrix(n, offs, wts)
+            if side == "R":
+                full = np.ascontiguousarray(full.T)
+            return _pool_band(pool, full, side)
+        ndom = J if side == "L" else K
+        slices = []
+        for g0j, g0k in contexts:
+            g0 = g0j if side == "L" else g0k
+            m = _band_matrix(n, offs, wts, g0=g0,
+                             N=ndom if g0 is not None else None)
+            slices.append(np.ascontiguousarray(m.T) if side == "R" else m)
+        if all(np.array_equal(slices[0], s) for s in slices[1:]):
+            return _pool_band(pool, slices[0], side)
+        return pool.add(np.stack(slices), side + "s")
+
     groups: List[PlaneGroup] = []
     for (field, oi), cmap in by_field_oi.items():
         ojs = sorted({o[0] for o in cmap})
@@ -270,13 +320,12 @@ def plan_linear_stage(kspec: ir.KernelSpec,
             terms.append(BandTerm(None, None, float(C[0, 0])))
         elif len(ojs) == 1 and ojs == [0]:
             nv, b = _normalize(C[0])
-            r = _band_matrix(pk, oks, list(nv))
-            terms.append(BandTerm(None, _pool_band(pool, r.T.copy(), "R"),
+            terms.append(BandTerm(None, add_band(pk, oks, list(nv), "R"),
                                   b))
         elif len(oks) == 1 and oks == [0]:
             nu, a = _normalize(C[:, 0])
-            lmat = _band_matrix(pj, ojs, list(nu))
-            terms.append(BandTerm(_pool_band(pool, lmat, "L"), None, a))
+            terms.append(BandTerm(add_band(pj, ojs, list(nu), "L"), None,
+                                  a))
         elif not np.any(C):
             continue   # fully cancelled coefficients: zero contribution
         else:
@@ -289,10 +338,8 @@ def plan_linear_stage(kspec: ir.KernelSpec,
             for m in range(rank):
                 nu, a = _normalize(u[:, m])
                 nv, b = _normalize(vt[m])
-                lmat = _band_matrix(pj, ojs, list(nu))
-                rmat = _band_matrix(pk, oks, list(nv))
-                terms.append(BandTerm(_pool_band(pool, lmat, "L"),
-                                      _pool_band(pool, rmat.T.copy(), "R"),
+                terms.append(BandTerm(add_band(pj, ojs, list(nu), "L"),
+                                      add_band(pk, oks, list(nv), "R"),
                                       float(sv[m] * a * b)))
         wsum = float(sum(cmap.values()))
 
@@ -306,14 +353,31 @@ def plan_linear_stage(kspec: ir.KernelSpec,
             bval = float(bc.value) if bc is not None else 0.0
         corr_key = None
         if bval != 0.0:
-            jj = np.arange(pj)[:, None]
-            kk = np.arange(pk)[None, :]
-            correction = np.zeros((pj, pk), np.float32)
-            for (oj, ok), c in cmap.items():
-                oob = ((jj + oj < 0) | (jj + oj >= J) |
-                       (kk + ok < 0) | (kk + ok >= K))
-                correction += np.float32(bval * c) * oob
-            corr_key = pool.add(correction, "corr")
+            def corr_for(g0j, g0k):
+                jj = (np.arange(pj) +
+                      (g0j if g0j is not None else 0))[:, None]
+                kk = (np.arange(pk) +
+                      (g0k if g0k is not None else 0))[None, :]
+                correction = np.zeros((pj, pk), np.float32)
+                for (oj, ok), c in cmap.items():
+                    oob = np.zeros((pj, pk), bool)
+                    if g0j is not None:
+                        oob |= (jj + oj < 0) | (jj + oj >= J)
+                    if g0k is not None:
+                        oob |= (kk + ok < 0) | (kk + ok >= K)
+                    correction += np.float32(bval * c) * oob
+                return correction
+            if contexts is None:
+                correction = corr_for(0, 0)
+                if np.any(correction):
+                    corr_key = pool.add(correction, "corr")
+            else:
+                stack = np.stack([corr_for(a, b) for a, b in contexts])
+                if np.any(stack):
+                    if all(np.array_equal(stack[0], s) for s in stack[1:]):
+                        corr_key = pool.add(stack[0], "corr")
+                    else:
+                        corr_key = pool.add(stack, "corrs")
         groups.append(PlaneGroup(field, oi, terms, wsum, bval, corr_key))
 
     return LinearStagePlan(groups=groups, bias=bias, footprint=footprint)

@@ -199,8 +199,13 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         backend/linear.py:_blocked_rows) apply per output block against
         only their narrow source window — O(n*Twin*k) rectangular matmuls
         instead of O(n^2*k) full ones."""
+        from .linear import is_stacked_key
         starts = pool_meta.get(key)
         mref = pool[key]
+        # per-tile/shard stacked matrices arrive as a (1, n, n) block
+        # (the instance's slice, selected by index map / sharding)
+        unstack = (lambda m: m[0]) if is_stacked_key(key) else \
+                  (lambda m: m[...])
         if mref.dtype == jnp.bfloat16:
             lo_ref = pool.get(key + "__lo")
             if val.dtype == jnp.bfloat16:
@@ -229,7 +234,8 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         if starts is None:
             acc = None
             for m, v in pairs:
-                t = fdot(m[...], v) if side == "L" else fdot(v, m[...])
+                mm = unstack(m)
+                t = fdot(mm, v) if side == "L" else fdot(v, mm)
                 acc = t if acc is None else acc + t
             return acc
         blocks = []
@@ -384,7 +390,11 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         val = val * jnp.float32(term.scale)
                 parts = val if parts is None else parts + val
             if grp.correction_key is not None:
-                parts = parts + pool[grp.correction_key][...]
+                from .linear import is_stacked_key
+                cref = pool[grp.correction_key]
+                parts = parts + (cref[0] if
+                                 is_stacked_key(grp.correction_key)
+                                 else cref[...])
             if i_oob is not None:
                 alt = jnp.float32(grp.bc_value * grp.weight_sum)
                 parts = jnp.where(i_oob, alt, parts)
@@ -489,34 +499,119 @@ def compile_chain_stream(program: ir.Program,
     # tile by the chain's cumulative j-halo (BC masks use the tile origin).
     # Sizing is block-independent (block only pads the output skew), so
     # search with block=1 and pick the micro-step block from the final
-    # (possibly tiled) plane afterwards.
-    jtiles = 1
-    tile_jk = None
-    halo_jk = (0, 0)
-    plan = StreamPlan.build(analysis)
-    if plan.vmem_bytes(program, compute_dtype) > vmem_budget * 0.7:
-        from .xla import chain_halo
-        hjt = chain_halo(analysis)[1]
-        found = None
-        trial_bytes = plan.vmem_bytes(program, compute_dtype)
-        for cand_tiles in range(2, J + 1):
-            if J % cand_tiles:
-                continue
-            cand = J // cand_tiles
-            if cand % 8 or cand <= hjt:
-                continue
-            trial = StreamPlan.build(analysis, local_jk=(cand, K),
-                                     halo_jk=(hjt, 0))
+    # (possibly tiled) plane afterwards.  The search is MXU-aware: MXU
+    # lowering needs extra VMEM (derived transform rings ~= a second copy
+    # of the base rings, plus the band matrices), and it beats the VPU
+    # path by >3x on eligible chains, so configurations are preferred in
+    # the order untiled+MXU, tiled+MXU, untiled VPU, tiled VPU.
+    from .linear import MatrixPool, is_stacked_key, plan_linear_stage
+
+    def mxu_assets(plan_, jtiles_):
+        """(mxu_plans, pool_keys, pool_arrays, pool_meta, transform_keys,
+        extra_vmem_bytes) for one tiling configuration; empty when no
+        stage is eligible."""
+        pj_, pk_ = plan_.plane
+        hj_ = plan_.halo_jk[0]
+        core_j_ = pj_ - 2 * hj_
+        pool = MatrixPool()
+        # tiled planes: band matrices / corrections are origin-aware, one
+        # slice per tile (global truncation at domain edges only; the
+        # overlap halo feeds interior band reads)
+        contexts = ([(jt * core_j_ - hj_, 0) for jt in range(jtiles_)]
+                    if jtiles_ > 1 else None)
+        plans = {}
+        for kname, kspec in program.kernels.items():
+            mp = plan_linear_stage(kspec, (pj_, pk_), dims, pool,
+                                   min_footprint=mxu_min_footprint,
+                                   contexts=contexts)
+            if mp is not None:
+                plans[kname] = mp
+        # only keep matrices actually referenced
+        used = set()
+        tkeys = set()
+        for mp in plans.values():
+            for grp in mp.groups:
+                if grp.correction_key:
+                    used.add(grp.correction_key)
+                for t in grp.terms:
+                    used.update(k for k in (t.left_key, t.right_key) if k)
+                    ringed = (grp.field in program.kernels or
+                              (grp.field in program.inputs and
+                               program.inputs[grp.field].dim_mask[0]))
+                    if (t.left_key or t.right_key) and ringed:
+                        tkeys.add((grp.field, t.left_key, t.right_key))
+        pkeys = sorted(used)
+        parrs = [pool.items[k] for k in pkeys]
+        pmeta = {k: pool.meta[k] for k in pkeys if k in pool.meta}
+        if mxu_precision == "split":
+            # band matrices ship as bf16 hi (+ bf16 lo residual when the
+            # weights aren't bf16-exact); correction planes stay f32
+            import ml_dtypes
+            keys2, arrays2 = [], []
+            for k, a in zip(pkeys, parrs):
+                if k.startswith(("L", "R")):
+                    hi = a.astype(ml_dtypes.bfloat16)
+                    lo = a - hi.astype(np.float32)
+                    keys2.append(k)
+                    arrays2.append(hi)
+                    if np.any(lo):
+                        keys2.append(k + "__lo")
+                        arrays2.append(lo.astype(ml_dtypes.bfloat16))
+                else:
+                    keys2.append(k)
+                    arrays2.append(a)
+            pkeys, parrs = keys2, arrays2
+        tkeys = sorted(tkeys, key=lambda t: (t[0], t[1] or "", t[2] or ""))
+        # derived f32 transform rings + resident band matrices (stacked
+        # entries are resident one slice at a time)
+        extra = sum(plan_.ring[f] * pj_ * pk_ * 4 for (f, _l, _r) in tkeys)
+        extra += sum(a.nbytes // (a.shape[0] if is_stacked_key(k) else 1)
+                     for k, a in zip(pkeys, parrs))
+        return plans, pkeys, parrs, pmeta, tkeys, extra
+
+    from .xla import chain_halo
+    hjt = chain_halo(analysis)[1]
+    candidates = [(1, None, (0, 0))]
+    for cand_tiles in range(2, J + 1):
+        if J % cand_tiles:
+            continue
+        cand = J // cand_tiles
+        if cand % 8 or cand <= hjt:
+            continue
+        candidates.append((cand_tiles, (cand, K), (hjt, 0)))
+
+    budget = vmem_budget * 0.7
+    chosen = None
+    trial_bytes = 0
+    for use_mxu in ([True, False] if mxu != "off" else [False]):
+        for nt, tjk, hjk in candidates:
+            trial = StreamPlan.build(analysis, local_jk=tjk, halo_jk=hjk)
             trial_bytes = trial.vmem_bytes(program, compute_dtype)
-            if trial_bytes <= vmem_budget * 0.7:
-                found, jtiles = cand, cand_tiles
-                tile_jk, halo_jk = (cand, K), (hjt, 0)
+            if use_mxu:
+                assets = mxu_assets(trial, nt)
+                if not assets[0]:
+                    break   # no eligible stage: identical to the VPU pass
+                trial_bytes += assets[5]
+            else:
+                assets = ({}, [], [], {}, [], 0)
+            if trial_bytes <= budget:
+                chosen = (nt, tjk, hjk, assets)
                 break
-        if found is None:
-            raise ValueError(
-                f"stream rings need {trial_bytes/2**20:.1f} MiB VMEM at "
-                "the smallest j-tile; plane too large for the streaming "
-                "lowering")
+        if chosen is not None:
+            break
+    if chosen is None:
+        raise ValueError(
+            f"stream rings need {trial_bytes/2**20:.1f} MiB VMEM at "
+            "the smallest j-tile; plane too large for the streaming "
+            "lowering")
+    jtiles, tile_jk, halo_jk, assets = chosen
+    mxu_plans, pool_keys, pool_arrays, pool_meta, transform_keys, _ = assets
+    # chosen-configuration introspection (tests, report --verbose)
+    compile_chain_stream.last_config = {
+        "jtiles": jtiles, "tile_jk": tile_jk, "halo_jk": halo_jk,
+        "mxu_stages": sorted(mxu_plans),
+        "vmem_bytes": trial_bytes,
+    }
 
     if block <= 0:
         if interpret:
@@ -533,68 +628,6 @@ def compile_chain_stream(program: ir.Program,
     hj, hk = plan.halo_jk
     pj, pk = plan.plane
     core_j = pj - 2 * hj
-
-    mxu_plans = {}
-    pool_keys: list = []
-    pool_arrays: list = []
-    pool_meta: dict = {}
-    transform_keys: list = []
-    if mxu != "off" and jtiles == 1:
-        from .linear import MatrixPool, plan_linear_stage
-        pool = MatrixPool()
-        for kname, kspec in program.kernels.items():
-            mp = plan_linear_stage(kspec, (pj, pk), dims, pool,
-                                   min_footprint=mxu_min_footprint)
-            if mp is not None:
-                mxu_plans[kname] = mp
-        # only keep matrices actually referenced
-        used = set()
-        transform_keys = set()
-        for mp in mxu_plans.values():
-            for grp in mp.groups:
-                if grp.correction_key:
-                    used.add(grp.correction_key)
-                for t in grp.terms:
-                    used.update(k for k in (t.left_key, t.right_key) if k)
-                    ringed = (grp.field in program.kernels or
-                              (grp.field in program.inputs and
-                               program.inputs[grp.field].dim_mask[0]))
-                    if (t.left_key or t.right_key) and ringed:
-                        transform_keys.add(
-                            (grp.field, t.left_key, t.right_key))
-        pool_keys = sorted(used)
-        pool_arrays = [pool.items[k] for k in pool_keys]
-        pool_meta = {k: pool.meta[k] for k in pool_keys if k in pool.meta}
-        if mxu_precision == "split":
-            # band matrices ship as bf16 hi (+ bf16 lo residual when the
-            # weights aren't bf16-exact); correction planes stay f32
-            import ml_dtypes
-            keys2, arrays2 = [], []
-            for k, a in zip(pool_keys, pool_arrays):
-                if k.startswith(("L", "R")):
-                    hi = a.astype(ml_dtypes.bfloat16)
-                    lo = a - hi.astype(np.float32)
-                    keys2.append(k)
-                    arrays2.append(hi)
-                    if np.any(lo):
-                        keys2.append(k + "__lo")
-                        arrays2.append(lo.astype(ml_dtypes.bfloat16))
-                else:
-                    keys2.append(k)
-                    arrays2.append(a)
-            pool_keys, pool_arrays = keys2, arrays2
-        transform_keys = sorted(transform_keys,
-                                key=lambda t: (t[0], t[1] or "", t[2] or ""))
-        # the derived f32 transform rings are VMEM too — drop the MXU
-        # lowering if they would blow the budget (VPU path stays correct)
-        transform_bytes = sum(plan.ring[f] * pj * pk * 4
-                              for (f, _l, _r) in transform_keys)
-        pool_bytes = sum(a.nbytes for a in pool_arrays)
-        if (plan.vmem_bytes(program, compute_dtype) + transform_bytes
-                + pool_bytes > vmem_budget * 0.7):
-            mxu_plans, pool_keys, pool_arrays, transform_keys = \
-                {}, [], [], []
-            pool_meta = {}
 
     input_names = list(program.inputs)
     input_kinds = []
@@ -678,11 +711,23 @@ def compile_chain_stream(program: ir.Program,
         for (field, _l, _r) in transform_keys
     ]
 
-    # static matrices / correction planes for MXU-lowered stages
+    # static matrices / correction planes for MXU-lowered stages; stacked
+    # (per-tile) entries ship one slice per j-tile via the index map
+    if pool_keys:
+        from .linear import is_stacked_key
     for key, arr in zip(pool_keys, pool_arrays):
-        in_specs.append(pl.BlockSpec(
-            arr.shape, lambda g, n=arr.ndim: (0,) * n,
-            memory_space=pltpu.VMEM))
+        if jtiles > 1 and is_stacked_key(key):
+            in_specs.append(pl.BlockSpec(
+                (1,) + arr.shape[1:], lambda jt, g: (jt, 0, 0),
+                memory_space=pltpu.VMEM))
+        elif jtiles > 1:
+            in_specs.append(pl.BlockSpec(
+                arr.shape, lambda jt, g, n=arr.ndim: (0,) * n,
+                memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec(
+                arr.shape, lambda g, n=arr.ndim: (0,) * n,
+                memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
                                input_names, input_kinds, I, False,

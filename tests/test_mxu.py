@@ -148,6 +148,25 @@ class TestMXUvsOracle:
         got = _run(p, inputs)["s1"]
         np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("bval", [0.0, 0.4])
+    def test_jtiled_mxu_matches_oracle(self, bval):
+        # a VMEM budget that cannot hold the untiled rings + transform
+        # rings forces j-tiling; the MXU lowering must survive with
+        # origin-aware (per-tile stacked) band matrices and corrections
+        spec = synthesize_stencil(num_stages=2, dimensions=(4, 128, 32),
+                                  shape="box", extent=2,
+                                  boundary="constant", boundary_value=bval)
+        p = sft.parse_program(spec, name=f"tiledmxu{bval}")
+        inputs = sft.load_input_arrays(p, seed=11)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s1"])
+        fn = compile_chain_stream(p, interpret=True, vmem_budget=400 * 1024)
+        cfg = compile_chain_stream.last_config
+        assert cfg["jtiles"] > 1, cfg
+        assert cfg["mxu_stages"], cfg
+        got = np.asarray(fn({k: jnp.asarray(v)
+                             for k, v in inputs.items()})["s1"])
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+
     def test_narrow_stencil_stays_on_vpu(self):
         from stencilflow_tpu.synthesize import jacobi
         p = sft.parse_program(jacobi(3, 8, iterations=1), name="nar")
