@@ -247,8 +247,8 @@ def plan_linear_stage(kspec: ir.KernelSpec,
                       pool: MatrixPool,
                       min_footprint: int = 9,
                       max_rank: int = 2,
-                      contexts: Optional[List[Tuple[Optional[int],
-                                                    Optional[int]]]] = None
+                      j_contexts: Optional[List[Optional[int]]] = None,
+                      k_contexts: Optional[List[Optional[int]]] = None
                       ) -> Optional[LinearStagePlan]:
     """Build the MXU plan for one stage, or None if ineligible.
 
@@ -256,15 +256,16 @@ def plan_linear_stage(kspec: ir.KernelSpec,
     constant or shrink BC; footprint at least ``min_footprint``; every
     i-offset group factors with rank <= ``max_rank``.
 
-    ``contexts``: for tiled/sharded planes, one (g0j, g0k) pair per
-    tile/shard instance giving the GLOBAL coordinate of the widened
-    plane's row/col 0 (None = interior instance, no global band edge).
-    Matrices and correction planes are then built origin-aware and pooled
-    stacked (one slice per instance, leading dim; collapsed back to a
-    single matrix when every instance agrees); the kernel selects its
-    instance's slice via BlockSpec index maps or sharded inputs.  With
-    ``contexts=None`` (plane == global domain) matrices are unstacked and
-    may use the blocked-banded representation.
+    ``j_contexts``/``k_contexts``: for tiled/sharded planes, the GLOBAL
+    coordinate of the widened plane's row/col 0 for every tile/shard
+    instance along that dim (None entry = interior instance, no global
+    band edge).  Matrices and correction planes are then built
+    origin-aware and pooled stacked — L over j instances, R over k
+    instances, corrections over their cross product (j-major), collapsed
+    back to a single matrix when every instance agrees; the kernel
+    selects its instance's slice via BlockSpec index maps or sharded
+    inputs.  With both None (plane == global domain) matrices are
+    unstacked and may use the blocked-banded representation.
     """
     coeffs = extract_linear(kspec)
     if coeffs is None:
@@ -290,17 +291,21 @@ def plan_linear_stage(kspec: ir.KernelSpec,
     pj, pk = plane
     J, K = dims[1], dims[2]
 
+    tiled = j_contexts is not None or k_contexts is not None
+    if tiled:
+        j_contexts = j_contexts if j_contexts is not None else [None]
+        k_contexts = k_contexts if k_contexts is not None else [None]
+
     def add_band(n, offs, wts, side):
-        """Pool one band matrix (or a per-context stack of them)."""
-        if contexts is None:
+        """Pool one band matrix (or a per-instance stack of them)."""
+        if not tiled:
             full = _band_matrix(n, offs, wts)
             if side == "R":
                 full = np.ascontiguousarray(full.T)
             return _pool_band(pool, full, side)
         ndom = J if side == "L" else K
         slices = []
-        for g0j, g0k in contexts:
-            g0 = g0j if side == "L" else g0k
+        for g0 in (j_contexts if side == "L" else k_contexts):
             m = _band_matrix(n, offs, wts, g0=g0,
                              N=ndom if g0 is not None else None)
             slices.append(np.ascontiguousarray(m.T) if side == "R" else m)
@@ -367,12 +372,14 @@ def plan_linear_stage(kspec: ir.KernelSpec,
                         oob |= (kk + ok < 0) | (kk + ok >= K)
                     correction += np.float32(bval * c) * oob
                 return correction
-            if contexts is None:
+            if not tiled:
                 correction = corr_for(0, 0)
                 if np.any(correction):
                     corr_key = pool.add(correction, "corr")
             else:
-                stack = np.stack([corr_for(a, b) for a, b in contexts])
+                # cross product, j-major: instance (ji, ki) at ji*nk + ki
+                stack = np.stack([corr_for(a, b)
+                                  for a in j_contexts for b in k_contexts])
                 if np.any(stack):
                     if all(np.array_equal(stack[0], s) for s in stack[1:]):
                         corr_key = pool.add(stack[0], "corr")

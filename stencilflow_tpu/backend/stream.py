@@ -517,13 +517,14 @@ def compile_chain_stream(program: ir.Program,
         # tiled planes: band matrices / corrections are origin-aware, one
         # slice per tile (global truncation at domain edges only; the
         # overlap halo feeds interior band reads)
-        contexts = ([(jt * core_j_ - hj_, 0) for jt in range(jtiles_)]
-                    if jtiles_ > 1 else None)
+        j_ctx = ([jt * core_j_ - hj_ for jt in range(jtiles_)]
+                 if jtiles_ > 1 else None)
+        k_ctx = [0] if jtiles_ > 1 else None
         plans = {}
         for kname, kspec in program.kernels.items():
             mp = plan_linear_stage(kspec, (pj_, pk_), dims, pool,
                                    min_footprint=mxu_min_footprint,
-                                   contexts=contexts)
+                                   j_contexts=j_ctx, k_contexts=k_ctx)
             if mp is not None:
                 plans[kname] = mp
         # only keep matrices actually referenced
@@ -795,15 +796,23 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
                          interpret: bool = False,
                          vmem_budget: int = 96 * 2**20,
                          halo_i: int = 0,
-                         jtiles: int = 1):
+                         jtiles: int = 1,
+                         mxu_assets: Optional[dict] = None):
     """Per-shard streaming kernel for domain decomposition.
 
-    Returns ``fn(origin_i32[3], widened_inputs: dict) -> outputs: dict`` of
-    local core blocks; inputs are the halo-exchanged local blocks (widened
-    by ``plan.halo_jk`` in the sharded dims and by ``halo_i`` planes in the
-    streamed dim when dim 0 is sharded), ``origin`` the global offset of
-    this device's core block minus ``halo_i``.  Called inside shard_map
-    (parallel/domain.py)."""
+    Returns ``fn(origin_i32[3], widened_inputs: dict[, pool_locals: dict])
+    -> outputs: dict`` of local core blocks; inputs are the halo-exchanged
+    local blocks (widened by ``plan.halo_jk`` in the sharded dims and by
+    ``halo_i`` planes in the streamed dim when dim 0 is sharded),
+    ``origin`` the global offset of this device's core block minus
+    ``halo_i``.  Called inside shard_map (parallel/domain.py).
+
+    ``mxu_assets``: optional dict {plans, pool_keys, pool_meta,
+    transform_keys, local_shapes} enabling the banded-matmul lowering with
+    per-shard matrices — ``pool_locals`` then supplies this shard's slice
+    of every pooled matrix/correction (leading dim = in-shard j-tile
+    instances for stacked keys), assembled by the caller
+    (parallel/domain.py builds them mesh-sharded)."""
     Bi, Bj, Bk = local_block
     pj, pk = plan.plane
     dims = program.dimensions
@@ -880,15 +889,50 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
         out_dtype = jax.dtypes.canonicalize_dtype(program.kernels[out].dtype)
         out_shapes.append(jax.ShapeDtypeStruct((Bi, Bj, Bk), out_dtype))
 
+    # per-shard MXU assets: band matrices / corrections as extra inputs
+    # (this shard's slices, leading dim = in-shard j-tile instance for
+    # stacked keys), plus derived transform rings in scratch
+    assets = mxu_assets or {}
+    mxu_plans = assets.get("plans", {})
+    pool_keys = tuple(assets.get("pool_keys", ()))
+    pool_meta = assets.get("pool_meta", {})
+    transform_keys = tuple(assets.get("transform_keys", ()))
+    from .linear import is_stacked_key
+    for key in pool_keys:
+        shape = assets["local_shapes"][key]
+        if is_stacked_key(key):
+            if jtiles > 1:
+                in_specs.append(pl.BlockSpec(
+                    (1,) + tuple(shape[1:]),
+                    lambda jt, g, d0=shape[0]: (jnp.minimum(jt, d0 - 1),)
+                    + (0,) * (len(shape) - 1),
+                    memory_space=pltpu.VMEM))
+            else:
+                in_specs.append(pl.BlockSpec(
+                    (1,) + tuple(shape[1:]),
+                    lambda g, n=len(shape): (0,) * n,
+                    memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec(
+                tuple(shape),
+                (lambda jt, g, n=len(shape): (0,) * n) if jtiles > 1
+                else (lambda g, n=len(shape): (0,) * n),
+                memory_space=pltpu.VMEM))
+
     scratch_shapes = [
         pltpu.VMEM((plan.ring[f], pj, pk),
                    jax.dtypes.canonicalize_dtype(program.field_dtype(f)))
         for f in plan.ring
     ]
+    scratch_shapes += [
+        pltpu.VMEM((plan.ring[field], pj, pk), jnp.float32)
+        for (field, _l, _r) in transform_keys
+    ]
 
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
-                               input_names, input_kinds, Ii, True, {}, (),
-                               {}, (), 1, jtiles > 1, halo_i, None,
+                               input_names, input_kinds, Ii, True,
+                               mxu_plans, pool_keys, pool_meta,
+                               transform_keys, 1, jtiles > 1, halo_i, None,
                                interpret)
 
     assert plan.lag_max >= halo_i, \
@@ -911,7 +955,7 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
             vmem_limit_bytes=vmem_budget + 16 * 2**20),
     )
 
-    def fn(origin, widened_inputs):
+    def fn(origin, widened_inputs, pool_locals=None):
         args = [jnp.asarray(origin, jnp.int32).reshape(1, 3)]
         for name in input_names:
             spec = program.inputs[name]
@@ -919,6 +963,9 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
             if spec.is_scalar:
                 arr = arr.reshape(1, 1)
             args.append(arr)
+        for key in pool_keys:
+            args.append(jnp.asarray(pool_locals[key]).reshape(
+                assets["local_shapes"][key]))
         res = call(*args)
         if len(program.outputs) == 1:
             res = (res,)

@@ -173,11 +173,14 @@ def _local_forward(plan: DomainDecomposition, graph: ChainGraph,
 
 def _local_forward_stream(plan: DomainDecomposition, stream_fn,
                           extra_j_pad: int,
-                          inputs: Dict[str, Any]) -> Dict[str, Any]:
+                          inputs: Dict[str, Any],
+                          pools: Dict[str, Any]) -> Dict[str, Any]:
     """Per-device body: halo exchange, then the streaming Pallas kernel
     (origin shifted back by the i-halo: local plane g is global i =
     origin + g).  ``extra_j_pad`` widens the local j extent when per-shard
-    j-tiling needs margins the mesh exchange did not provide."""
+    j-tiling needs margins the mesh exchange did not provide.  ``pools``
+    are this shard's slices of the MXU band matrices / corrections
+    (empty dict when the MXU lowering is off)."""
     program = plan.program
     tiles, origin = _widen_and_origin(plan, inputs,
                                       i_origin_shift=plan.halo[0])
@@ -189,17 +192,130 @@ def _local_forward_stream(plan: DomainDecomposition, stream_fn,
             pad = [(0, 0)] * tiles[name].ndim
             pad[pos] = (extra_j_pad, extra_j_pad)
             tiles[name] = jnp.pad(tiles[name], pad)
-    results = stream_fn(jnp.stack(origin), tiles)
+    results = stream_fn(jnp.stack(origin), tiles, pools)
     raw = program.raw_dimensions
     local_raw = tuple(plan.block[3 - len(raw) + i] for i in range(len(raw)))
     return {n: arr.reshape(local_raw) for n, arr in results.items()}
+
+
+def _sharded_mxu_assets(program: ir.Program, analysis: ChainAnalysis,
+                        splan, plan: DomainDecomposition, jtiles: int,
+                        mxu_min_footprint: int, mxu_precision: str):
+    """MXU band-matmul assets for the sharded streaming kernel.
+
+    Band matrices and corrections are origin-aware per (shard, j-tile)
+    instance: L stacks over the j instances, R over the k shards,
+    corrections over their cross product.  The stacks are returned as
+    GLOBAL arrays with mesh PartitionSpecs — each device receives exactly
+    its slices through shard_map.  Returns (local_assets, global_arrays,
+    pspecs, resident_vmem_bytes), or None when no stage is eligible.
+    """
+    from ..backend.linear import (MatrixPool, is_stacked_key,
+                                  plan_linear_stage)
+    mesh = plan.mesh
+    ax_j, ax_k = plan.dim_axes[1], plan.dim_axes[2]
+    n_j = mesh.shape[ax_j] if ax_j is not None else 1
+    n_k = mesh.shape[ax_k] if ax_k is not None else 1
+    Bj, Bk = plan.block[1], plan.block[2]
+    pj, pk = splan.plane
+    hjp, hkp = splan.halo_jk
+    core_j = pj - 2 * hjp
+    dims = program.dimensions
+    global_plane = (n_j == 1 and n_k == 1 and jtiles == 1
+                    and hjp == 0 and hkp == 0)
+    if global_plane:    # i-only sharding: plane == global domain
+        j_ctx = k_ctx = None
+    else:
+        j_ctx = [s * Bj - hjp + jt * core_j
+                 for s in range(n_j) for jt in range(jtiles)]
+        k_ctx = [s * Bk - hkp for s in range(n_k)]
+
+    pool = MatrixPool()
+    plans = {}
+    for kname, kspec in program.kernels.items():
+        mp = plan_linear_stage(kspec, (pj, pk), dims, pool,
+                               min_footprint=mxu_min_footprint,
+                               j_contexts=j_ctx, k_contexts=k_ctx)
+        if mp is not None:
+            plans[kname] = mp
+    if not plans:
+        return None
+
+    used = set()
+    tkeys = set()
+    for mp in plans.values():
+        for grp in mp.groups:
+            if grp.correction_key:
+                used.add(grp.correction_key)
+            for t in grp.terms:
+                used.update(k for k in (t.left_key, t.right_key) if k)
+                ringed = (grp.field in program.kernels or
+                          (grp.field in program.inputs and
+                           program.inputs[grp.field].dim_mask[0]))
+                if (t.left_key or t.right_key) and ringed:
+                    tkeys.add((grp.field, t.left_key, t.right_key))
+    pkeys = sorted(used)
+    parrs = [pool.items[k] for k in pkeys]
+    pmeta = {k: pool.meta[k] for k in pkeys if k in pool.meta}
+    if mxu_precision == "split":
+        import ml_dtypes
+        keys2, arrays2 = [], []
+        for k, a in zip(pkeys, parrs):
+            if k.startswith(("L", "R")):
+                hi = a.astype(ml_dtypes.bfloat16)
+                lo = a - hi.astype(np.float32)
+                keys2.append(k)
+                arrays2.append(hi)
+                if np.any(lo):
+                    keys2.append(k + "__lo")
+                    arrays2.append(lo.astype(ml_dtypes.bfloat16))
+            else:
+                keys2.append(k)
+                arrays2.append(a)
+        pkeys, parrs = keys2, arrays2
+    tkeys = sorted(tkeys, key=lambda t: (t[0], t[1] or "", t[2] or ""))
+
+    global_arrays: Dict[str, Any] = {}
+    pspecs: Dict[str, P] = {}
+    local_shapes: Dict[str, tuple] = {}
+    resident = sum(splan.ring[f] * pj * pk * 4 for (f, _l, _r) in tkeys)
+    for k, a in zip(pkeys, parrs):
+        if is_stacked_key(k):
+            if k.startswith("Ls_"):
+                global_arrays[k] = a.reshape((n_j, jtiles) + a.shape[1:])
+                pspecs[k] = P(ax_j)
+                local_shapes[k] = (jtiles,) + a.shape[1:]
+            elif k.startswith("Rs_"):
+                global_arrays[k] = a
+                pspecs[k] = P(ax_k)
+                local_shapes[k] = (1,) + a.shape[1:]
+            else:   # corrs: (n_j*jtiles*n_k, pj, pk), j-major cross product
+                g = a.reshape((n_j, jtiles, n_k) + a.shape[1:])
+                global_arrays[k] = np.ascontiguousarray(
+                    g.transpose(0, 2, 1, 3, 4))
+                pspecs[k] = P(ax_j, ax_k)
+                local_shapes[k] = (jtiles,) + a.shape[1:]
+            resident += int(np.prod(a.shape[1:])) * a.dtype.itemsize
+        else:
+            global_arrays[k] = a
+            pspecs[k] = P()
+            local_shapes[k] = a.shape
+            resident += a.nbytes
+    local_assets = {"plans": plans, "pool_keys": pkeys,
+                    "pool_meta": pmeta, "transform_keys": tkeys,
+                    "local_shapes": local_shapes}
+    return local_assets, global_arrays, pspecs, resident
 
 
 def compile_sharded_chain(program: ir.Program, mesh: Mesh,
                           dim_axes: Sequence[Optional[str]],
                           analysis: Optional[ChainAnalysis] = None,
                           local_backend: str = "auto",
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          mxu: str = "auto",
+                          mxu_min_footprint: int = 12,
+                          mxu_precision: str = "split",
+                          vmem_budget: int = 96 * 2**20):
     """Build a jitted, mesh-sharded ``fn(inputs) -> outputs`` for the chain.
 
     ``local_backend``: per-shard compute path — "stream" (the streaming
@@ -207,63 +323,99 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
     sharded), "xla" (fused-XLA tile evaluation, runs anywhere), or
     "auto".  Inputs must be committed with ``plan.input_shardings()`` (or
     will be resharded on entry).  Returns ``(fn, plan)``.
+
+    ``mxu="auto"`` lowers wide affine stages to banded matmuls inside the
+    per-shard streaming kernel, with origin-aware per-shard band matrices
+    delivered through shard_map (sharded leading dims); configurations
+    are preferred untiled+MXU > j-tiled+MXU > untiled VPU > j-tiled VPU.
     """
     analysis = analysis or ChainAnalysis.run(program)
     plan = DomainDecomposition.plan(program, mesh, dim_axes, analysis)
     graph = analysis.graph
-    in_specs = ({n: plan.spec_for_input(n) for n in program.inputs},)
+    in_specs = {n: plan.spec_for_input(n) for n in program.inputs}
     out_specs = {n: plan.spec_for_output() for n in program.outputs}
 
     if local_backend == "auto":
         on_cpu = jax.devices()[0].platform == "cpu"
         local_backend = "xla" if (interpret or on_cpu) else "stream"
+    pool_globals: Dict[str, Any] = {}
+    pool_pspecs: Dict[str, P] = {}
     if local_backend == "stream":
         from ..backend.stream import StreamPlan, compile_local_stream
         halo_i = plan.halo[0]
-        splan = StreamPlan.build(analysis,
-                                 local_jk=(plan.block[1], plan.block[2]),
-                                 halo_jk=(plan.halo[1], plan.halo[2]),
-                                 min_lag_max=halo_i)
-        budget = 96 * 2**20
-        jtiles = 1
-        extra_j_pad = 0
-        if splan.vmem_bytes(program) > 0.7 * budget:
-            # j-tile the shard's block (overlapped windows widened by the
-            # chain's j-halo); pad j locally if the mesh exchange did not
-            # already provide that margin
-            hjt = chain_halo(analysis)[1]
-            Bj = plan.block[1]
-            found = None
-            for cand_tiles in range(2, max(2, Bj) + 1):
-                if Bj % cand_tiles:
-                    continue
-                tj = Bj // cand_tiles
-                if tj % 8 or tj <= hjt:
-                    continue
-                trial = StreamPlan.build(
-                    analysis, local_jk=(tj, plan.block[2]),
-                    halo_jk=(hjt, plan.halo[2]), min_lag_max=halo_i)
-                if trial.vmem_bytes(program) <= 0.7 * budget:
-                    splan, jtiles, found = trial, cand_tiles, tj
-                    extra_j_pad = max(0, hjt - plan.halo[1])
+        hjt = chain_halo(analysis)[1]
+        budget = 0.7 * vmem_budget
+        Bj = plan.block[1]
+        # candidates: (jtiles, local_jk, halo_jk, extra_j_pad); j-tiles
+        # use overlapped windows widened by the chain's j-halo, padded
+        # locally if the mesh exchange did not already provide the margin
+        cands = [(1, (plan.block[1], plan.block[2]),
+                  (plan.halo[1], plan.halo[2]), 0)]
+        for cand_tiles in range(2, max(2, Bj) + 1):
+            if Bj % cand_tiles:
+                continue
+            tj = Bj // cand_tiles
+            if tj % 8 or tj <= hjt:
+                continue
+            cands.append((cand_tiles, (tj, plan.block[2]),
+                          (hjt, plan.halo[2]), max(0, hjt - plan.halo[1])))
+        chosen = None
+        for use_mxu in ([True, False] if mxu != "off" else [False]):
+            for nt, ljk, hjk, pad in cands:
+                trial = StreamPlan.build(analysis, local_jk=ljk,
+                                         halo_jk=hjk, min_lag_max=halo_i)
+                tb = trial.vmem_bytes(program)
+                assets = None
+                if use_mxu:
+                    a = _sharded_mxu_assets(program, analysis, trial, plan,
+                                            nt, mxu_min_footprint,
+                                            mxu_precision)
+                    if a is None:
+                        break   # no eligible stage: same as the VPU pass
+                    assets, globals_, pspecs_, extra = a
+                    tb += extra
+                else:
+                    globals_, pspecs_ = {}, {}
+                if tb <= budget:
+                    chosen = (nt, hjk, pad, trial, assets, globals_,
+                              pspecs_)
                     break
-            if found is None:
-                # nothing fits: fused-XLA local body rather than failing
-                # deep inside the Mosaic compiler
-                body = functools.partial(_local_forward, plan, graph)
-                jtiles = 0
-        if jtiles != 0:
+            if chosen is not None:
+                break
+        if chosen is None:
+            # nothing fits: fused-XLA local body rather than failing deep
+            # inside the Mosaic compiler
+            body = functools.partial(_local_forward, plan, graph)
+            local_backend = "xla"
+        else:
+            jtiles, _hjk, extra_j_pad, splan, assets, pool_globals, \
+                pool_pspecs = chosen
             stream_fn = compile_local_stream(program, analysis, splan,
                                              plan.block,
                                              interpret=interpret,
+                                             vmem_budget=vmem_budget,
                                              halo_i=halo_i,
-                                             jtiles=jtiles)
+                                             jtiles=jtiles,
+                                             mxu_assets=assets)
             body = functools.partial(_local_forward_stream, plan,
                                      stream_fn, extra_j_pad)
-    else:
+            compile_sharded_chain.last_config = {
+                "jtiles": jtiles,
+                "mxu_stages": sorted(assets["plans"]) if assets else [],
+            }
+    if local_backend != "stream":
         body = functools.partial(_local_forward, plan, graph)
-    fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+        sm = shard_map(body, mesh=mesh, in_specs=(in_specs,),
+                       out_specs=out_specs, check_vma=False)
+        return jax.jit(sm), plan
+
+    sm = shard_map(body, mesh=mesh, in_specs=(in_specs, pool_pspecs),
                    out_specs=out_specs, check_vma=False)
+    pool_consts = {k: jnp.asarray(v) for k, v in pool_globals.items()}
+
+    def fn(inputs):
+        return sm(inputs, pool_consts)
+
     return jax.jit(fn), plan
 
 

@@ -174,3 +174,81 @@ class TestMXUvsOracle:
         mp = plan_linear_stage(list(p.kernels.values())[0], (8, 8),
                                p.dimensions, pool, min_footprint=12)
         assert mp is None   # 6-point cross: below the MXU threshold
+
+
+class TestShardedMXU:
+    """Sharded streaming kernel with origin-aware per-shard band matrices
+    (parallel/domain.py:_sharded_mxu_assets)."""
+
+    def _run(self, p, inputs, dim_axes, mesh_shape, axes_names=("x", "y"),
+             **kw):
+        import jax
+        from jax.sharding import Mesh
+        from stencilflow_tpu.parallel.domain import compile_sharded_chain
+        devs = np.array(jax.devices()[:int(np.prod(mesh_shape))])
+        mesh = Mesh(devs.reshape(mesh_shape), axes_names[:len(mesh_shape)])
+        fn, plan = compile_sharded_chain(p, mesh, dim_axes,
+                                         local_backend="stream",
+                                         interpret=True, **kw)
+        sh = plan.input_shardings()
+        dev_in = {n: jax.device_put(jnp.asarray(v), sh[n])
+                  for n, v in inputs.items()}
+        out = fn(dev_in)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    @pytest.mark.parametrize("bval", [0.0, 0.6])
+    def test_jk_sharded_box(self, bval):
+        from stencilflow_tpu.parallel.domain import compile_sharded_chain
+        spec = synthesize_stencil(num_stages=2, dimensions=(4, 64, 64),
+                                  shape="box", extent=2,
+                                  boundary="constant", boundary_value=bval)
+        p = sft.parse_program(spec, name=f"shmxu{bval}")
+        inputs = sft.load_input_arrays(p, seed=13)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s1"])
+        got = self._run(p, inputs, (None, "x", "y"), (2, 2))["s1"]
+        assert compile_sharded_chain.last_config["mxu_stages"], \
+            compile_sharded_chain.last_config
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+
+    def test_ik_sharded_box(self):
+        from stencilflow_tpu.parallel.domain import compile_sharded_chain
+        spec = synthesize_stencil(num_stages=2, dimensions=(16, 24, 32),
+                                  shape="box", extent=2,
+                                  boundary="constant", boundary_value=0.2)
+        p = sft.parse_program(spec, name="shmxu_ik")
+        inputs = sft.load_input_arrays(p, seed=14)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s1"])
+        got = self._run(p, inputs, ("x", None, "y"), (2, 2))["s1"]
+        assert compile_sharded_chain.last_config["mxu_stages"]
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+
+    def test_i_only_sharded_keeps_global_plane_mxu(self):
+        # i-only sharding: plane == global domain, blocked representation
+        # stays available
+        from stencilflow_tpu.parallel.domain import compile_sharded_chain
+        spec = synthesize_stencil(num_stages=2, dimensions=(16, 16, 32),
+                                  shape="box", extent=2,
+                                  boundary="constant", boundary_value=0.1)
+        p = sft.parse_program(spec, name="shmxu_i")
+        inputs = sft.load_input_arrays(p, seed=15)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s1"])
+        got = self._run(p, inputs, ("x", None, None), (2,),
+                        axes_names=("x",))["s1"]
+        assert compile_sharded_chain.last_config["mxu_stages"]
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+
+    def test_sharded_jtiled_mxu(self):
+        # a small VMEM budget forces per-shard j-tiling on top of the mesh
+        # decomposition; band matrices stack over (shard, tile) instances
+        from stencilflow_tpu.parallel.domain import compile_sharded_chain
+        spec = synthesize_stencil(num_stages=2, dimensions=(4, 64, 32),
+                                  shape="box", extent=2,
+                                  boundary="constant", boundary_value=0.3)
+        p = sft.parse_program(spec, name="shmxu_jt")
+        inputs = sft.load_input_arrays(p, seed=16)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s1"])
+        got = self._run(p, inputs, (None, "x", "y"), (2, 2),
+                        vmem_budget=100 * 1024)["s1"]
+        cfg = compile_sharded_chain.last_config
+        assert cfg["jtiles"] > 1 and cfg["mxu_stages"], cfg
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
