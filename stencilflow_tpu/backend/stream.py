@@ -139,11 +139,12 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         origin = (origin_ref[0, 0], origin_j, origin_ref[0, 2])
     elif jtiled:
         # grid = (j-tiles, stream); tile origin drives the global BC masks
+        # (static-0 entries stay Python ints so trivially in-bounds reads
+        # skip their masks, tile_eval._global_oob_mask)
         core_j0 = plan.plane[0] - 2 * plan.halo_jk[0]
-        origin = (jnp.int32(0), pl.program_id(0) * jnp.int32(core_j0),
-                  jnp.int32(0))
+        origin = (0, pl.program_id(0) * jnp.int32(core_j0), 0)
     else:
-        origin = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        origin = (0, 0, 0)
     n_in = len(input_names)
     n_pool = len(pool_keys)
     n_out = len(program.outputs)
@@ -279,6 +280,10 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         elif kind == "static":
             plane_cache[name] = ref[...]
 
+    # OOB masks depend only on (offsets, plane shape): share them across
+    # every read of every stage in this grid step
+    mask_cache: Dict[Any, Any] = {}
+
     def make_read(kname, q):
         bcs = program.kernels[kname].boundary_conditions
 
@@ -297,7 +302,8 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 plane = jnp.broadcast_to(plane, plan.plane)
                 return read_access_tile(plane, (oj, ok), bc,
                                         (origin[1], origin[2]),
-                                        plan.halo_jk, (J, K))
+                                        plan.halo_jk, (J, K),
+                                        cache=mask_cache)
             W = plan.ring[field]
             target = q + jnp.int32(oi or 0)
             Wc = jnp.int32(W)
@@ -312,7 +318,8 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 center = rings[field][cslot]
             val = read_access_tile(plane, (oj, ok), bc,
                                    (origin[1], origin[2]),
-                                   plan.halo_jk, (J, K), center=center)
+                                   plan.halo_jk, (J, K), center=center,
+                                   cache=mask_cache)
             if oi is not None and oi != 0:
                 gtarget = origin[0] + target
                 i_oob = (gtarget < 0) | (gtarget >= Ig)

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .. import ir
@@ -61,6 +62,13 @@ def _global_oob_mask(offsets: ir.Offsets, tile_shape: Sequence[int],
     for d, o in enumerate(offsets):
         if o is None:
             continue  # unspanned dim: never out of bounds
+        if (o == 0 and isinstance(origin[d], (int, np.integer))
+                and origin[d] - halo[d] == 0
+                and tile_shape[d] == dimensions[d]):
+            # statically in-bounds: an unshifted read of a tile that spans
+            # the whole domain at origin 0 — skip the (all-false) mask and
+            # its where entirely
+            continue
         idx = lax.broadcasted_iota(jnp.int32, tuple(tile_shape), d)
         g = idx + (origin[d] - halo[d] + o)
         m = (g < 0) | (g >= dimensions[d])
