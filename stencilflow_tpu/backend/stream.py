@@ -628,8 +628,10 @@ def compile_chain_stream(program: ir.Program,
             block = min(2, I)
         else:
             area = (tile_jk[0] + 2 * halo_jk[0] if tile_jk else J) * K
+            # even at large planes, 2 planes/step amortizes measurable
+            # per-grid-step pipeline overhead (~6us; +6% at 256^3)
             block = 8 if area <= 128 * 128 else \
-                (4 if area <= 224 * 224 else 1)
+                (4 if area <= 224 * 224 else 2)
             block = max(1, min(block, I))
     plan = StreamPlan.build(analysis, local_jk=tile_jk, halo_jk=halo_jk,
                             block=block)
