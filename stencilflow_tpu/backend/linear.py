@@ -146,6 +146,49 @@ class MatrixPool:
         return key
 
 
+def finalize_pool(plans: Dict[str, "LinearStagePlan"], pool: "MatrixPool",
+                  program, mxu_precision: str = "split"):
+    """(pool_keys, pool_arrays, pool_meta, transform_keys) for a set of
+    stage plans: prune the pool to referenced matrices, order
+    deterministically, collect the (field, L, R) derived-transform-ring
+    keys, and — in split precision — decompose band matrices into bf16
+    hi (+ ``<key>__lo`` residual) pairs (correction planes stay f32)."""
+    used = set()
+    tkeys = set()
+    for mp in plans.values():
+        for grp in mp.groups:
+            if grp.correction_key:
+                used.add(grp.correction_key)
+            for t in grp.terms:
+                used.update(k for k in (t.left_key, t.right_key) if k)
+                ringed = (grp.field in program.kernels or
+                          (grp.field in program.inputs and
+                           program.inputs[grp.field].dim_mask[0]))
+                if (t.left_key or t.right_key) and ringed:
+                    tkeys.add((grp.field, t.left_key, t.right_key))
+    pkeys = sorted(used)
+    parrs = [pool.items[k] for k in pkeys]
+    pmeta = {k: pool.meta[k] for k in pkeys if k in pool.meta}
+    if mxu_precision == "split":
+        import ml_dtypes
+        keys2, arrays2 = [], []
+        for k, a in zip(pkeys, parrs):
+            if k.startswith(("L", "R")):
+                hi = a.astype(ml_dtypes.bfloat16)
+                lo = a - hi.astype(np.float32)
+                keys2.append(k)
+                arrays2.append(hi)
+                if np.any(lo):
+                    keys2.append(k + "__lo")
+                    arrays2.append(lo.astype(ml_dtypes.bfloat16))
+            else:
+                keys2.append(k)
+                arrays2.append(a)
+        pkeys, parrs = keys2, arrays2
+    tkeys = sorted(tkeys, key=lambda t: (t[0], t[1] or "", t[2] or ""))
+    return pkeys, parrs, pmeta, tkeys
+
+
 def is_stacked_key(key: str) -> bool:
     """True for pool entries holding one slice per tile/shard instance
     (leading dim selected by BlockSpec index map or sharding)."""

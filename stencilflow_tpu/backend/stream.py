@@ -534,42 +534,9 @@ def compile_chain_stream(program: ir.Program,
                                    j_contexts=j_ctx, k_contexts=k_ctx)
             if mp is not None:
                 plans[kname] = mp
-        # only keep matrices actually referenced
-        used = set()
-        tkeys = set()
-        for mp in plans.values():
-            for grp in mp.groups:
-                if grp.correction_key:
-                    used.add(grp.correction_key)
-                for t in grp.terms:
-                    used.update(k for k in (t.left_key, t.right_key) if k)
-                    ringed = (grp.field in program.kernels or
-                              (grp.field in program.inputs and
-                               program.inputs[grp.field].dim_mask[0]))
-                    if (t.left_key or t.right_key) and ringed:
-                        tkeys.add((grp.field, t.left_key, t.right_key))
-        pkeys = sorted(used)
-        parrs = [pool.items[k] for k in pkeys]
-        pmeta = {k: pool.meta[k] for k in pkeys if k in pool.meta}
-        if mxu_precision == "split":
-            # band matrices ship as bf16 hi (+ bf16 lo residual when the
-            # weights aren't bf16-exact); correction planes stay f32
-            import ml_dtypes
-            keys2, arrays2 = [], []
-            for k, a in zip(pkeys, parrs):
-                if k.startswith(("L", "R")):
-                    hi = a.astype(ml_dtypes.bfloat16)
-                    lo = a - hi.astype(np.float32)
-                    keys2.append(k)
-                    arrays2.append(hi)
-                    if np.any(lo):
-                        keys2.append(k + "__lo")
-                        arrays2.append(lo.astype(ml_dtypes.bfloat16))
-                else:
-                    keys2.append(k)
-                    arrays2.append(a)
-            pkeys, parrs = keys2, arrays2
-        tkeys = sorted(tkeys, key=lambda t: (t[0], t[1] or "", t[2] or ""))
+        from .linear import finalize_pool
+        pkeys, parrs, pmeta, tkeys = finalize_pool(plans, pool, program,
+                                                   mxu_precision)
         # derived f32 transform rings + resident band matrices (stacked
         # entries are resident one slice at a time)
         extra = sum(plan_.ring[f] * pj_ * pk_ * 4 for (f, _l, _r) in tkeys)

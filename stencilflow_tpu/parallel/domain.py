@@ -241,39 +241,9 @@ def _sharded_mxu_assets(program: ir.Program, analysis: ChainAnalysis,
     if not plans:
         return None
 
-    used = set()
-    tkeys = set()
-    for mp in plans.values():
-        for grp in mp.groups:
-            if grp.correction_key:
-                used.add(grp.correction_key)
-            for t in grp.terms:
-                used.update(k for k in (t.left_key, t.right_key) if k)
-                ringed = (grp.field in program.kernels or
-                          (grp.field in program.inputs and
-                           program.inputs[grp.field].dim_mask[0]))
-                if (t.left_key or t.right_key) and ringed:
-                    tkeys.add((grp.field, t.left_key, t.right_key))
-    pkeys = sorted(used)
-    parrs = [pool.items[k] for k in pkeys]
-    pmeta = {k: pool.meta[k] for k in pkeys if k in pool.meta}
-    if mxu_precision == "split":
-        import ml_dtypes
-        keys2, arrays2 = [], []
-        for k, a in zip(pkeys, parrs):
-            if k.startswith(("L", "R")):
-                hi = a.astype(ml_dtypes.bfloat16)
-                lo = a - hi.astype(np.float32)
-                keys2.append(k)
-                arrays2.append(hi)
-                if np.any(lo):
-                    keys2.append(k + "__lo")
-                    arrays2.append(lo.astype(ml_dtypes.bfloat16))
-            else:
-                keys2.append(k)
-                arrays2.append(a)
-        pkeys, parrs = keys2, arrays2
-    tkeys = sorted(tkeys, key=lambda t: (t[0], t[1] or "", t[2] or ""))
+    from ..backend.linear import finalize_pool
+    pkeys, parrs, pmeta, tkeys = finalize_pool(plans, pool, program,
+                                               mxu_precision)
 
     global_arrays: Dict[str, Any] = {}
     pspecs: Dict[str, P] = {}

@@ -76,7 +76,104 @@ def _segment_eval(program, graph, segment, tiles, origin, halo):
                                keep=segment)
 
 
-def _pipeline_body(plan: PipelineSplit, graph: ChainGraph,
+def _segment_program(program: ir.Program, graph: ChainGraph,
+                     segment: List[str]) -> ir.Program:
+    """Stand-alone sub-program for one pipeline segment.
+
+    Upstream kernel fields the segment reads become full-3D inputs (their
+    widened tiles arrive in the pipeline carry); outputs are the segment's
+    kernels consumed by later segments or by the program itself.  Global
+    ``dimensions`` are kept — boundary-condition masks must see global
+    coordinates (the widened-tile origin is supplied at run time)."""
+    seg_set = set(segment)
+    kernels = {k: program.kernels[k] for k in segment}
+    inputs: Dict[str, ir.InputSpec] = {}
+    for k in segment:
+        for f in program.kernels[k].accesses():
+            if f in seg_set or f in inputs:
+                continue
+            if f in program.inputs:
+                inputs[f] = program.inputs[f]
+            else:
+                inputs[f] = ir.InputSpec(f, program.kernels[f].dtype,
+                                         (True, True, True), None)
+    order = graph.kernel_order
+    idx = {k: i for i, k in enumerate(order)}
+    last = max(idx[k] for k in segment)
+    later_reads = set()
+    for k in order:
+        if idx[k] > last:
+            later_reads.update(program.kernels[k].accesses())
+    outs = [k for k in segment
+            if k in later_reads or k in program.outputs]
+    return dataclasses.replace(program, name=f"{program.name}_seg{last}",
+                               inputs=inputs, outputs=outs, kernels=kernels)
+
+
+def _segment_stream_fns(program: ir.Program, graph: ChainGraph,
+                        segments: List[List[str]], halo: Vec3, chunk: int,
+                        interpret: bool, mxu: str, mxu_min_footprint: int,
+                        mxu_precision: str,
+                        vmem_budget: int = 96 * 2**20):
+    """Per-segment streaming Pallas kernels over the widened chunk tile,
+    or None when any segment's rings exceed the VMEM budget (callers fall
+    back to the fused-XLA segment evaluator).
+
+    The widened tile's j/k origins are FIXED (-halo), so MXU band
+    matrices need only a single context — they ship replicated as plain
+    arrays."""
+    from ..backend.stream import StreamPlan, compile_local_stream
+    from ..backend.linear import (MatrixPool, finalize_pool,
+                                  plan_linear_stage)
+    dims = program.dimensions
+    widened = (chunk + 2 * halo[0], dims[1] + 2 * halo[1],
+               dims[2] + 2 * halo[2])
+    fns = []
+    for segment in segments:
+        subp = _segment_program(program, graph, segment)
+        suba = ChainAnalysis.run(subp)
+        splan = StreamPlan.build(suba, local_jk=(widened[1], widened[2]),
+                                 halo_jk=(0, 0))
+        total = splan.vmem_bytes(subp)
+        assets = None
+        pools: Dict[str, Any] = {}
+        if mxu != "off":
+            pool = MatrixPool()
+            j_ctx = [-halo[1]] if halo[1] else None
+            k_ctx = [-halo[2]] if halo[2] else None
+            plans = {}
+            for kname, kspec in subp.kernels.items():
+                mp = plan_linear_stage(kspec, (widened[1], widened[2]),
+                                       dims, pool,
+                                       min_footprint=mxu_min_footprint,
+                                       j_contexts=j_ctx, k_contexts=k_ctx)
+                if mp is not None:
+                    plans[kname] = mp
+            if plans:
+                pkeys, parrs, pmeta, tkeys = finalize_pool(
+                    plans, pool, subp, mxu_precision)
+                extra = sum(splan.ring[f] * widened[1] * widened[2] * 4
+                            for (f, _l, _r) in tkeys)
+                extra += sum(a.nbytes for a in parrs)
+                if total + extra <= 0.7 * vmem_budget:
+                    total += extra
+                    assets = {"plans": plans, "pool_keys": pkeys,
+                              "pool_meta": pmeta, "transform_keys": tkeys,
+                              "local_shapes": {k: a.shape for k, a in
+                                               zip(pkeys, parrs)}}
+                    pools = {k: jnp.asarray(a)
+                             for k, a in zip(pkeys, parrs)}
+        if total > 0.7 * vmem_budget:
+            return None
+        fn = compile_local_stream(subp, suba, splan, widened,
+                                  interpret=interpret,
+                                  vmem_budget=vmem_budget,
+                                  halo_i=0, jtiles=1, mxu_assets=assets)
+        fns.append((subp, fn, pools))
+    return fns
+
+
+def _pipeline_body(plan: PipelineSplit, graph: ChainGraph, seg_fns,
                    inputs: Dict[str, Any]) -> Dict[str, Any]:
     program = plan.program
     mesh_n = plan.mesh.shape[plan.axis]
@@ -126,9 +223,18 @@ def _pipeline_body(plan: PipelineSplit, graph: ChainGraph,
 
     branches = []
     for seg_idx, segment in enumerate(plan.segments):
-        def branch(args, segment=segment):
+        def branch(args, segment=segment, seg_idx=seg_idx):
             tiles, origin = args
-            res = _segment_eval(program, graph, segment, tiles, origin, halo)
+            if seg_fns is not None:
+                # streaming Pallas kernel over the widened chunk tile;
+                # the tile origin shifts back by the halo in every dim
+                subp, fn, pools = seg_fns[seg_idx]
+                o = jnp.stack([jnp.int32(origin[0]) - jnp.int32(halo[0]),
+                               jnp.int32(-halo[1]), jnp.int32(-halo[2])])
+                res = fn(o, {n: tiles[n] for n in subp.inputs}, pools)
+            else:
+                res = _segment_eval(program, graph, segment, tiles,
+                                    origin, halo)
             new = dict(tiles)
             new.update(res)
             return {k: new[k] for k in program.kernels}
@@ -180,10 +286,20 @@ def _pipeline_body(plan: PipelineSplit, graph: ChainGraph,
 
 def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
                            num_chunks: Optional[int] = None,
-                           analysis: Optional[ChainAnalysis] = None):
+                           analysis: Optional[ChainAnalysis] = None,
+                           local_backend: str = "auto",
+                           interpret: bool = False,
+                           mxu: str = "auto",
+                           mxu_min_footprint: int = 12,
+                           mxu_precision: str = "split"):
     """Jitted wavefront-pipelined chain over ``mesh.shape[axis]`` devices.
 
     Inputs are replicated; outputs are replicated.  Returns ``(fn, plan)``.
+
+    ``local_backend``: per-segment compute — "stream" runs each segment as
+    a streaming Pallas kernel over the widened chunk tile (the production
+    TPU path, with the MXU lowering for wide affine stages), "xla" the
+    fused tile evaluator (runs anywhere), "auto" picks by platform.
     """
     analysis = analysis or ChainAnalysis.run(program)
     graph = analysis.graph
@@ -199,9 +315,18 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
     chunk = dims[0] // num_chunks
     plan = PipelineSplit(program, mesh, axis, segments, halo, num_chunks,
                          chunk)
+    if local_backend == "auto":
+        on_cpu = jax.devices()[0].platform == "cpu"
+        local_backend = "xla" if (interpret or on_cpu) else "stream"
+    seg_fns = None
+    if local_backend == "stream":
+        seg_fns = _segment_stream_fns(program, graph, segments, halo,
+                                      chunk, interpret, mxu,
+                                      mxu_min_footprint, mxu_precision)
+        # None: a segment's rings exceed VMEM — fused-XLA fallback
     in_specs = ({n: P() for n in program.inputs},)
     out_specs = {n: P() for n in program.outputs}
-    fn = shard_map(functools.partial(_pipeline_body, plan, graph),
+    fn = shard_map(functools.partial(_pipeline_body, plan, graph, seg_fns),
                    mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_vma=False)
     return jax.jit(fn), plan

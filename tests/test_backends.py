@@ -323,6 +323,40 @@ class TestMultiChip:
         out = run_pipeline_split(p, mesh, "p", inputs)
         np.testing.assert_allclose(out["s3"], ref["s3"], rtol=1e-6)
 
+    def test_pipeline_split_stream_segments(self):
+        """Per-segment streaming Pallas kernels over the widened chunk
+        tiles (interpret mode), vs the oracle."""
+        from stencilflow_tpu.parallel.pipeline import compile_pipeline_split
+        p = _program_jacobi3d(size=16, iters=4)
+        inputs = sft.load_input_arrays(p, seed=28)
+        ref = _oracle(p, inputs)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("p",))
+        fn, plan = compile_pipeline_split(p, mesh, "p",
+                                          local_backend="stream",
+                                          interpret=True)
+        out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
+        np.testing.assert_allclose(np.asarray(out["s3"]), ref["s3"],
+                                   rtol=1e-6)
+
+    def test_pipeline_split_stream_segments_mxu_box(self):
+        """Pipeline segments with wide affine stages take the MXU path
+        (fixed-origin band matrices on the widened tile)."""
+        from stencilflow_tpu.parallel.pipeline import compile_pipeline_split
+        from stencilflow_tpu.synthesize import synthesize_stencil
+        spec = synthesize_stencil(num_stages=2, dimensions=(8, 16, 24),
+                                  shape="box", extent=2,
+                                  boundary="constant", boundary_value=0.3)
+        p = sft.parse_program(spec, name="pipembox")
+        inputs = sft.load_input_arrays(p, seed=29)
+        ref = _oracle(p, inputs)
+        mesh = Mesh(np.array(jax.devices()[:2]), ("p",))
+        fn, plan = compile_pipeline_split(p, mesh, "p",
+                                          local_backend="stream",
+                                          interpret=True)
+        out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
+        np.testing.assert_allclose(np.asarray(out["s1"]), ref["s1"],
+                                   rtol=3e-5, atol=1e-6)
+
     def test_domain_decomposition_stream_local_backend(self):
         """The production path: per-shard streaming Pallas kernel (interpret
         mode on the CPU mesh) under shard_map halo exchange."""
