@@ -153,6 +153,91 @@ def test_deep_chain_stream_and_sim(seed):
     np.testing.assert_allclose(gs, ref, rtol=3e-5, atol=1e-6)
 
 
+def _affine_program(rng, stages):
+    """Random wide-footprint affine chains (MXU-eligible stages mixed with
+    narrow VPU ones), constant BCs with random values."""
+    dims = [int(rng.integers(3, 6)), int(rng.choice([24, 32])),
+            int(rng.choice([16, 24, 32]))]
+    prog = {}
+    avail = ["a"]
+    for s in range(stages):
+        prev = avail[-1]
+        r = int(rng.integers(1, 3))
+        n = int(rng.integers(6, 18))
+        offsets = set()
+        while len(offsets) < n:
+            offsets.add((int(rng.integers(-1, 2)),
+                         int(rng.integers(-r, r + 1)),
+                         int(rng.integers(-r, r + 1))))
+        terms = " + ".join(
+            f"{float(rng.uniform(0.3, 1.5)) / n:.5f} * {prev}[" +
+            ",".join(f"{it}{o:+d}" if o else it
+                     for it, o in zip("ijk", off)) + "]"
+            for off in sorted(offsets))
+        bias = (f" + {float(rng.uniform(-0.5, 0.5)):.4f}"
+                if rng.random() < 0.5 else "")
+        prog[f"s{s}"] = {
+            "computation_string": f"s{s} = {terms}{bias}",
+            "boundary_conditions": {
+                prev: {"type": "constant",
+                       "value": float(rng.uniform(-1, 1))}},
+            "data_type": "float32"}
+        avail.append(f"s{s}")
+    return {"inputs": {"a": {"data": "random:-1,1",
+                             "data_type": "float32"}},
+            "outputs": [avail[-1]], "dimensions": dims, "program": prog}
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_affine_mxu_configurations(seed):
+    """The MXU lowering across its deployment modes — untiled, forced
+    j-tiled (origin-aware stacked matrices), and mesh-sharded — must all
+    match the oracle on random affine chains."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from stencilflow_tpu.backend.stream import (StreamPlan,
+                                                compile_chain_stream)
+    from stencilflow_tpu.frontend.analysis import ChainAnalysis
+    from stencilflow_tpu.parallel.domain import compile_sharded_chain
+
+    rng = np.random.default_rng(3000 + seed)
+    spec = _affine_program(rng, int(rng.integers(2, 4)))
+    p = sft.parse_program(spec, name=f"affine{seed}")
+    inputs = sft.load_input_arrays(p, seed=seed)
+    jins = {k: jnp.asarray(v) for k, v in inputs.items()}
+    out = p.outputs[0]
+    ref = np.asarray(sft.run_interpreter(p, inputs)[out], dtype=np.float64)
+
+    got = np.asarray(compile_chain_stream(p, interpret=True)(jins)[out])
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6,
+                               err_msg="untiled stream")
+
+    # a budget below the untiled need forces the tiling ladder
+    untiled = StreamPlan.build(ChainAnalysis.run(p)).vmem_bytes(p)
+    try:
+        fn2 = compile_chain_stream(p, interpret=True,
+                                   vmem_budget=int(untiled / 0.7 * 0.6))
+    except ValueError:
+        fn2 = None   # no tile fits this chain's halo; acceptable
+    if fn2 is not None:
+        got2 = np.asarray(fn2(jins)[out])
+        np.testing.assert_allclose(got2, ref, rtol=3e-5, atol=1e-6,
+                                   err_msg="tiled stream")
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("x", "y"))
+    fn3, plan3 = compile_sharded_chain(p, mesh, (None, "x", "y"),
+                                       local_backend="stream",
+                                       interpret=True)
+    sh = plan3.input_shardings()
+    dev_in = {n: jax.device_put(jnp.asarray(v), sh[n])
+              for n, v in inputs.items()}
+    got3 = np.asarray(fn3(dev_in)[out])
+    np.testing.assert_allclose(got3, ref, rtol=3e-5, atol=1e-6,
+                               err_msg="sharded stream")
+
+
 @pytest.mark.parametrize("seed", range(20))
 def test_random_program_all_engines(seed):
     rng = np.random.default_rng(1000 + seed)
