@@ -57,7 +57,8 @@ class StreamPlan:
               local_jk: Optional[Tuple[int, int]] = None,
               halo_jk: Tuple[int, int] = (0, 0),
               block: int = 1,
-              min_lag_max: int = 0) -> "StreamPlan":
+              min_lag_max: int = 0,
+              direct_emit: bool = True) -> "StreamPlan":
         # Single chip: planes span the full (J, K) domain, unwidened —
         # circular-roll wrap-around of a j/k-offset read lands exactly on
         # the cells whose global index is out of domain, and every read
@@ -91,18 +92,30 @@ class StreamPlan:
         lag_max = -(-lag_max // block) * block
 
         # rings exist only for streamed fields (kernels and i-spanning
-        # inputs); scalars and static planes are cached, not ring-buffered
+        # inputs); scalars and static planes are cached, not ring-buffered.
+        # With ``direct_emit`` (emit_off == 0), an output whose lag is a
+        # block multiple is written straight to the out ref at compute
+        # time: pure outputs (no kernel consumers) then carry no ring at
+        # all and consumed outputs only the consumer-driven depth — two
+        # plane copies saved per output plane, which dominates for shallow
+        # (HBM-bound) chains.
         streamed = [n for n, sp in program.inputs.items()
                     if not sp.is_scalar and sp.dim_mask[0]]
         ring: Dict[str, int] = {}
         for f in streamed + list(program.kernels):
             depth = 1
+            consumed = f in program.inputs   # input rings always exist
             for c in analysis.graph.consumers(f):
                 if c not in program.kernels:
                     continue
+                consumed = True
                 depth = max(depth, 1 + lag[c] - i_range(c, f)[0] - lag[f])
             if f in program.outputs:
-                depth = max(depth, 1 + lag_max - lag[f])
+                aligned = direct_emit and lag[f] % block == 0
+                if not aligned:
+                    depth = max(depth, 1 + lag_max - lag[f])
+                elif not consumed:
+                    continue   # pure output: emitted directly, no ring
             ring[f] = depth
         lj, lk = local_jk or (dims[1], dims[2])
         return cls(lag, ring, lag_max, (hj, hk),
@@ -410,6 +423,13 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             acc = acc + jnp.float32(mplan.bias)
         return acc
 
+    # outputs whose lag is a block multiple emit directly from the compute
+    # step (position m of the out block the index map selected); the rest
+    # go through their ring with the lag_max skew (step 3)
+    direct_set = ({f for f in program.outputs
+                   if plan.lag[f] % block == 0} if emit_off == 0 else set())
+    out_ref_of = dict(zip(program.outputs, out_refs))
+
     # ---- micro-steps: block planes per grid step --------------------------
     for m in range(block):
         g = gb * jnp.int32(block) + jnp.int32(m)
@@ -449,25 +469,45 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 compute_dtype or
                 jax.dtypes.canonicalize_dtype(kspec.dtype))
 
-            @pl.when(q >= 0)
-            def _(kname=kname, result=result, q=q):
-                slot = jax.lax.rem(q, jnp.int32(plan.ring[kname]))
-                rings[kname][pl.ds(slot, 1)] = result[None]
-                write_transforms(kname, slot, result)
+            if kname in plan.ring:
+                @pl.when(q >= 0)
+                def _(kname=kname, result=result, q=q):
+                    slot = jax.lax.rem(q, jnp.int32(plan.ring[kname]))
+                    rings[kname][pl.ds(slot, 1)] = result[None]
+                    write_transforms(kname, slot, result)
 
-        # 3. emit plane m of the output block at index max(gb - lagB, 0)
-        #    (clamped during warmup; the final write to each block wins).
-        #    With an i-halo (emit_off, sharded i-decomposition, block == 1)
-        #    the emitted ring plane is offset into the core region.
-        p_out = (jnp.maximum(gb - jnp.int32(lagB + emit_off), 0)
-                 + jnp.int32(emit_off)) * jnp.int32(block) + jnp.int32(m)
-        for out_name, ref in zip(program.outputs, out_refs):
-            oslot = jax.lax.rem(p_out, jnp.int32(plan.ring[out_name]))
-            plane = rings[out_name][oslot]
-            core = jax.lax.slice(plane, (hj, hk),
-                                 (hj + core_j, hk + core_k))
-            ref[pl.ds(m, 1)] = core.reshape(1, core_j, core_k).astype(
-                ref.dtype)
+            if kname in direct_set:
+                # result IS output plane q = (gb - lag/block)*block + m —
+                # exactly position m of the block this step's out index
+                # map selected; guard against warmup (q < 0) and the
+                # drain steps that revisit the (clamped) last block
+                oref = out_ref_of[kname]
+                core = jax.lax.slice(result, (hj, hk),
+                                     (hj + core_j, hk + core_k))
+
+                @pl.when((q >= 0) & (q < I))
+                def _(oref=oref, core=core, m=m):
+                    oref[pl.ds(m, 1)] = core.reshape(
+                        1, core_j, core_k).astype(oref.dtype)
+
+        # 3. ring-emitting outputs: plane m of the output block at index
+        #    max(gb - lagB, 0) (clamped during warmup; the final write to
+        #    each block wins).  With an i-halo (emit_off, sharded
+        #    i-decomposition, block == 1) the emitted ring plane is offset
+        #    into the core region.
+        ring_outs = [(f, out_ref_of[f]) for f in program.outputs
+                     if f not in direct_set]
+        if ring_outs:
+            p_out = (jnp.maximum(gb - jnp.int32(lagB + emit_off), 0)
+                     + jnp.int32(emit_off)) * jnp.int32(block) \
+                + jnp.int32(m)
+            for out_name, ref in ring_outs:
+                oslot = jax.lax.rem(p_out, jnp.int32(plan.ring[out_name]))
+                plane = rings[out_name][oslot]
+                core = jax.lax.slice(plane, (hj, hk),
+                                     (hj + core_j, hk + core_k))
+                ref[pl.ds(m, 1)] = core.reshape(1, core_j, core_k).astype(
+                    ref.dtype)
 
 
 def compile_chain_stream(program: ir.Program,
@@ -659,20 +699,25 @@ def compile_chain_stream(program: ir.Program,
                     memory_space=pltpu.VMEM))
 
     lagB = plan.lag_max // block
+    nb_out = -(-I // block)
     out_specs = []
     out_shapes = []
     for out in program.outputs:
+        if plan.lag[out] % block == 0:
+            # direct emit: the block holding plane q = g*block + m - lag
+            c = plan.lag[out] // block
+            idx = lambda g, c=c: (jnp.clip(g - c, 0, nb_out - 1), 0, 0)
+            idxt = lambda jt, g, c=c: (jnp.clip(g - c, 0, nb_out - 1),
+                                       jt, 0)
+        else:
+            idx = lambda g: (jnp.maximum(g - lagB, 0), 0, 0)
+            idxt = lambda jt, g: (jnp.maximum(g - lagB, 0), jt, 0)
         if jtiles > 1:
             out_specs.append(pl.BlockSpec(
-                (block, core_j, K),
-                lambda jt, g, lagB=lagB:
-                    (jnp.maximum(g - lagB, 0), jt, 0),
-                memory_space=pltpu.VMEM))
+                (block, core_j, K), idxt, memory_space=pltpu.VMEM))
         else:
             out_specs.append(pl.BlockSpec(
-                (block, J, K),
-                lambda g, lagB=lagB: (jnp.maximum(g - lagB, 0), 0, 0),
-                memory_space=pltpu.VMEM))
+                (block, J, K), idx, memory_space=pltpu.VMEM))
         out_dtype = jax.dtypes.canonicalize_dtype(program.kernels[out].dtype)
         out_shapes.append(jax.ShapeDtypeStruct((I, J, K), out_dtype))
 
@@ -850,18 +895,23 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
     out_specs = []
     out_shapes = []
     for out in program.outputs:
+        if halo_i == 0:
+            # direct emit (block == 1): the block holding plane g - lag
+            idx = lambda g, c=plan.lag[out]: (jnp.clip(g - c, 0, Bi - 1),
+                                              0, 0)
+            idxt = lambda jt, g, c=plan.lag[out]: \
+                (jnp.clip(g - c, 0, Bi - 1), jt, 0)
+        else:
+            idx = lambda g: (jnp.maximum(g - plan.lag_max - halo_i, 0),
+                             0, 0)
+            idxt = lambda jt, g: (jnp.maximum(g - plan.lag_max - halo_i,
+                                              0), jt, 0)
         if jtiles > 1:
             out_specs.append(pl.BlockSpec(
-                (1, core_j, Bk),
-                lambda jt, g: (jnp.maximum(g - plan.lag_max - halo_i, 0),
-                               jt, 0),
-                memory_space=pltpu.VMEM))
+                (1, core_j, Bk), idxt, memory_space=pltpu.VMEM))
         else:
             out_specs.append(pl.BlockSpec(
-                (1, Bj, Bk),
-                lambda g: (jnp.maximum(g - plan.lag_max - halo_i, 0),
-                           0, 0),
-                memory_space=pltpu.VMEM))
+                (1, Bj, Bk), idx, memory_space=pltpu.VMEM))
         out_dtype = jax.dtypes.canonicalize_dtype(program.kernels[out].dtype)
         out_shapes.append(jax.ShapeDtypeStruct((Bi, Bj, Bk), out_dtype))
 

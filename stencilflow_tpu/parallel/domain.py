@@ -333,7 +333,8 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
         for use_mxu in ([True, False] if mxu != "off" else [False]):
             for nt, ljk, hjk, pad in cands:
                 trial = StreamPlan.build(analysis, local_jk=ljk,
-                                         halo_jk=hjk, min_lag_max=halo_i)
+                                         halo_jk=hjk, min_lag_max=halo_i,
+                                         direct_emit=halo_i == 0)
                 tb = trial.vmem_bytes(program)
                 assets = None
                 if use_mxu:
