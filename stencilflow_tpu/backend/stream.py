@@ -136,13 +136,18 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         plan: StreamPlan, input_names, input_kinds,
                         local_i, sharded, mxu_plans, pool_keys, pool_meta,
                         transform_keys, block, jtiled, emit_off,
-                        compute_dtype, interpret, *refs):
+                        compute_dtype, interpret, spill_reads, *refs):
     """One grid step: ingest ``block`` input planes, advance every stage
     ``block`` planes, emit ``block`` output planes (micro-steps amortize the
     per-grid-step pipeline overhead).  With ``sharded`` the first ref is a
     (1, 3) SMEM block of global origin coordinates for this device's block.
     MXU-lowered stages (mxu_plans) read their banded matrices / correction
-    planes from the ``pool_keys``-ordered refs that follow the inputs."""
+    planes from the ``pool_keys``-ordered refs that follow the inputs.
+
+    ``spill_reads``: fields whose ring lives in an HBM circular buffer
+    (the memory optimizer's spill decision, reference optimizer.py
+    semantics mapped to TPU) -> the static read deltas ``lag[consumer] -
+    oi`` it is read at; their planes move via explicit async DMA."""
     if sharded:
         origin_ref, *refs = refs
         origin_j = origin_ref[0, 1]
@@ -161,15 +166,25 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     n_in = len(input_names)
     n_pool = len(pool_keys)
     n_out = len(program.outputs)
+    spilled = tuple(spill_reads)
     in_refs = refs[:n_in]
     pool = {k: refs[n_in + i] for i, k in enumerate(pool_keys)}
     out_refs = refs[n_in + n_pool:n_in + n_pool + n_out]
-    n_rings = len(plan.ring)
-    base_idx = n_in + n_pool + n_out
-    rings = dict(zip([f for f in plan.ring],
-                     refs[base_idx:base_idx + n_rings]))
+    idx = n_in + n_pool + n_out
+    hbm_rings = dict(zip(spilled, refs[idx:idx + len(spilled)]))
+    idx += len(spilled)
+    vmem_ring_fields = [f for f in plan.ring if f not in spill_reads]
+    rings = dict(zip(vmem_ring_fields,
+                     refs[idx:idx + len(vmem_ring_fields)]))
+    idx += len(vmem_ring_fields)
     transform_rings = dict(zip(transform_keys,
-                               refs[base_idx + n_rings:]))
+                               refs[idx:idx + len(transform_keys)]))
+    idx += len(transform_keys)
+    # per spilled field: (read buffers, write staging, DMA semaphores)
+    spill_bufs = {}
+    for f in spilled:
+        spill_bufs[f] = (refs[idx], refs[idx + 1], refs[idx + 2])
+        idx += 3
 
     gb = pl.program_id(1) if jtiled else pl.program_id(0)
     dims = program.dimensions
@@ -297,7 +312,35 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     # every read of every stage in this grid step
     mask_cache: Dict[Any, Any] = {}
 
-    def make_read(kname, q):
+    # HBM-spilled rings move planes via explicit async DMA; a
+    # per-(field, delta, micro-step) cache fetches each distinct plane once
+    spill_cache: Dict[Any, Any] = {}
+
+    def spill_read(field, delta, slot, m):
+        key = (field, delta, m)
+        if key in spill_cache:
+            return spill_cache[key]
+        rbuf, _stage, sems = spill_bufs[field]
+        ridx = spill_reads[field].index(delta)
+        dma = pltpu.make_async_copy(hbm_rings[field].at[pl.ds(slot, 1)],
+                                    rbuf.at[pl.ds(ridx, 1)],
+                                    sems.at[ridx])
+        dma.start()
+        dma.wait()
+        plane = rbuf[ridx]
+        spill_cache[key] = plane
+        return plane
+
+    def spill_write(field, slot, plane):
+        _rbuf, stage, sems = spill_bufs[field]
+        stage[...] = plane[None]
+        dma = pltpu.make_async_copy(stage,
+                                    hbm_rings[field].at[pl.ds(slot, 1)],
+                                    sems.at[len(spill_reads[field])])
+        dma.start()
+        dma.wait()
+
+    def make_read(kname, q, m=0):
         bcs = program.kernels[kname].boundary_conditions
 
         def read(field, offsets):
@@ -321,14 +364,21 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             target = q + jnp.int32(oi or 0)
             Wc = jnp.int32(W)
             slot = jax.lax.rem(jax.lax.rem(target, Wc) + Wc, Wc)
-            plane = rings[field][slot]
+            if field in spill_reads:
+                plane = spill_read(field,
+                                   plan.lag[kname] - (oi or 0), slot, m)
+            else:
+                plane = rings[field][slot]
             center = None
             if bc is not None and bc.kind == ir.BCKind.COPY and \
                     oi not in (None, 0):
                 # copy center is the evaluation-point plane q, not the
                 # i-shifted target plane
                 cslot = jax.lax.rem(jax.lax.rem(q, Wc) + Wc, Wc)
-                center = rings[field][cslot]
+                if field in spill_reads:
+                    center = spill_read(field, plan.lag[kname], cslot, m)
+                else:
+                    center = rings[field][cslot]
             val = read_access_tile(plane, (oj, ok), bc,
                                    (origin[1], origin[2]),
                                    plan.halo_jk, (J, K), center=center,
@@ -451,7 +501,10 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                              plan.plane[1] if mask[2] else 1)
                     plane = jnp.broadcast_to(ref[m].reshape(shape),
                                              plan.plane)
-                rings[name][pl.ds(slot, 1)] = plane[None]
+                if name in spill_reads:
+                    spill_write(name, slot, plane)
+                else:
+                    rings[name][pl.ds(slot, 1)] = plane[None]
                 write_transforms(name, slot, plane)
 
         # 2. advance every stage one plane
@@ -461,7 +514,8 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             if kname in mxu_plans:
                 result = mxu_eval(mxu_plans[kname], q)
             else:
-                result = eval_kernel_statements(kspec, make_read(kname, q))
+                result = eval_kernel_statements(
+                    kspec, make_read(kname, q, m))
             result = jnp.asarray(result)
             if result.shape != plan.plane:
                 result = jnp.broadcast_to(result, plan.plane)
@@ -473,7 +527,10 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 @pl.when(q >= 0)
                 def _(kname=kname, result=result, q=q):
                     slot = jax.lax.rem(q, jnp.int32(plan.ring[kname]))
-                    rings[kname][pl.ds(slot, 1)] = result[None]
+                    if kname in spill_reads:
+                        spill_write(kname, slot, result)
+                    else:
+                        rings[kname][pl.ds(slot, 1)] = result[None]
                     write_transforms(kname, slot, result)
 
             if kname in direct_set:
@@ -518,6 +575,7 @@ def compile_chain_stream(program: ir.Program,
                          mxu_min_footprint: int = 12,
                          mxu_precision: str = "split",
                          block: int = 0,
+                         spill: str = "auto",
                          compute_dtype=None):
     """Build a jitted ``fn(inputs) -> outputs`` around the streaming kernel.
 
@@ -614,6 +672,51 @@ def compile_chain_stream(program: ir.Program,
                 break
         if chosen is not None:
             break
+    spilled_reads: Dict[str, Tuple[int, ...]] = {}
+    if chosen is None and spill != "off":
+        # last rung: keep full planes but spill the deepest rings to HBM
+        # circular buffers moved by async DMA (the reference memory
+        # optimizer's fast->slow placement, optimizer.py:209-248, mapped
+        # to TPU).  Rescues chains where no j-tile fits (e.g. the halo
+        # exceeds every legal tile).  Greedy metric = VMEM saved per unit
+        # of extra HBM traffic (1 write + |distinct read deltas| reads
+        # per plane), the reference's maxsize/comm_vol ratio.
+        base = StreamPlan.build(analysis)
+        pj0, pk0 = base.plane
+
+        def itemsize(f):
+            return np.dtype(compute_dtype if compute_dtype is not None
+                            else program.field_dtype(f)).itemsize
+
+        deltas: Dict[str, set] = {f: set() for f in base.ring}
+        for kname in analysis.graph.kernel_order:
+            kspec = program.kernels[kname]
+            for f, accs in kspec.accesses().items():
+                if f not in base.ring:
+                    continue
+                for a in accs:
+                    deltas[f].add(base.lag[kname] - (a[0] or 0))
+                bc = kspec.boundary_conditions.get(f)
+                if bc is not None and bc.kind == ir.BCKind.COPY:
+                    deltas[f].add(base.lag[kname])   # copy-center read
+        order = sorted(base.ring,
+                       key=lambda f: -(base.ring[f] /
+                                       (1 + len(deltas[f]))))
+        need = base.vmem_bytes(program, compute_dtype)
+        sel: Dict[str, Tuple[int, ...]] = {}
+        for f in order:
+            if need <= budget:
+                break
+            keep = 1 + len(deltas[f])     # staging + read buffers
+            if base.ring[f] <= keep or not deltas[f]:
+                continue                  # no saving / never read
+            need -= (base.ring[f] - keep) * pj0 * pk0 * itemsize(f)
+            sel[f] = tuple(sorted(deltas[f]))
+        if sel and need <= budget:
+            spilled_reads = {f: sel[f] for f in sorted(sel)}
+            chosen = (1, None, (0, 0), ({}, [], [], {}, [], 0))
+            block = 1      # keeps every output lag block-aligned
+            trial_bytes = need
     if chosen is None:
         raise ValueError(
             f"stream rings need {trial_bytes/2**20:.1f} MiB VMEM at "
@@ -625,6 +728,7 @@ def compile_chain_stream(program: ir.Program,
     compile_chain_stream.last_config = {
         "jtiles": jtiles, "tile_jk": tile_jk, "halo_jk": halo_jk,
         "mxu_stages": sorted(mxu_plans),
+        "spilled": sorted(spilled_reads),
         "vmem_bytes": trial_bytes,
     }
 
@@ -721,17 +825,34 @@ def compile_chain_stream(program: ir.Program,
         out_dtype = jax.dtypes.canonicalize_dtype(program.kernels[out].dtype)
         out_shapes.append(jax.ShapeDtypeStruct((I, J, K), out_dtype))
 
+    def ring_dtype(f):
+        return (compute_dtype or
+                jax.dtypes.canonicalize_dtype(program.field_dtype(f)))
+
+    # HBM-spilled rings are extra ANY-space outputs (Mosaic has no HBM
+    # scratch); the wrapper discards them
+    for f in spilled_reads:
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (plan.ring[f], pj, pk), ring_dtype(f)))
+
     scratch_shapes = [
-        pltpu.VMEM((plan.ring[f], pj, pk),
-                   compute_dtype or
-                   jax.dtypes.canonicalize_dtype(program.field_dtype(f)))
-        for f in plan.ring
+        pltpu.VMEM((plan.ring[f], pj, pk), ring_dtype(f))
+        for f in plan.ring if f not in spilled_reads
     ]
     # derived rings of (L @ P @ R)-transformed planes, one per transform key
     scratch_shapes += [
         pltpu.VMEM((plan.ring[field], pj, pk), jnp.float32)
         for (field, _l, _r) in transform_keys
     ]
+    # per spilled field: read buffers (one per distinct delta), write
+    # staging plane, and DMA semaphores (reads + 1 write)
+    for f, dl in spilled_reads.items():
+        scratch_shapes += [
+            pltpu.VMEM((len(dl), pj, pk), ring_dtype(f)),
+            pltpu.VMEM((1, pj, pk), ring_dtype(f)),
+            pltpu.SemaphoreType.DMA((len(dl) + 1,)),
+        ]
 
     # static matrices / correction planes for MXU-lowered stages; stacked
     # (per-tile) entries ship one slice per j-tile via the index map
@@ -755,7 +876,7 @@ def compile_chain_stream(program: ir.Program,
                                input_names, input_kinds, I, False,
                                mxu_plans, tuple(pool_keys), pool_meta,
                                tuple(transform_keys), block, jtiles > 1, 0,
-                               compute_dtype, interpret)
+                               compute_dtype, interpret, spilled_reads)
 
     grid = (-(-I // block) + lagB,)
     semantics = ("arbitrary",)
@@ -797,8 +918,9 @@ def compile_chain_stream(program: ir.Program,
         for arr in pool_arrays:
             args.append(jnp.asarray(arr))
         res = call(*args)
-        if len(program.outputs) == 1:
+        if len(out_shapes) == 1:
             res = (res,)
+        # drop the HBM spill-ring outputs (kernel-internal scratch)
         return {o: r.reshape(raw)
                 for o, r in zip(program.outputs, res)}
 
@@ -959,7 +1081,7 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
                                input_names, input_kinds, Ii, True,
                                mxu_plans, pool_keys, pool_meta,
                                transform_keys, 1, jtiles > 1, halo_i, None,
-                               interpret)
+                               interpret, {})
 
     assert plan.lag_max >= halo_i, \
         "sharded-i plans must be built with min_lag_max=halo_i"

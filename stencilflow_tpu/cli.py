@@ -31,6 +31,7 @@ def _cmd_run(args) -> int:
             backend=args.backend, print_result=args.print_result,
             mxu="off" if args.no_mxu else "auto",
             mxu_precision=args.mxu_precision,
+            spill="off" if args.no_spill else "auto",
             log_level=args.log_level,
             profile_dir=args.profile,
             seed=args.seed)
@@ -290,6 +291,9 @@ def build_parser() -> argparse.ArgumentParser:
                             "interpreter"])
     p.add_argument("--no-mxu", action="store_true",
                    help="disable banded-matmul lowering of wide stages")
+    p.add_argument("--no-spill", action="store_true",
+                   help="disable HBM ring spilling (the memory optimizer's "
+                        "fast->slow placement) when rings exceed VMEM")
     p.add_argument("--mxu-precision", default="split",
                    choices=["split", "exact"],
                    help="band-transform matmul precision: split = bf16 "

@@ -57,6 +57,7 @@ def run_program(stencil_file, mode: str = "emulation",
                 backend: str = "auto",
                 mxu: str = "auto",
                 mxu_precision: str = "split",
+                spill: str = "auto",
                 save_results: bool = True,
                 results_base: str = "results",
                 seed: int = 0,
@@ -131,7 +132,8 @@ def run_program(stencil_file, mode: str = "emulation",
             fn, bname = (compile_chain_stream(program, analysis,
                                               interpret=interpret,
                                               mxu=mxu,
-                                              mxu_precision=mxu_precision),
+                                              mxu_precision=mxu_precision,
+                                              spill=spill),
                          "stream")
         elif backend == "pallas":
             from .backend.pallas import compile_chain_pallas

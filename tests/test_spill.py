@@ -1,0 +1,82 @@
+"""HBM ring spill: the memory optimizer's fast->slow placement applied to
+the streaming kernel (reference optimizer.py:209-248 mapped to TPU).
+
+A deep chain with a long-range reconvergence makes one ring much deeper
+than its read count; with a VMEM budget that no j-tile can satisfy (the
+chain halo exceeds every legal tile), the spill rung moves that ring to an
+HBM circular buffer driven by async DMA — and the result must still match
+the oracle bit-for-bit-modulo-f32."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import stencilflow_tpu as sft
+from stencilflow_tpu.backend.stream import compile_chain_stream
+
+
+def _reconvergent_chain(stages=16, dims=(12, 24, 32)):
+    prog = {}
+    prev = "a"
+    for s in range(stages):
+        expr = (f"s{s} = 0.16 * ({prev}[i-1,j,k] + {prev}[i+1,j,k] + "
+                f"{prev}[i,j-1,k] + {prev}[i,j+1,k] + {prev}[i,j,k-1] + "
+                f"{prev}[i,j,k+1])")
+        fields = {prev}
+        if s == stages - 1:
+            expr += " + 0.1 * s0[i,j,k]"   # long-range reconvergence
+            fields.add("s0")
+        prog[f"s{s}"] = {
+            "computation_string": expr,
+            "boundary_conditions": {
+                f: {"type": "constant", "value": 0.2} for f in fields},
+            "data_type": "float32"}
+        prev = f"s{s}"
+    return {"inputs": {"a": {"data": "random:-1,1",
+                             "data_type": "float32"}},
+            "outputs": [prev], "dimensions": list(dims), "program": prog}
+
+
+class TestSpill:
+    def test_spill_rescues_untileable_chain(self):
+        p = sft.parse_program(_reconvergent_chain(), name="spill16")
+        inputs = sft.load_input_arrays(p, seed=31)
+        out = p.outputs[0]
+        ref = np.asarray(sft.run_interpreter(p, inputs)[out])
+        fn = compile_chain_stream(p, interpret=True,
+                                  vmem_budget=230 * 1024)
+        cfg = compile_chain_stream.last_config
+        assert cfg["spilled"] == ["s0"], cfg
+        assert cfg["jtiles"] == 1
+        got = np.asarray(fn({k: jnp.asarray(v)
+                             for k, v in inputs.items()})[out])
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+
+    def test_spill_off_raises(self):
+        p = sft.parse_program(_reconvergent_chain(), name="spill16off")
+        with pytest.raises(ValueError, match="VMEM"):
+            compile_chain_stream(p, interpret=True,
+                                 vmem_budget=230 * 1024, spill="off")
+
+    def test_large_budget_keeps_rings_in_vmem(self):
+        p = sft.parse_program(_reconvergent_chain(), name="spill16big")
+        compile_chain_stream(p, interpret=True)
+        assert compile_chain_stream.last_config["spilled"] == []
+
+    def test_spill_with_copy_bc(self):
+        spec = _reconvergent_chain(stages=12)
+        for k in spec["program"].values():
+            for bc in k["boundary_conditions"].values():
+                bc["type"] = "copy"
+                bc.pop("value", None)
+        p = sft.parse_program(spec, name="spillcopy")
+        inputs = sft.load_input_arrays(p, seed=32)
+        out = p.outputs[0]
+        ref = np.asarray(sft.run_interpreter(p, inputs)[out])
+        fn = compile_chain_stream(p, interpret=True,
+                                  vmem_budget=185 * 1024)
+        cfg = compile_chain_stream.last_config
+        assert cfg["spilled"], cfg
+        got = np.asarray(fn({k: jnp.asarray(v)
+                             for k, v in inputs.items()})[out])
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
