@@ -11,8 +11,11 @@ greedy loop always spills the buffer with the best bytes-freed-per-traffic
 ratio, updating its chain neighbors' prices ((fast,fast)=2C, (fast,slow)=C,
 (slow,slow)=0; optimizer.py:209-248,301-307).
 
-The result is a set of ``swap_out`` marks consumed by the report and (in the
-streaming backend) by ring placement.
+The result is a set of ``swap_out`` marks consumed by the report.  The
+streaming backend realizes the same fast->slow placement at the ring level:
+when rings exceed the VMEM budget and no j-tile fits, it spills the rings
+with the best VMEM-saved-per-extra-HBM-traffic ratio to HBM circular
+buffers moved by async DMA (backend/stream.py, ``spill="auto"``).
 """
 from __future__ import annotations
 
