@@ -10,10 +10,13 @@ kernel, the performance backend), with multi-chip execution layered in
 from .xla import chain_halo, compile_chain, run_chain
 
 
-def compile_chain_best(program, analysis=None, interpret: bool = False):
+def compile_chain_best(program, analysis=None, interpret: bool = False,
+                       mxu: str = "auto", mxu_precision: str = "split",
+                       spill: str = "auto"):
     """Pick the fastest applicable lowering: streaming Pallas (one HBM read +
     one write per element), then overlapped-tile Pallas, then plain XLA.
-    Returns ``(fn, backend_name)``.
+    Returns ``(fn, backend_name)``.  ``mxu``/``mxu_precision``/``spill``
+    forward to the streaming backend.
     """
     import jax
 
@@ -26,7 +29,9 @@ def compile_chain_best(program, analysis=None, interpret: bool = False):
     try:
         from .stream import compile_chain_stream
         return (compile_chain_stream(program, analysis,
-                                     interpret=interpret), "stream")
+                                     interpret=interpret, mxu=mxu,
+                                     mxu_precision=mxu_precision,
+                                     spill=spill), "stream")
     except (ValueError, NotImplementedError):
         pass
     try:

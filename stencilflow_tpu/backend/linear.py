@@ -189,6 +189,36 @@ def finalize_pool(plans: Dict[str, "LinearStagePlan"], pool: "MatrixPool",
     return pkeys, parrs, pmeta, tkeys
 
 
+def plan_all_stages(program, plane, dims, pool: "MatrixPool",
+                    min_footprint: int,
+                    j_contexts=None, k_contexts=None
+                    ) -> Dict[str, "LinearStagePlan"]:
+    """MXU plans for every eligible stage of a program (shared by the
+    single-chip, sharded, and pipeline-segment compilers)."""
+    plans: Dict[str, LinearStagePlan] = {}
+    for kname, kspec in program.kernels.items():
+        mp = plan_linear_stage(kspec, plane, dims, pool,
+                               min_footprint=min_footprint,
+                               j_contexts=j_contexts,
+                               k_contexts=k_contexts)
+        if mp is not None:
+            plans[kname] = mp
+    return plans
+
+
+def assets_extra_vmem(plan, transform_keys, pool_keys, pool_arrays) -> int:
+    """Resident VMEM bytes of MXU assets for one stream plan: derived f32
+    transform rings plus band matrices (stacked entries are resident one
+    slice at a time).  ``pool_arrays`` must be the per-device arrays (the
+    sharded compiler accounts its mesh-stacked layouts itself)."""
+    pj, pk = plan.plane
+    extra = sum(plan.ring[f] * pj * pk * 4
+                for (f, _l, _r) in transform_keys)
+    extra += sum(a.nbytes // (a.shape[0] if is_stacked_key(k) else 1)
+                 for k, a in zip(pool_keys, pool_arrays))
+    return extra
+
+
 def is_stacked_key(key: str) -> bool:
     """True for pool entries holding one slice per tile/shard instance
     (leading dim selected by BlockSpec index map or sharding)."""

@@ -242,7 +242,6 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             else:
                 vparts = _split_bf16(val.astype(jnp.float32))
             mats = [mref] + ([lo_ref] if lo_ref is not None else [])
-            pieces = []
             # skip the lo@lo cross term (~2^-32 relative)
             pairs = [(m, v) for mi, m in enumerate(mats)
                      for vi, v in enumerate(vparts) if mi == 0 or vi == 0]
@@ -609,7 +608,8 @@ def compile_chain_stream(program: ir.Program,
     # of the base rings, plus the band matrices), and it beats the VPU
     # path by >3x on eligible chains, so configurations are preferred in
     # the order untiled+MXU, tiled+MXU, untiled VPU, tiled VPU.
-    from .linear import MatrixPool, is_stacked_key, plan_linear_stage
+    from .linear import (MatrixPool, assets_extra_vmem, finalize_pool,
+                         is_stacked_key, plan_all_stages)
 
     def mxu_assets(plan_, jtiles_):
         """(mxu_plans, pool_keys, pool_arrays, pool_meta, transform_keys,
@@ -625,21 +625,11 @@ def compile_chain_stream(program: ir.Program,
         j_ctx = ([jt * core_j_ - hj_ for jt in range(jtiles_)]
                  if jtiles_ > 1 else None)
         k_ctx = [0] if jtiles_ > 1 else None
-        plans = {}
-        for kname, kspec in program.kernels.items():
-            mp = plan_linear_stage(kspec, (pj_, pk_), dims, pool,
-                                   min_footprint=mxu_min_footprint,
-                                   j_contexts=j_ctx, k_contexts=k_ctx)
-            if mp is not None:
-                plans[kname] = mp
-        from .linear import finalize_pool
+        plans = plan_all_stages(program, (pj_, pk_), dims, pool,
+                                mxu_min_footprint, j_ctx, k_ctx)
         pkeys, parrs, pmeta, tkeys = finalize_pool(plans, pool, program,
                                                    mxu_precision)
-        # derived f32 transform rings + resident band matrices (stacked
-        # entries are resident one slice at a time)
-        extra = sum(plan_.ring[f] * pj_ * pk_ * 4 for (f, _l, _r) in tkeys)
-        extra += sum(a.nbytes // (a.shape[0] if is_stacked_key(k) else 1)
-                     for k, a in zip(pkeys, parrs))
+        extra = assets_extra_vmem(plan_, tkeys, pkeys, parrs)
         return plans, pkeys, parrs, pmeta, tkeys, extra
 
     from .xla import chain_halo
@@ -746,6 +736,17 @@ def compile_chain_stream(program: ir.Program,
             block = max(1, min(block, I))
     plan = StreamPlan.build(analysis, local_jk=tile_jk, halo_jk=halo_jk,
                             block=block)
+    # the search sized plans at block=1; a larger block changes ring
+    # depths (direct-emit alignment, lag padding) — re-audit the budget at
+    # the final block and step down until it holds
+    while block > 1 and not spilled_reads:
+        total = plan.vmem_bytes(program, compute_dtype) + \
+            assets_extra_vmem(plan, transform_keys, pool_keys, pool_arrays)
+        if total <= budget:
+            break
+        block = block // 2
+        plan = StreamPlan.build(analysis, local_jk=tile_jk,
+                                halo_jk=halo_jk, block=block)
     hj, hk = plan.halo_jk
     pj, pk = plan.plane
     core_j = pj - 2 * hj

@@ -126,7 +126,9 @@ def run_program(stencil_file, mode: str = "emulation",
         from .backend import compile_chain, compile_chain_best
         if backend == "auto":
             fn, bname = compile_chain_best(program, analysis,
-                                           interpret=interpret)
+                                           interpret=interpret, mxu=mxu,
+                                           mxu_precision=mxu_precision,
+                                           spill=spill)
         elif backend == "stream":
             from .backend.stream import compile_chain_stream
             fn, bname = (compile_chain_stream(program, analysis,

@@ -211,7 +211,7 @@ def _sharded_mxu_assets(program: ir.Program, analysis: ChainAnalysis,
     pspecs, resident_vmem_bytes), or None when no stage is eligible.
     """
     from ..backend.linear import (MatrixPool, is_stacked_key,
-                                  plan_linear_stage)
+                                  plan_all_stages)
     mesh = plan.mesh
     ax_j, ax_k = plan.dim_axes[1], plan.dim_axes[2]
     n_j = mesh.shape[ax_j] if ax_j is not None else 1
@@ -231,13 +231,8 @@ def _sharded_mxu_assets(program: ir.Program, analysis: ChainAnalysis,
         k_ctx = [s * Bk - hkp for s in range(n_k)]
 
     pool = MatrixPool()
-    plans = {}
-    for kname, kspec in program.kernels.items():
-        mp = plan_linear_stage(kspec, (pj, pk), dims, pool,
-                               min_footprint=mxu_min_footprint,
-                               j_contexts=j_ctx, k_contexts=k_ctx)
-        if mp is not None:
-            plans[kname] = mp
+    plans = plan_all_stages(program, (pj, pk), dims, pool,
+                            mxu_min_footprint, j_ctx, k_ctx)
     if not plans:
         return None
 
@@ -308,6 +303,8 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
     if local_backend == "auto":
         on_cpu = jax.devices()[0].platform == "cpu"
         local_backend = "xla" if (interpret or on_cpu) else "stream"
+    compile_sharded_chain.last_config = {"backend": local_backend,
+                                         "jtiles": 0, "mxu_stages": []}
     pool_globals: Dict[str, Any] = {}
     pool_pspecs: Dict[str, P] = {}
     if local_backend == "stream":
@@ -358,6 +355,8 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
             # inside the Mosaic compiler
             body = functools.partial(_local_forward, plan, graph)
             local_backend = "xla"
+            compile_sharded_chain.last_config = {
+                "backend": "xla", "jtiles": 0, "mxu_stages": []}
         else:
             jtiles, _hjk, extra_j_pad, splan, assets, pool_globals, \
                 pool_pspecs = chosen
@@ -371,6 +370,7 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
             body = functools.partial(_local_forward_stream, plan,
                                      stream_fn, extra_j_pad)
             compile_sharded_chain.last_config = {
+                "backend": "stream",
                 "jtiles": jtiles,
                 "mxu_stages": sorted(assets["plans"]) if assets else [],
             }

@@ -123,8 +123,8 @@ def _segment_stream_fns(program: ir.Program, graph: ChainGraph,
     matrices need only a single context — they ship replicated as plain
     arrays."""
     from ..backend.stream import StreamPlan, compile_local_stream
-    from ..backend.linear import (MatrixPool, finalize_pool,
-                                  plan_linear_stage)
+    from ..backend.linear import (MatrixPool, assets_extra_vmem,
+                                  finalize_pool, plan_all_stages)
     dims = program.dimensions
     widened = (chunk + 2 * halo[0], dims[1] + 2 * halo[1],
                dims[2] + 2 * halo[2])
@@ -141,20 +141,12 @@ def _segment_stream_fns(program: ir.Program, graph: ChainGraph,
             pool = MatrixPool()
             j_ctx = [-halo[1]] if halo[1] else None
             k_ctx = [-halo[2]] if halo[2] else None
-            plans = {}
-            for kname, kspec in subp.kernels.items():
-                mp = plan_linear_stage(kspec, (widened[1], widened[2]),
-                                       dims, pool,
-                                       min_footprint=mxu_min_footprint,
-                                       j_contexts=j_ctx, k_contexts=k_ctx)
-                if mp is not None:
-                    plans[kname] = mp
+            plans = plan_all_stages(subp, (widened[1], widened[2]), dims,
+                                    pool, mxu_min_footprint, j_ctx, k_ctx)
             if plans:
                 pkeys, parrs, pmeta, tkeys = finalize_pool(
                     plans, pool, subp, mxu_precision)
-                extra = sum(splan.ring[f] * widened[1] * widened[2] * 4
-                            for (f, _l, _r) in tkeys)
-                extra += sum(a.nbytes for a in parrs)
+                extra = assets_extra_vmem(splan, tkeys, pkeys, parrs)
                 if total + extra <= 0.7 * vmem_budget:
                     total += extra
                     assets = {"plans": plans, "pool_keys": pkeys,
