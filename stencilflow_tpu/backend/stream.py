@@ -315,16 +315,41 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     # per-(field, delta, micro-step) cache fetches each distinct plane once
     spill_cache: Dict[Any, Any] = {}
 
+    spill_pending: Dict[Any, Any] = {}
+
+    def spill_prefetch(g, m):
+        """Start the DMAs for every spilled read of this micro-step whose
+        plane was written at an earlier step (delta > producer lag) — they
+        overlap each other and the stage compute until first use.
+        Same-step reads (delta == lag, a consumer directly behind its
+        producer) stay synchronous in spill_read."""
+        for f, dl in spill_reads.items():
+            rbuf, _stage, sems = spill_bufs[f]
+            prod_lag = plan.lag.get(f, 0)
+            for ridx, delta in enumerate(dl):
+                if delta <= prod_lag:
+                    continue
+                Wc = jnp.int32(plan.ring[f])
+                target = g - jnp.int32(delta)
+                slot = jax.lax.rem(jax.lax.rem(target, Wc) + Wc, Wc)
+                dma = pltpu.make_async_copy(
+                    hbm_rings[f].at[pl.ds(slot, 1)],
+                    rbuf.at[pl.ds(ridx, 1)], sems.at[ridx])
+                dma.start()
+                spill_pending[(f, delta, m)] = dma
+
     def spill_read(field, delta, slot, m):
         key = (field, delta, m)
         if key in spill_cache:
             return spill_cache[key]
         rbuf, _stage, sems = spill_bufs[field]
         ridx = spill_reads[field].index(delta)
-        dma = pltpu.make_async_copy(hbm_rings[field].at[pl.ds(slot, 1)],
-                                    rbuf.at[pl.ds(ridx, 1)],
-                                    sems.at[ridx])
-        dma.start()
+        dma = spill_pending.pop(key, None)
+        if dma is None:   # same-step read: fetch synchronously
+            dma = pltpu.make_async_copy(
+                hbm_rings[field].at[pl.ds(slot, 1)],
+                rbuf.at[pl.ds(ridx, 1)], sems.at[ridx])
+            dma.start()
         dma.wait()
         plane = rbuf[ridx]
         spill_cache[key] = plane
@@ -482,6 +507,11 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     # ---- micro-steps: block planes per grid step --------------------------
     for m in range(block):
         g = gb * jnp.int32(block) + jnp.int32(m)
+
+        # 0. start this micro-step's spilled-ring reads (distinct slots
+        #    from any write this step, so they overlap freely)
+        if spill_reads:
+            spill_prefetch(g, m)
 
         # 1. ingest plane m of this input block (partial planes broadcast
         #    to the full widened-plane shape)
