@@ -194,9 +194,17 @@ def plan_all_stages(program, plane, dims, pool: "MatrixPool",
                     j_contexts=None, k_contexts=None
                     ) -> Dict[str, "LinearStagePlan"]:
     """MXU plans for every eligible stage of a program (shared by the
-    single-chip, sharded, and pipeline-segment compilers)."""
+    single-chip, sharded, and pipeline-segment compilers).
+
+    Stages touching data wider than f32 stay on the VPU: the banded
+    transforms compute in f32 (bf16-split or f32 passes), which would
+    silently degrade f64 programs below their expected precision."""
     plans: Dict[str, LinearStagePlan] = {}
     for kname, kspec in program.kernels.items():
+        if np.dtype(kspec.dtype).itemsize > 4 or any(
+                np.dtype(program.field_dtype(f)).itemsize > 4
+                for f in kspec.accesses()):
+            continue
         mp = plan_linear_stage(kspec, plane, dims, pool,
                                min_footprint=min_footprint,
                                j_contexts=j_contexts,

@@ -167,6 +167,22 @@ class TestMXUvsOracle:
                              for k, v in inputs.items()})["s1"])
         np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
 
+    def test_f64_stays_on_vpu(self):
+        # the band transforms compute in f32; f64 programs must keep full
+        # precision on the VPU path
+        import jax
+        spec = synthesize_stencil(num_stages=2, dimensions=(4, 16, 16),
+                                  shape="box", extent=2,
+                                  data_type="float64")
+        p = sft.parse_program(spec, name="f64box")
+        inputs = sft.load_input_arrays(p, seed=2)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s1"])
+        fn = compile_chain_stream(p, interpret=True)
+        assert compile_chain_stream.last_config["mxu_stages"] == []
+        got = np.asarray(fn({k: jnp.asarray(v)
+                             for k, v in inputs.items()})["s1"])
+        np.testing.assert_allclose(got, ref, rtol=1e-12)
+
     def test_narrow_stencil_stays_on_vpu(self):
         from stencilflow_tpu.synthesize import jacobi
         p = sft.parse_program(jacobi(3, 8, iterations=1), name="nar")
