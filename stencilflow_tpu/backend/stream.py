@@ -596,6 +596,55 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                     ref.dtype)
 
 
+def choose_spill(program: ir.Program, analysis: ChainAnalysis,
+                 plan: StreamPlan, budget: float, compute_dtype=None,
+                 allow_outputs: bool = True):
+    """Greedy HBM ring-spill selection for one stream plan.
+
+    The reference memory optimizer's metric (bytes freed per unit of extra
+    slow-memory traffic, optimizer.py:209-248): a spilled ring keeps one
+    staging plane plus one VMEM read buffer per distinct read delta and
+    pays 1 write + |deltas| plane reads of HBM traffic per step.  Returns
+    ``({field: sorted deltas}, resulting_vmem_bytes)`` or None when no
+    selection fits ``budget``.  ``allow_outputs=False`` excludes program
+    outputs (required when they emit through their ring, i.e. the
+    i-sharded path)."""
+    pj0, pk0 = plan.plane
+
+    def itemsize(f):
+        return np.dtype(compute_dtype if compute_dtype is not None
+                        else program.field_dtype(f)).itemsize
+
+    deltas: Dict[str, set] = {f: set() for f in plan.ring}
+    for kname in analysis.graph.kernel_order:
+        kspec = program.kernels[kname]
+        for f, accs in kspec.accesses().items():
+            if f not in plan.ring:
+                continue
+            for a in accs:
+                deltas[f].add(plan.lag[kname] - (a[0] or 0))
+            bc = kspec.boundary_conditions.get(f)
+            if bc is not None and bc.kind == ir.BCKind.COPY:
+                deltas[f].add(plan.lag[kname])   # copy-center read
+    order = sorted(plan.ring,
+                   key=lambda f: -(plan.ring[f] / (1 + len(deltas[f]))))
+    need = plan.vmem_bytes(program, compute_dtype)
+    sel: Dict[str, Tuple[int, ...]] = {}
+    for f in order:
+        if need <= budget:
+            break
+        if not allow_outputs and f in program.outputs:
+            continue
+        keep = 1 + len(deltas[f])     # staging + read buffers
+        if plan.ring[f] <= keep or not deltas[f]:
+            continue                  # no saving / never read
+        need -= (plan.ring[f] - keep) * pj0 * pk0 * itemsize(f)
+        sel[f] = tuple(sorted(deltas[f]))
+    if sel and need <= budget:
+        return {f: sel[f] for f in sorted(sel)}, need
+    return None
+
+
 def compile_chain_stream(program: ir.Program,
                          analysis: Optional[ChainAnalysis] = None,
                          interpret: bool = False,
@@ -698,42 +747,11 @@ def compile_chain_stream(program: ir.Program,
         # circular buffers moved by async DMA (the reference memory
         # optimizer's fast->slow placement, optimizer.py:209-248, mapped
         # to TPU).  Rescues chains where no j-tile fits (e.g. the halo
-        # exceeds every legal tile).  Greedy metric = VMEM saved per unit
-        # of extra HBM traffic (1 write + |distinct read deltas| reads
-        # per plane), the reference's maxsize/comm_vol ratio.
+        # exceeds every legal tile).
         base = StreamPlan.build(analysis)
-        pj0, pk0 = base.plane
-
-        def itemsize(f):
-            return np.dtype(compute_dtype if compute_dtype is not None
-                            else program.field_dtype(f)).itemsize
-
-        deltas: Dict[str, set] = {f: set() for f in base.ring}
-        for kname in analysis.graph.kernel_order:
-            kspec = program.kernels[kname]
-            for f, accs in kspec.accesses().items():
-                if f not in base.ring:
-                    continue
-                for a in accs:
-                    deltas[f].add(base.lag[kname] - (a[0] or 0))
-                bc = kspec.boundary_conditions.get(f)
-                if bc is not None and bc.kind == ir.BCKind.COPY:
-                    deltas[f].add(base.lag[kname])   # copy-center read
-        order = sorted(base.ring,
-                       key=lambda f: -(base.ring[f] /
-                                       (1 + len(deltas[f]))))
-        need = base.vmem_bytes(program, compute_dtype)
-        sel: Dict[str, Tuple[int, ...]] = {}
-        for f in order:
-            if need <= budget:
-                break
-            keep = 1 + len(deltas[f])     # staging + read buffers
-            if base.ring[f] <= keep or not deltas[f]:
-                continue                  # no saving / never read
-            need -= (base.ring[f] - keep) * pj0 * pk0 * itemsize(f)
-            sel[f] = tuple(sorted(deltas[f]))
-        if sel and need <= budget:
-            spilled_reads = {f: sel[f] for f in sorted(sel)}
+        sel = choose_spill(program, analysis, base, budget, compute_dtype)
+        if sel is not None:
+            spilled_reads, need = sel
             chosen = (1, None, (0, 0), ({}, [], [], {}, [], 0))
             block = 1      # keeps every output lag block-aligned
             trial_bytes = need
@@ -971,7 +989,9 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
                          vmem_budget: int = 96 * 2**20,
                          halo_i: int = 0,
                          jtiles: int = 1,
-                         mxu_assets: Optional[dict] = None):
+                         mxu_assets: Optional[dict] = None,
+                         spill_reads: Optional[Dict[str, Tuple[int, ...]]]
+                         = None):
     """Per-shard streaming kernel for domain decomposition.
 
     Returns ``fn(origin_i32[3], widened_inputs: dict[, pool_locals: dict])
@@ -1098,21 +1118,37 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
                 else (lambda g, n=len(shape): (0,) * n),
                 memory_space=pltpu.VMEM))
 
+    spill_reads = spill_reads or {}
+
+    def local_dtype(f):
+        return jax.dtypes.canonicalize_dtype(program.field_dtype(f))
+
+    # HBM-spilled rings as extra ANY-space outputs (dropped by fn)
+    for f in spill_reads:
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (plan.ring[f], pj, pk), local_dtype(f)))
+
     scratch_shapes = [
-        pltpu.VMEM((plan.ring[f], pj, pk),
-                   jax.dtypes.canonicalize_dtype(program.field_dtype(f)))
-        for f in plan.ring
+        pltpu.VMEM((plan.ring[f], pj, pk), local_dtype(f))
+        for f in plan.ring if f not in spill_reads
     ]
     scratch_shapes += [
         pltpu.VMEM((plan.ring[field], pj, pk), jnp.float32)
         for (field, _l, _r) in transform_keys
     ]
+    for f, dl in spill_reads.items():
+        scratch_shapes += [
+            pltpu.VMEM((len(dl), pj, pk), local_dtype(f)),
+            pltpu.VMEM((1, pj, pk), local_dtype(f)),
+            pltpu.SemaphoreType.DMA((len(dl) + 1,)),
+        ]
 
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
                                input_names, input_kinds, Ii, True,
                                mxu_plans, pool_keys, pool_meta,
                                transform_keys, 1, jtiles > 1, halo_i, None,
-                               interpret, {})
+                               interpret, spill_reads)
 
     assert plan.lag_max >= halo_i, \
         "sharded-i plans must be built with min_lag_max=halo_i"
@@ -1146,8 +1182,9 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
             args.append(jnp.asarray(pool_locals[key]).reshape(
                 assets["local_shapes"][key]))
         res = call(*args)
-        if len(program.outputs) == 1:
+        if len(out_shapes) == 1:
             res = (res,)
+        # extra entries are the HBM spill rings (kernel-internal scratch)
         return dict(zip(program.outputs, res))
 
     return fn

@@ -280,6 +280,7 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
                           mxu: str = "auto",
                           mxu_min_footprint: int = 12,
                           mxu_precision: str = "split",
+                          spill: str = "auto",
                           vmem_budget: int = 96 * 2**20):
     """Build a jitted, mesh-sharded ``fn(inputs) -> outputs`` for the chain.
 
@@ -346,10 +347,25 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
                     globals_, pspecs_ = {}, {}
                 if tb <= budget:
                     chosen = (nt, hjk, pad, trial, assets, globals_,
-                              pspecs_)
+                              pspecs_, None)
                     break
             if chosen is not None:
                 break
+        if chosen is None and spill != "off":
+            # spill rescue: keep untiled shard planes, move the deepest
+            # rings to HBM circular buffers (backend/stream.py).  Output
+            # rings must stay in VMEM when they emit through the ring
+            # (i-sharded, halo_i > 0).
+            from ..backend.stream import choose_spill
+            trial = StreamPlan.build(
+                analysis, local_jk=(plan.block[1], plan.block[2]),
+                halo_jk=(plan.halo[1], plan.halo[2]),
+                min_lag_max=halo_i, direct_emit=halo_i == 0)
+            sel = choose_spill(program, analysis, trial, budget,
+                               allow_outputs=halo_i == 0)
+            if sel is not None:
+                chosen = (1, (plan.halo[1], plan.halo[2]), 0, trial,
+                          None, {}, {}, sel[0])
         if chosen is None:
             # nothing fits: fused-XLA local body rather than failing deep
             # inside the Mosaic compiler
@@ -359,20 +375,22 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
                 "backend": "xla", "jtiles": 0, "mxu_stages": []}
         else:
             jtiles, _hjk, extra_j_pad, splan, assets, pool_globals, \
-                pool_pspecs = chosen
+                pool_pspecs, spill_sel = chosen
             stream_fn = compile_local_stream(program, analysis, splan,
                                              plan.block,
                                              interpret=interpret,
                                              vmem_budget=vmem_budget,
                                              halo_i=halo_i,
                                              jtiles=jtiles,
-                                             mxu_assets=assets)
+                                             mxu_assets=assets,
+                                             spill_reads=spill_sel)
             body = functools.partial(_local_forward_stream, plan,
                                      stream_fn, extra_j_pad)
             compile_sharded_chain.last_config = {
                 "backend": "stream",
                 "jtiles": jtiles,
                 "mxu_stages": sorted(assets["plans"]) if assets else [],
+                "spilled": sorted(spill_sel) if spill_sel else [],
             }
     if local_backend != "stream":
         body = functools.partial(_local_forward, plan, graph)

@@ -63,6 +63,32 @@ class TestSpill:
         compile_chain_stream(p, interpret=True)
         assert compile_chain_stream.last_config["spilled"] == []
 
+    def test_sharded_spill(self):
+        # sharded decomposition whose per-shard rings don't fit and whose
+        # chain halo defeats every per-shard j-tile: the spill rung keeps
+        # the streaming kernel (previously a fused-XLA fallback)
+        import jax
+        from jax.sharding import Mesh
+        from stencilflow_tpu.parallel.domain import compile_sharded_chain
+        p = sft.parse_program(
+            _reconvergent_chain(stages=16, dims=(12, 24, 64)),
+            name="shspill")
+        inputs = sft.load_input_arrays(p, seed=33)
+        out = p.outputs[0]
+        ref = np.asarray(sft.run_interpreter(p, inputs)[out])
+        mesh = Mesh(np.array(jax.devices()[:2]), ("y",))
+        fn, plan = compile_sharded_chain(p, mesh, (None, None, "y"),
+                                         local_backend="stream",
+                                         interpret=True,
+                                         vmem_budget=460 * 1024)
+        cfg = compile_sharded_chain.last_config
+        assert cfg["backend"] == "stream" and cfg.get("spilled"), cfg
+        sh = plan.input_shardings()
+        dev_in = {n: jax.device_put(jnp.asarray(v), sh[n])
+                  for n, v in inputs.items()}
+        got = np.asarray(fn(dev_in)[out])
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+
     def test_spill_with_copy_bc(self):
         spec = _reconvergent_chain(stages=12)
         for k in spec["program"].values():
