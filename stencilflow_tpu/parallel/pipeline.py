@@ -122,7 +122,8 @@ def _segment_stream_fns(program: ir.Program, graph: ChainGraph,
     The widened tile's j/k origins are FIXED (-halo), so MXU band
     matrices need only a single context — they ship replicated as plain
     arrays."""
-    from ..backend.stream import StreamPlan, compile_local_stream
+    from ..backend.stream import (StreamPlan, choose_spill,
+                                  compile_local_stream)
     from ..backend.linear import (MatrixPool, assets_extra_vmem,
                                   finalize_pool, plan_all_stages)
     dims = program.dimensions
@@ -155,13 +156,23 @@ def _segment_stream_fns(program: ir.Program, graph: ChainGraph,
                                                zip(pkeys, parrs)}}
                     pools = {k: jnp.asarray(a)
                              for k, a in zip(pkeys, parrs)}
+        spill_sel: Optional[Dict[str, Tuple[int, ...]]] = None
         if total > 0.7 * vmem_budget:
-            return None
+            # segment rings exceed VMEM: spill the deepest rings to HBM
+            # (drops the MXU assets; the VPU path stays correct)
+            sel = choose_spill(subp, suba, splan, 0.7 * vmem_budget)
+            if sel is None:
+                return None
+            spill_sel = sel[0]
+            assets, pools = None, {}
         fn = compile_local_stream(subp, suba, splan, widened,
                                   interpret=interpret,
                                   vmem_budget=vmem_budget,
-                                  halo_i=0, jtiles=1, mxu_assets=assets)
-        fns.append((subp, fn, pools))
+                                  halo_i=0, jtiles=1, mxu_assets=assets,
+                                  spill_reads=spill_sel)
+        fns.append((subp, fn, pools, {
+            "mxu_stages": sorted(assets["plans"]) if assets else [],
+            "spilled": sorted(spill_sel) if spill_sel else []}))
     return fns
 
 
@@ -204,10 +215,26 @@ def _pipeline_body(plan: PipelineSplit, graph: ChainGraph, seg_fns,
                 sizes.append(dims[d] + 2 * halo[d])
         return lax.dynamic_slice(arr, starts, sizes)
 
-    # Carried tile: every kernel field at widened-tile shape.
+    # Carried tile: only the INTERFACE fields hop over ICI — kernels read
+    # by a later segment, plus program outputs produced before the last
+    # segment (they must reach the writing device).  Intra-segment
+    # temporaries never leave their device (the reference's cut-stream
+    # bandwidth model: only the cut edges cross, sdfg_generator.py:848).
+    seg_of = {k: i for i, seg in enumerate(plan.segments) for k in seg}
+    carried = set()
+    for kname, kspec in program.kernels.items():
+        for f in kspec.accesses():
+            if f in seg_of and seg_of[f] < seg_of[kname]:
+                carried.add(f)
+    carried |= {o for o in program.outputs
+                if seg_of[o] < len(plan.segments) - 1}
+    # outputs written by the last device must be present in its result
+    carried |= set(program.outputs)
+    carried = sorted(carried)
+
     def empty_tile():
-        return {k: jnp.zeros(tile_shape, dtype=spec.dtype)
-                for k, spec in program.kernels.items()}
+        return {k: jnp.zeros(tile_shape, dtype=program.kernels[k].dtype)
+                for k in carried}
 
     out_shape = (C * plan.chunk, dims[1], dims[2])
     outputs0 = {o: jnp.zeros(out_shape, program.kernels[o].dtype)
@@ -220,7 +247,7 @@ def _pipeline_body(plan: PipelineSplit, graph: ChainGraph, seg_fns,
             if seg_fns is not None:
                 # streaming Pallas kernel over the widened chunk tile;
                 # the tile origin shifts back by the halo in every dim
-                subp, fn, pools = seg_fns[seg_idx]
+                subp, fn, pools = seg_fns[seg_idx][:3]
                 o = jnp.stack([jnp.int32(origin[0]) - jnp.int32(halo[0]),
                                jnp.int32(-halo[1]), jnp.int32(-halo[2])])
                 res = fn(o, {n: tiles[n] for n in subp.inputs}, pools)
@@ -229,7 +256,7 @@ def _pipeline_body(plan: PipelineSplit, graph: ChainGraph, seg_fns,
                                     origin, halo)
             new = dict(tiles)
             new.update(res)
-            return {k: new[k] for k in program.kernels}
+            return {k: new[k] for k in carried}
         branches.append(branch)
 
     def step(carry, t):
@@ -283,7 +310,8 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
                            interpret: bool = False,
                            mxu: str = "auto",
                            mxu_min_footprint: int = 12,
-                           mxu_precision: str = "split"):
+                           mxu_precision: str = "split",
+                           vmem_budget: int = 96 * 2**20):
     """Jitted wavefront-pipelined chain over ``mesh.shape[axis]`` devices.
 
     Inputs are replicated; outputs are replicated.  Returns ``(fn, plan)``.
@@ -314,8 +342,14 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
     if local_backend == "stream":
         seg_fns = _segment_stream_fns(program, graph, segments, halo,
                                       chunk, interpret, mxu,
-                                      mxu_min_footprint, mxu_precision)
+                                      mxu_min_footprint, mxu_precision,
+                                      vmem_budget=vmem_budget)
         # None: a segment's rings exceed VMEM — fused-XLA fallback
+    compile_pipeline_split.last_config = {
+        "backend": "stream" if seg_fns is not None else "xla",
+        "segments": [info for (_p, _f, _pl, info) in seg_fns]
+        if seg_fns is not None else [],
+    }
     in_specs = ({n: P() for n in program.inputs},)
     out_specs = {n: P() for n in program.outputs}
     fn = shard_map(functools.partial(_pipeline_body, plan, graph, seg_fns),

@@ -89,6 +89,36 @@ class TestSpill:
         got = np.asarray(fn(dev_in)[out])
         np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
 
+    def test_pipeline_segment_spill(self):
+        # a pipeline segment whose rings exceed the budget spills instead
+        # of dropping the whole pipeline to the fused-XLA evaluator; the
+        # reconvergence is WITHIN segment 2 (s15 reads s8) so only that
+        # segment carries a deep ring
+        import jax
+        from jax.sharding import Mesh
+        from stencilflow_tpu.parallel.pipeline import compile_pipeline_split
+        spec = _reconvergent_chain(stages=16, dims=(12, 24, 32))
+        k16 = spec["program"]["s15"]
+        k16["computation_string"] = \
+            k16["computation_string"].replace("s0[i,j,k]", "s8[i,j,k]")
+        k16["boundary_conditions"]["s8"] = \
+            k16["boundary_conditions"].pop("s0")
+        p = sft.parse_program(spec, name="ppspill")
+        inputs = sft.load_input_arrays(p, seed=34)
+        out = p.outputs[0]
+        ref = np.asarray(sft.run_interpreter(p, inputs)[out])
+        mesh = Mesh(np.array(jax.devices()[:2]), ("p",))
+        fn, plan = compile_pipeline_split(p, mesh, "p",
+                                          local_backend="stream",
+                                          interpret=True,
+                                          vmem_budget=550 * 1024)
+        cfg = compile_pipeline_split.last_config
+        assert cfg["backend"] == "stream", cfg
+        assert any(info["spilled"] for info in cfg["segments"]), cfg
+        got = np.asarray(fn({k: jnp.asarray(v)
+                             for k, v in inputs.items()})[out])
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+
     def test_spill_with_copy_bc(self):
         spec = _reconvergent_chain(stages=12)
         for k in spec["program"].values():
