@@ -23,7 +23,7 @@ from .frontend.analysis import ChainAnalysis, flatten_index
 from .frontend.canonicalize import canonicalize, version_program
 from .frontend.trace import trace_program
 from .frontend.export import program_to_json
-from .iterate import iterate, make_step
+from .iterate import compose_iterations, iterate, make_step
 from .interpreter import ChainInterpreter, run_interpreter
 from .data import (arrays_are_equal, load_array, load_input_arrays,
                    prune_halo, save_array, save_output_arrays)
@@ -38,7 +38,7 @@ __all__ = [
     "ChainGraph", "CycleError",
     "ChainAnalysis", "flatten_index",
     "canonicalize", "version_program", "trace_program", "program_to_json",
-    "iterate", "make_step",
+    "compose_iterations", "iterate", "make_step",
     "ChainInterpreter", "run_interpreter",
     "arrays_are_equal", "load_array", "load_input_arrays", "prune_halo",
     "save_array", "save_output_arrays",

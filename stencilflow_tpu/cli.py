@@ -84,6 +84,7 @@ def _cmd_iterate(args) -> int:
                                seed=args.seed)
     state = iterate(program, inputs, args.steps,
                     chunk=args.chunk,
+                    fuse=args.fuse_steps,
                     checkpoint_every=args.checkpoint_every,
                     checkpoint_dir=args.checkpoint_dir,
                     resume=not args.no_resume)
@@ -326,6 +327,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("stencil_file")
     p.add_argument("--steps", type=int, required=True)
     p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--fuse-steps", type=int, default=1,
+                   help="compose this many time steps into one deeper "
+                        "chain before compiling (multiplies arithmetic "
+                        "intensity; steps must be a multiple)")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--checkpoint-dir")
     p.add_argument("--no-resume", action="store_true")

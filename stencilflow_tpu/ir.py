@@ -136,6 +136,39 @@ class Assign:
         return f"{self.lhs} = {self.rhs!r}"
 
 
+def rename_fields(expr: Expr, ren: Dict[str, str]) -> Expr:
+    """Rebuild an expression with Access fields renamed through ``ren``
+    (temporary Refs are kernel-local and untouched)."""
+    if isinstance(expr, Access):
+        nf = ren.get(expr.field, expr.field)
+        return dataclasses.replace(expr, field=nf) if nf != expr.field \
+            else expr
+    if isinstance(expr, BinOp):
+        return dataclasses.replace(expr,
+                                   left=rename_fields(expr.left, ren),
+                                   right=rename_fields(expr.right, ren))
+    if isinstance(expr, UnaryOp):
+        return dataclasses.replace(
+            expr, operand=rename_fields(expr.operand, ren))
+    if isinstance(expr, Compare):
+        return dataclasses.replace(expr,
+                                   left=rename_fields(expr.left, ren),
+                                   right=rename_fields(expr.right, ren))
+    if isinstance(expr, BoolOp):
+        return dataclasses.replace(
+            expr, operands=tuple(rename_fields(o, ren)
+                                 for o in expr.operands))
+    if isinstance(expr, Select):
+        return dataclasses.replace(
+            expr, cond=rename_fields(expr.cond, ren),
+            if_true=rename_fields(expr.if_true, ren),
+            if_false=rename_fields(expr.if_false, ren))
+    if isinstance(expr, Call):
+        return dataclasses.replace(
+            expr, args=tuple(rename_fields(a, ren) for a in expr.args))
+    return expr
+
+
 def walk(expr: Expr):
     """Yield every node of an expression tree (pre-order)."""
     yield expr

@@ -48,6 +48,53 @@ def _default_feed(program: ir.Program) -> Dict[str, str]:
         "ambiguous feedback: pass feed={input_name: output_name}")
 
 
+def compose_iterations(program: ir.Program, n: int,
+                       feed: Optional[Dict[str, str]] = None
+                       ) -> ir.Program:
+    """Fuse ``n`` time steps of a chain into one deeper chain program.
+
+    Iteration ``t``'s kernels are cloned as ``<name>__it<t>`` with fed
+    inputs rewired to the previous iteration's outputs; the final
+    iteration's outputs keep their original names, so the fused program
+    has the same external interface (inputs, outputs, BCs) as applying
+    the original ``n`` times.  This is how the reference's ``*_8itr``
+    fixtures are written by hand — fusing multiplies arithmetic
+    intensity by ``n``, turning HBM-bound shallow stencils compute-bound
+    (one input read + one output write for the whole fused step).
+    """
+    import dataclasses as dc
+    if n < 1:
+        raise IterateError("compose_iterations needs n >= 1")
+    feed = feed or _default_feed(program)
+    for iname, oname in feed.items():
+        if iname not in program.inputs or oname not in program.outputs:
+            raise IterateError(f"bad feed entry {iname!r} <- {oname!r}")
+    if n == 1:
+        return program
+
+    def clone_name(k: str, t: int) -> str:
+        if t == n - 1 and k in program.outputs:
+            return k
+        return f"{k}__it{t}"
+
+    kernels: Dict[str, ir.KernelSpec] = {}
+    for t in range(n):
+        ren = {k: clone_name(k, t) for k in program.kernels}
+        if t > 0:
+            for iname, oname in feed.items():
+                ren[iname] = clone_name(oname, t - 1)
+        for k, spec in program.kernels.items():
+            stmts = [dc.replace(s, rhs=ir.rename_fields(s.rhs, ren))
+                     for s in spec.statements]
+            bcs = {ren.get(f, f): bc
+                   for f, bc in spec.boundary_conditions.items()}
+            name = clone_name(k, t)
+            kernels[name] = dc.replace(spec, name=name, statements=stmts,
+                                       boundary_conditions=bcs)
+    return dc.replace(program, name=f"{program.name}_x{n}",
+                      kernels=kernels)
+
+
 def make_step(program: ir.Program,
               feed: Optional[Dict[str, str]] = None,
               backend: str = "auto",
@@ -117,6 +164,7 @@ def iterate(program: ir.Program, inputs: Dict[str, Any], steps: int,
             backend: str = "auto", interpret: bool = False,
             mesh=None, dim_axes: Optional[Sequence] = None,
             chunk: int = 16,
+            fuse: int = 1,
             checkpoint_every: int = 0,
             checkpoint_dir: Optional[str] = None,
             resume: bool = True) -> Dict[str, np.ndarray]:
@@ -126,50 +174,73 @@ def iterate(program: ir.Program, inputs: Dict[str, Any], steps: int,
     with ``checkpoint_every`` > 0, state is persisted to
     ``checkpoint_dir/step_K.npz`` at that cadence and — when ``resume`` —
     execution continues from the newest checkpoint found.
+
+    ``fuse`` > 1 composes that many time steps into one deeper chain
+    (``compose_iterations``) before compiling — HBM-bound shallow
+    stencils become compute-bound, one input read + one output write per
+    ``fuse`` steps.  ``steps`` and ``checkpoint_every`` keep their
+    original-step units and must be multiples of ``fuse``.
     """
     import jax
     import jax.numpy as jnp
     from jax import lax
+
+    scale = max(1, fuse)
+    if scale > 1:
+        if steps % scale:
+            raise IterateError(f"steps ({steps}) must be a multiple of "
+                               f"fuse ({scale})")
+        if checkpoint_every and checkpoint_every % scale:
+            raise IterateError("checkpoint_every must be a multiple of "
+                               "fuse")
+        feed = feed or _default_feed(program)
+        program = compose_iterations(program, scale, feed)
+    steps_f = steps // scale
+    ckpt_f = checkpoint_every // scale if checkpoint_every else 0
 
     step, feed = make_step(program, feed, backend, interpret, mesh,
                            dim_axes)
 
     start = 0
     state = {k: jnp.asarray(v) for k, v in inputs.items()}
-    if checkpoint_every > 0:
+    if ckpt_f > 0:
         if not checkpoint_dir:
             raise IterateError("checkpoint_every requires checkpoint_dir")
         os.makedirs(checkpoint_dir, exist_ok=True)
         if resume:
             latest = _latest_checkpoint(checkpoint_dir)
             if latest is not None:
-                start, path = latest
-                if start > steps:
+                start_orig, path = latest
+                if start_orig > steps:
                     raise IterateError(
-                        f"checkpoint {path} is at step {start}, beyond the "
-                        f"requested {steps}; pass resume=False or a fresh "
-                        "checkpoint_dir")
+                        f"checkpoint {path} is at step {start_orig}, "
+                        f"beyond the requested {steps}; pass resume=False "
+                        "or a fresh checkpoint_dir")
+                if start_orig % scale:
+                    raise IterateError(
+                        f"checkpoint {path} at step {start_orig} does not "
+                        f"align with fuse={scale}")
+                start = start_orig // scale
                 data = np.load(path)
                 state = {k: jnp.asarray(data[k]) for k in state}
         # checkpoints must land on chunk boundaries
-        chunk = min(chunk, checkpoint_every)
+        chunk = min(chunk, ckpt_f)
 
     @jax.jit
     def run_chunk(state, n):
         return lax.fori_loop(0, n, lambda _i, s: step(s), state)
 
     done = start
-    while done < steps:
-        n = min(chunk, steps - done)
-        if checkpoint_every > 0:
-            n = min(n, checkpoint_every - done % checkpoint_every or
-                    checkpoint_every)
+    while done < steps_f:
+        n = min(chunk, steps_f - done)
+        if ckpt_f > 0:
+            n = min(n, ckpt_f - done % ckpt_f or ckpt_f)
         state = run_chunk(state, n)
         done += n
-        if checkpoint_every > 0 and (done % checkpoint_every == 0 or
-                                     done >= steps):
+        if ckpt_f > 0 and (done % ckpt_f == 0 or done >= steps_f):
             jax.block_until_ready(state)
-            final = os.path.join(checkpoint_dir, f"step_{done}.npz")
+            final = os.path.join(checkpoint_dir,
+                                 f"step_{done * scale}.npz")
             tmp = final + ".tmp.npz"
             np.savez(tmp, **{k: np.asarray(v) for k, v in state.items()})
             os.replace(tmp, final)  # atomic: a crash never corrupts

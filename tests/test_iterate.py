@@ -19,6 +19,58 @@ def _one_step_program(size=16, dims=2):
                              name=f"step{dims}d")
 
 
+class TestComposeIterations:
+    def test_fused_equals_unrolled(self):
+        """compose_iterations(p, 4) == the hand-unrolled 4-step fixture."""
+        from stencilflow_tpu.iterate import compose_iterations
+        p1 = _one_step_program()
+        p4 = sft.parse_program(jacobi(2, 16, iterations=4), name="unroll4")
+        fused = compose_iterations(p1, 4)
+        assert len(fused.kernels) == 4
+        assert fused.outputs == p1.outputs
+        inputs = sft.load_input_arrays(p1, seed=5)
+        ref = np.asarray(sft.run_interpreter(p4, inputs)["s3"])
+        got = np.asarray(sft.run_interpreter(fused, inputs)[
+            fused.outputs[0]])
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+    def test_iterate_with_fuse(self):
+        p1 = _one_step_program()
+        inputs = sft.load_input_arrays(p1, seed=6)
+        plain = iterate(p1, inputs, steps=6, interpret=True, chunk=3)
+        fused = iterate(p1, inputs, steps=6, interpret=True, fuse=3)
+        np.testing.assert_allclose(fused["a"], plain["a"], rtol=1e-5,
+                                   atol=1e-7)
+
+    def test_fuse_divisibility_errors(self):
+        p1 = _one_step_program()
+        inputs = sft.load_input_arrays(p1, seed=7)
+        with pytest.raises(IterateError, match="multiple of"):
+            iterate(p1, inputs, steps=5, interpret=True, fuse=3)
+
+    def test_fused_checkpoint_units(self, tmp_path):
+        # checkpoints are named in ORIGINAL step units regardless of fuse
+        p1 = _one_step_program()
+        inputs = sft.load_input_arrays(p1, seed=8)
+        iterate(p1, inputs, steps=8, interpret=True, fuse=2,
+                checkpoint_every=4, checkpoint_dir=str(tmp_path))
+        assert (tmp_path / "step_4.npz").exists()
+        assert (tmp_path / "step_8.npz").exists()
+
+    def test_fused_multi_stage_chain(self):
+        # fusing a 2-stage chain: clones + reconvergence-free rewiring
+        from stencilflow_tpu.iterate import compose_iterations
+        p2 = sft.parse_program(jacobi(3, 8, iterations=2), name="two")
+        fused = compose_iterations(p2, 3, feed={"a": "s1"})
+        assert len(fused.kernels) == 6
+        inputs = sft.load_input_arrays(p2, seed=9)
+        got = np.asarray(sft.run_interpreter(fused, inputs)[
+            fused.outputs[0]])
+        state = iterate(p2, inputs, steps=3, feed={"a": "s1"},
+                        interpret=True, chunk=1)
+        np.testing.assert_allclose(got, state["a"], rtol=1e-5, atol=1e-7)
+
+
 class TestIterate:
     def test_matches_unrolled_chain(self):
         """N iterations of a 1-step program == the N-step unrolled chain."""
