@@ -28,9 +28,9 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=None,
-                    help="cubic domain edge (default: 512 on TPU, 32 on CPU;"
-                         " large grids are the production regime and"
-                         " amortize pipeline overheads — 512^3 sustains"
+                    help="cubic domain edge (TPU defaults: jacobi 512, box"
+                         " 128, hotspot 256; CPU: 32/16.  Large grids are"
+                         " the production regime — jacobi at 512^3 sustains"
                          " ~0.94 of the VPU roofline vs ~0.79 at 256^3)")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--backend", default="auto",

@@ -91,6 +91,20 @@ def compose_iterations(program: ir.Program, n: int,
             name = clone_name(k, t)
             kernels[name] = dc.replace(spec, name=name, statements=stmts,
                                        boundary_conditions=bcs)
+    # prune clones not reachable from the final outputs: subtrees feeding
+    # only non-fed outputs of intermediate iterations are dead (their
+    # results are superseded, never emitted)
+    live = set(program.outputs)
+    frontier = list(program.outputs)
+    while frontier:
+        k = frontier.pop()
+        if k not in kernels:
+            continue
+        for f in kernels[k].accesses():
+            if f not in live:
+                live.add(f)
+                frontier.append(f)
+    kernels = {k: v for k, v in kernels.items() if k in live}
     return dc.replace(program, name=f"{program.name}_x{n}",
                       kernels=kernels)
 
@@ -185,7 +199,9 @@ def iterate(program: ir.Program, inputs: Dict[str, Any], steps: int,
     import jax.numpy as jnp
     from jax import lax
 
-    scale = max(1, fuse)
+    if fuse < 1:
+        raise IterateError(f"fuse must be >= 1, got {fuse}")
+    scale = fuse
     if scale > 1:
         if steps % scale:
             raise IterateError(f"steps ({steps}) must be a multiple of "

@@ -226,9 +226,7 @@ def _pipeline_body(plan: PipelineSplit, graph: ChainGraph, seg_fns,
         for f in kspec.accesses():
             if f in seg_of and seg_of[f] < seg_of[kname]:
                 carried.add(f)
-    carried |= {o for o in program.outputs
-                if seg_of[o] < len(plan.segments) - 1}
-    # outputs written by the last device must be present in its result
+    # every program output must reach the writing (last) device
     carried |= set(program.outputs)
     carried = sorted(carried)
 

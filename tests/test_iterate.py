@@ -47,6 +47,33 @@ class TestComposeIterations:
         inputs = sft.load_input_arrays(p1, seed=7)
         with pytest.raises(IterateError, match="multiple of"):
             iterate(p1, inputs, steps=5, interpret=True, fuse=3)
+        with pytest.raises(IterateError, match="fuse must be"):
+            iterate(p1, inputs, steps=6, interpret=True, fuse=0)
+
+    def test_compose_prunes_dead_side_outputs(self):
+        # a non-fed side output's intermediate clones are dead and pruned
+        from stencilflow_tpu.iterate import compose_iterations
+        spec = {
+            "inputs": {"a": {"data": "constant:1.0",
+                             "data_type": "float32"}},
+            "outputs": ["o1", "o2"],
+            "dimensions": [8, 8],
+            "program": {
+                "o1": {"computation_string":
+                       "o1 = 0.5 * (a[i-1,j] + a[i+1,j])",
+                       "boundary_conditions": {
+                           "a": {"type": "constant", "value": 0}},
+                       "data_type": "float32"},
+                "o2": {"computation_string": "o2 = 2.0 * a[i,j]",
+                       "boundary_conditions": {},
+                       "data_type": "float32"},
+            },
+        }
+        p = sft.parse_program(spec, name="side")
+        fused = compose_iterations(p, 4, feed={"a": "o1"})
+        # 4 o1 clones + only the FINAL o2 (intermediate o2 clones pruned)
+        assert len(fused.kernels) == 5, sorted(fused.kernels)
+        assert set(p.outputs) <= set(fused.kernels)
 
     def test_fused_checkpoint_units(self, tmp_path):
         # checkpoints are named in ORIGINAL step units regardless of fuse
