@@ -36,11 +36,13 @@ def main():
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "stream", "pallas", "xla"])
     ap.add_argument("--workload", default="jacobi",
-                    choices=["jacobi", "box", "hotspot"],
+                    choices=["jacobi", "box", "hotspot", "hdiff"],
                     help="jacobi: headline 6-point chain; box: wide-footprint"
                          " radius-2 chain (exercises the MXU lowering);"
                          " hotspot: the reference's Hotspot3D synthetic"
-                         " (scalar coefficients, mixed-rank inputs)")
+                         " (scalar coefficients, mixed-rank inputs);"
+                         " hdiff: COSMO-style horizontal diffusion"
+                         " (flux-limited, forks/joins/ternaries)")
     args = ap.parse_args()
 
     import jax
@@ -67,6 +69,13 @@ def main():
             synthesize_stencil(num_stages=args.iters,
                                dimensions=(size,) * 3, shape="hotspot"),
             name=f"hotspot3d_{size}_{args.iters}itr")
+    elif args.workload == "hdiff":
+        from stencilflow_tpu.synthesize import synthesize_stencil
+        size = args.size or (256 if on_tpu else 16)
+        program = sft.parse_program(
+            synthesize_stencil(num_stages=args.iters,
+                               dimensions=(size,) * 3, shape="hdiff"),
+            name=f"hdiff3d_{size}_{args.iters}itr")
     else:
         program = sft.parse_program(
             jacobi(3, size, iterations=args.iters),

@@ -373,7 +373,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dimensions", type=int, nargs="+",
                    default=[64, 64, 64])
     p.add_argument("--shape", default="cross",
-                   choices=["cross", "box", "diffusion", "hotspot"])
+                   choices=["cross", "box", "diffusion", "hotspot",
+                            "hdiff"])
     p.add_argument("--extent", type=int, default=1)
     p.add_argument("--data-type", default="float32")
     p.add_argument("--vectorization", type=int, default=1)

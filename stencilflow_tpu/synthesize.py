@@ -14,7 +14,7 @@ from __future__ import annotations
 import itertools
 from typing import Dict, List, Sequence
 
-SHAPES = ("cross", "box", "diffusion", "hotspot")
+SHAPES = ("cross", "box", "diffusion", "hotspot", "hdiff")
 
 
 def _iterators(num_dims: int) -> List[str]:
@@ -100,6 +100,62 @@ def _hotspot_expression(name: str, field: str, num_dims: int) -> str:
             f"+ ct * (80.0 - {field}{c}))")
 
 
+def _hdiff_stage(stage: int, prev: str, iters: Sequence[str],
+                 data_type: str, bc) -> Dict[str, Dict]:
+    """One COSMO-style horizontal-diffusion block: lap → flux-limited
+    flx/fly → out (the canonical multi-operator import target named in the
+    reference paper; the reference reaches it through its SDFG importer,
+    sdfg_to_stencilflow.py:522).  Offsets live in the two fastest (plane)
+    dims only — the vertical dim streams — and the flux limiters exercise
+    multi-statement kernels, temporaries, compares, and ternaries."""
+    c = _center(iters)
+    # offset helpers in the last two dims (j, k of the padded program)
+    def off(field, dj=0, dk=0):
+        o = [0] * len(iters)
+        o[-2] += dj
+        o[-1] += dk
+        return field + _offset_index(iters, o)
+
+    lap, flx, fly, out = (f"lap{stage}", f"flx{stage}", f"fly{stage}",
+                          f"s{stage}")
+    kernels = {
+        lap: {
+            "computation_string":
+                f"{lap} = 4.0 * {off(prev)} - ({off(prev, -1, 0)} + "
+                f"{off(prev, 1, 0)} + {off(prev, 0, -1)} + "
+                f"{off(prev, 0, 1)})",
+            "boundary_conditions": bc(prev),
+            "data_type": data_type,
+        },
+        flx: {
+            "computation_string":
+                f"d = {off(lap, 1, 0)} - {off(lap)}; "
+                f"{flx} = 0.0 if d * ({off(prev, 1, 0)} - {off(prev)}) "
+                f"> 0.0 else d",
+            "boundary_conditions": {**bc(lap), **bc(prev)},
+            "data_type": data_type,
+        },
+        fly: {
+            "computation_string":
+                f"d = {off(lap, 0, 1)} - {off(lap)}; "
+                f"{fly} = 0.0 if d * ({off(prev, 0, 1)} - {off(prev)}) "
+                f"> 0.0 else d",
+            "boundary_conditions": {**bc(lap), **bc(prev)},
+            "data_type": data_type,
+        },
+        out: {
+            "computation_string":
+                f"{out} = {off(prev)} - coeff{c} * "
+                f"({off(flx)} - {off(flx, -1, 0)} + "
+                f"{off(fly)} - {off(fly, 0, -1)})",
+            "boundary_conditions": {**bc(flx), **bc(fly), **bc(prev),
+                                    **bc("coeff")},
+            "data_type": data_type,
+        },
+    }
+    return kernels
+
+
 def synthesize_stencil(num_stages: int = 4,
                        dimensions: Sequence[int] = (64, 64, 64),
                        shape: str = "diffusion",
@@ -140,6 +196,25 @@ def synthesize_stencil(num_stages: int = 4,
                          "input_dims": []}
         inputs["ct"] = {"data": 0.05, "data_type": data_type,
                         "input_dims": []}
+    elif shape == "hdiff":
+        if num_dims < 2:
+            raise ValueError("hdiff needs >= 2 dimensions")
+        if seed_data == "constant:1.0":
+            # constant input makes lap ≡ 0 and the limiters degenerate
+            inputs["a"]["data"] = "random:0.0,1.0"
+        inputs["coeff"] = {"data": "constant:0.025", "data_type": data_type}
+        for s in range(num_stages):
+            program.update(_hdiff_stage(s, prev, iters, data_type, bc))
+            prev = f"s{s}"
+        spec = {
+            "inputs": inputs,
+            "outputs": [prev],
+            "dimensions": list(dimensions),
+            "program": program,
+        }
+        if vectorization > 1:
+            spec["vectorization"] = vectorization
+        return spec
 
     for s in range(num_stages):
         name = f"s{s}"
