@@ -174,13 +174,33 @@ class TestStreamBackend:
         """Planes over the VMEM budget stream in j-tiles widened by the
         chain halo (BC masks use the tile origin)."""
         from stencilflow_tpu.backend.stream import compile_chain_stream
-        p = _program_jacobi3d(size=16, iters=2, boundary=boundary)
+        p = _program_jacobi3d(size=32, iters=2, boundary=boundary)
         inputs = sft.load_input_arrays(p, seed=31)
         ref = _oracle(p, inputs)["s1"]
-        fn = compile_chain_stream(p, interpret=True, vmem_budget=12 * 1024)
+        # budget below the untiled need (rings + pipeline windows) but
+        # enough for 4 j-tiles at the 4-rounded overlap halo
+        fn = compile_chain_stream(p, interpret=True, vmem_budget=30 * 1024)
+        assert compile_chain_stream.last_config["jtiles"] > 1
         got = np.asarray(fn({k: jnp.asarray(v)
                              for k, v in inputs.items()})["s1"])
         np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+    def test_large_2d_plan_satisfies_mosaic_blocks(self):
+        """Very large 2-D domains: the tile search must budget the Mosaic
+        pipeline windows (2x each pallas operand block) and emit widened
+        tiles whose second-minor dim is a multiple of 8 — both real-TPU
+        constraints invisible to interpret mode."""
+        from stencilflow_tpu.backend.stream import compile_chain_stream
+        from stencilflow_tpu.synthesize import jacobi
+        for size, iters in ((16384, 2), (8192, 8)):
+            p = sft.parse_program(jacobi(2, size, iterations=iters),
+                                  name=f"j2d_{size}")
+            compile_chain_stream(p, interpret=True)   # plan only
+            cfg = compile_chain_stream.last_config
+            tj, hj = cfg["tile_jk"][0], cfg["halo_jk"][0]
+            assert cfg["jtiles"] > 1
+            assert (tj + 2 * hj) % 8 == 0
+            assert cfg["vmem_bytes"] <= 0.7 * 96 * 2**20
 
     def test_multiple_outputs_at_different_lags(self):
         """Two outputs at different pipeline depths: the emit logic pads

@@ -44,7 +44,7 @@ class TestSpill:
         out = p.outputs[0]
         ref = np.asarray(sft.run_interpreter(p, inputs)[out])
         fn = compile_chain_stream(p, interpret=True,
-                                  vmem_budget=230 * 1024)
+                                  vmem_budget=250 * 1024)
         cfg = compile_chain_stream.last_config
         assert cfg["spilled"] == ["s0"], cfg
         assert cfg["jtiles"] == 1
@@ -56,7 +56,7 @@ class TestSpill:
         p = sft.parse_program(_reconvergent_chain(), name="spill16off")
         with pytest.raises(ValueError, match="VMEM"):
             compile_chain_stream(p, interpret=True,
-                                 vmem_budget=230 * 1024, spill="off")
+                                 vmem_budget=250 * 1024, spill="off")
 
     def test_large_budget_keeps_rings_in_vmem(self):
         p = sft.parse_program(_reconvergent_chain(), name="spill16big")
