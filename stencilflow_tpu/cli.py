@@ -170,6 +170,27 @@ def _cmd_report(args) -> int:
         print(f"\nmemory placement at slow/fast ratio "
               f"{args.optimize_ratio}:")
         print(opt.summary())
+    if args.mesh:
+        mesh_dims = {}
+        for part in args.mesh.split(","):
+            ax, _, n = part.partition("=")
+            mesh_dims[ax.strip()] = int(n)
+        axes = tuple(None if a.strip().lower() in ("none", "-") else
+                     a.strip() for a in args.mesh_axes.split(","))
+        s = report.mesh_scaling(mesh_dims, axes)
+        if args.json:
+            print(json.dumps(s, indent=2, default=str))
+        else:
+            print(f"\nmesh scaling [{s['devices']} devices, "
+                  f"mesh {s['mesh']}, dims->axes {s['dim_axes']}]:")
+            print(f"  local block {s['local_dims']}  "
+                  f"halo {s['halo']}  "
+                  f"ICI {s['ici_bytes_per_device']/2**20:.2f} MiB/device")
+            print(f"  step: compute {s['t_compute_s']*1e6:.1f} us + "
+                  f"ICI {s['t_ici_s']*1e6:.1f} us = "
+                  f"{s['t_step_s']*1e6:.1f} us  "
+                  f"-> {s['scaled_gcell_s']:.1f} GCell/s, "
+                  f"efficiency {s['parallel_efficiency']:.2f}")
     return 0
 
 
@@ -365,6 +386,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="full analysis dump (buffers, accesses, paths)")
     p.add_argument("--optimize-ratio", type=float, default=None,
                    help="also print the fast/slow placement at this ratio")
+    p.add_argument("--mesh", default=None,
+                   help="project domain-decomposition scaling over a "
+                        "device mesh, e.g. --mesh x=2,y=4")
+    p.add_argument("--mesh-axes", default="none,x,y",
+                   help="mesh axis sharding each padded dim (i,j,k); "
+                        "'none' leaves a dim unsharded")
     p.set_defaults(fn=_cmd_report)
 
     p = sub.add_parser("synthesize", help="generate a benchmark program")

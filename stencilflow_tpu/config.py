@@ -62,6 +62,10 @@ TPU_VMEM_BYTES = 32 * 2**20
 TPU_VPU_ELEMOPS = 8 * 128 * 940e6
 TPU_VPU_FLOPS = TPU_VPU_ELEMOPS  # alias
 TPU_MXU_BF16_FLOPS = 197e12     # v5e peak bf16
+# ICI bandwidth per link direction (bytes/s); v5e 2-D torus, ~45 GB/s
+# one-way per link.  Used by the mesh-scaling model (report) for the
+# halo-exchange cost of domain decomposition.
+TPU_ICI_BANDWIDTH = 45e9
 
 # Fraction of VMEM the fused-kernel planner is allowed to use for stage tiles.
 VMEM_PLANNER_FRACTION = 0.5

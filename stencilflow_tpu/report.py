@@ -88,6 +88,85 @@ class Report:
         buffers), the reference's fast-memory total."""
         return self.analysis.fast_memory_bytes()
 
+    # -- multi-chip scaling model ---------------------------------------------
+    def mesh_scaling(self, mesh_dims: Dict[str, int],
+                     dim_axes=(None, "x", "y"),
+                     ici_bandwidth: float = config.TPU_ICI_BANDWIDTH
+                     ) -> Dict:
+        """Analytic scaling of the shard_map domain decomposition over a
+        device mesh: per-device compute (widened by the chain halo) plus
+        the one cumulative-halo ICI exchange per chain evaluation
+        (parallel/domain.py).  The TPU-mesh analogue of the reference's
+        required-bandwidth model (bin/report.py:55-57) — it answers "does
+        the halo exchange fit under the compute" for a proposed mesh.
+
+        ``mesh_dims``: {axis name: devices along it}; ``dim_axes``: per
+        padded dim (i, j, k) the mesh axis that shards it, or None.
+        """
+        from .backend.xla import chain_halo
+        dims = self.program.dimensions
+        halo = chain_halo(self.analysis)
+        n_dev = 1
+        local = list(dims)
+        shards = [1, 1, 1]
+        for d, ax in enumerate(dim_axes):
+            m = mesh_dims.get(ax, 1) if ax else 1
+            if m <= 1:
+                continue
+            if dims[d] % m:
+                raise ValueError(
+                    f"dim {d} ({dims[d]}) not divisible by mesh axis "
+                    f"{ax!r} ({m})")
+            n_dev *= m
+            shards[d] = m
+            local[d] = dims[d] // m
+        for ax, m in mesh_dims.items():
+            if m > 1 and ax not in [a for a in dim_axes if a]:
+                n_dev *= m   # unused axes replicate; count their devices
+
+        # redundant compute on the exchanged halo shell
+        widened = 1.0
+        for d in range(3):
+            if shards[d] > 1:
+                widened *= (local[d] + 2 * halo[d]) / local[d]
+        frac = np.prod(local) / self.program.total_elements
+        t_comp = max(self.hbm_time_s() * frac * widened,
+                     self.vpu_time_s() * frac * widened, 1e-12)
+
+        # cumulative-halo exchange: per sharded dim, both directions, for
+        # every full-domain input field (domain.py exchanges inputs once
+        # per evaluation with the chain-cumulative halo)
+        ici_bytes = 0
+        for name, spec in self.program.inputs.items():
+            if spec.is_scalar:
+                continue
+            isz = np.dtype(self.program.field_dtype(name)).itemsize
+            for d in range(3):
+                if shards[d] <= 1 or not spec.dim_mask[d] or not halo[d]:
+                    continue
+                cross = 1
+                for o in range(3):
+                    if o != d and spec.dim_mask[o]:
+                        cross *= local[o]
+                ici_bytes += 2 * halo[d] * cross * isz
+        t_ici = ici_bytes / ici_bandwidth
+        t_step = t_comp + t_ici          # no compute/comm overlap assumed
+        t_single = self.roofline_time_s()
+        return {
+            "devices": n_dev,
+            "mesh": dict(mesh_dims),
+            "dim_axes": list(dim_axes),
+            "local_dims": local,
+            "halo": list(halo),
+            "ici_bytes_per_device": ici_bytes,
+            "t_compute_s": t_comp,
+            "t_ici_s": t_ici,
+            "t_step_s": t_step,
+            "parallel_efficiency": t_single / (n_dev * t_step),
+            "scaled_gcell_s":
+                self.program.total_elements / t_step / 1e9,
+        }
+
     # -- output --------------------------------------------------------------
     def as_dict(self) -> Dict:
         ops = {op: cnt for op, (cnt, _t) in

@@ -316,6 +316,23 @@ class TestReport:
         assert "add" in d["ops_per_cell"]
         assert str(r)
 
+    def test_mesh_scaling_model(self):
+        from stencilflow_tpu.report import Report
+        p = _program_jacobi3d(size=64, iters=8)
+        r = Report.build(p)
+        s2 = r.mesh_scaling({"x": 2, "y": 2})
+        s4 = r.mesh_scaling({"x": 4, "y": 4})
+        assert s2["devices"] == 4 and s4["devices"] == 16
+        assert s2["local_dims"] == [64, 32, 32]
+        # chain halo of the 8-stage radius-1 chain is 8 per dim
+        assert s2["halo"] == [8, 8, 8]
+        assert 0 < s4["parallel_efficiency"] < s2["parallel_efficiency"] <= 1
+        assert s4["scaled_gcell_s"] > s2["scaled_gcell_s"]
+        # exchange volume: 2 sharded dims x (2 dirs x halo 8 x 64x32 cross)
+        assert s2["ici_bytes_per_device"] == 2 * (2 * 8 * 64 * 32 * 4)
+        with pytest.raises(ValueError):
+            r.mesh_scaling({"x": 3}, (None, "x", None))
+
 
 class TestMultiChip:
     def test_domain_decomposition_2d_mesh(self):
