@@ -226,7 +226,11 @@ def _cmd_partition(args) -> int:
     analysis = ChainAnalysis.run(program)
     graph = analysis.graph
     print(f"kernels (topological): {graph.kernel_order}")
-    segments = split_kernels(graph, args.devices)
+    if args.at:
+        from .parallel.pipeline import split_kernels_at
+        segments = split_kernels_at(graph, args.at.split(","))
+    else:
+        segments = split_kernels(graph, args.devices)
     for i, seg in enumerate(segments):
         print(f"  device {i}: {seg}")
     if args.enumerate_cuts:
@@ -270,7 +274,9 @@ def _cmd_run_distributed(args) -> int:
         from .parallel.pipeline import run_pipeline_split
         mesh = Mesh(np.array(devices), ("p",))
         outputs = run_pipeline_split(program, mesh, "p", inputs,
-                                     num_chunks=args.num_chunks)
+                                     num_chunks=args.num_chunks,
+                                     split_at=(args.split_at.split(",")
+                                               if args.split_at else None))
     else:
         from .parallel.domain import run_sharded_chain
         a = int(np.floor(np.sqrt(args.devices)))
@@ -415,6 +421,9 @@ def build_parser() -> argparse.ArgumentParser:
                        help="plan a pipeline split across devices")
     p.add_argument("stencil_file")
     p.add_argument("--devices", type=int, default=2)
+    p.add_argument("--at", default=None,
+                   help="comma-separated kernel names to cut after "
+                        "(named-stream split) instead of auto-balancing")
     p.add_argument("--enumerate-cuts", action="store_true")
     p.set_defaults(fn=_cmd_partition)
 
@@ -425,6 +434,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--parallel-mode", default="domain",
                    choices=["domain", "pipeline"])
     p.add_argument("--num-chunks", type=int, default=None)
+    p.add_argument("--split-at", default=None,
+                   help="pipeline mode: comma-separated kernel names to "
+                        "cut after (the reference's split at a named "
+                        "stream); cuts+1 must equal --devices")
     p.add_argument("--compare-to-reference", action="store_true")
     p.add_argument("--input-directory")
     p.add_argument("--force-host-devices", action="store_true",

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,28 @@ def split_kernels(graph: ChainGraph, num_segments: int) -> List[List[str]]:
     if any(not s for s in segments):
         raise ValueError("empty pipeline segment; use fewer segments")
     return segments
+
+
+def split_kernels_at(graph: ChainGraph,
+                     cut_after: Sequence[str]) -> List[List[str]]:
+    """Cut the pipeline at named kernels: each segment ends just after a
+    named kernel (its output is the inter-device stream — the analogue of
+    the reference's split at a named stream, sdfg_generator.py:782).  The
+    resulting ``len(cut_after)+1`` segments stay in topological order."""
+    order = graph.kernel_order
+    pos = {k: i for i, k in enumerate(order)}
+    missing = [k for k in cut_after if k not in pos]
+    if missing:
+        raise ValueError(f"unknown cut kernel(s): {missing}; "
+                         f"kernels are {order}")
+    idxs = sorted(pos[k] for k in cut_after)
+    if len(set(idxs)) != len(cut_after):
+        raise ValueError("duplicate cut kernels")
+    if idxs and idxs[-1] == len(order) - 1:
+        raise ValueError(f"cannot cut after the last kernel "
+                         f"{order[-1]!r}: the tail segment would be empty")
+    bounds = [0] + [i + 1 for i in idxs] + [len(order)]
+    return [order[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
 
 
 @dataclasses.dataclass
@@ -309,7 +331,8 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
                            mxu: str = "auto",
                            mxu_min_footprint: int = 12,
                            mxu_precision: str = "split",
-                           vmem_budget: int = 96 * 2**20):
+                           vmem_budget: int = 96 * 2**20,
+                           split_at: Optional[Sequence[str]] = None):
     """Jitted wavefront-pipelined chain over ``mesh.shape[axis]`` devices.
 
     Inputs are replicated; outputs are replicated.  Returns ``(fn, plan)``.
@@ -322,7 +345,14 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
     analysis = analysis or ChainAnalysis.run(program)
     graph = analysis.graph
     S = mesh.shape[axis]
-    segments = split_kernels(graph, S)
+    if split_at is not None:
+        segments = split_kernels_at(graph, split_at)
+        if len(segments) != S:
+            raise ValueError(
+                f"{len(split_at)} cut(s) give {len(segments)} segments "
+                f"but mesh axis {axis!r} has {S} devices")
+    else:
+        segments = split_kernels(graph, S)
     halo = chain_halo(analysis)
     dims = program.dimensions
     if num_chunks is None:
@@ -358,8 +388,10 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
 
 def run_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
                        inputs: Dict[str, Any],
-                       num_chunks: Optional[int] = None
+                       num_chunks: Optional[int] = None,
+                       split_at: Optional[Sequence[str]] = None
                        ) -> Dict[str, np.ndarray]:
-    fn, _ = compile_pipeline_split(program, mesh, axis, num_chunks)
+    fn, _ = compile_pipeline_split(program, mesh, axis, num_chunks,
+                                   split_at=split_at)
     out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
     return {k: np.asarray(v) for k, v in out.items()}

@@ -360,6 +360,33 @@ class TestMultiChip:
         out = run_pipeline_split(p, mesh, "p", inputs)
         np.testing.assert_allclose(out["s3"], ref["s3"], rtol=1e-6)
 
+    def test_pipeline_split_at_named_kernels(self):
+        """Named-stream cuts (the reference's split_sdfg at b_to_write_b /
+        b6_to_b7, test_distributed_program.sh:120-125): segments end after
+        the named kernels and the wavefront result is unchanged."""
+        from stencilflow_tpu.parallel.pipeline import (run_pipeline_split,
+                                                       split_kernels_at)
+        p = _program_jacobi3d(size=16, iters=8)
+        inputs = sft.load_input_arrays(p, seed=8)
+        ref = _oracle(p, inputs)
+        mesh = Mesh(np.array(jax.devices()[:2]), ("p",))
+        out = run_pipeline_split(p, mesh, "p", inputs, split_at=["s5"])
+        np.testing.assert_allclose(out["s7"], ref["s7"], rtol=1e-6)
+
+        graph = sft.parse_program(
+            jacobi(3, 8, iterations=4), name="segcheck")
+        from stencilflow_tpu.frontend.analysis import ChainAnalysis
+        g = ChainAnalysis.run(graph).graph
+        assert split_kernels_at(g, ["s0", "s2"]) == [
+            ["s0"], ["s1", "s2"], ["s3"]]
+        with pytest.raises(ValueError, match="unknown cut"):
+            split_kernels_at(g, ["nope"])
+        with pytest.raises(ValueError, match="last kernel"):
+            split_kernels_at(g, ["s3"])
+        with pytest.raises(ValueError, match="segments"):
+            run_pipeline_split(p, mesh, "p", inputs,
+                               split_at=["s1", "s5"])
+
     def test_pipeline_split_stream_segments(self):
         """Per-segment streaming Pallas kernels over the widened chunk
         tiles (interpret mode), vs the oracle."""
