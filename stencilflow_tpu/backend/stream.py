@@ -131,19 +131,23 @@ class StreamPlan:
             total += depth * pj * pk * itemsize
         return total
 
-    def io_window_bytes(self, program: ir.Program, block: int = 1) -> int:
+    def io_window_bytes(self, program: ir.Program, block: int = 1,
+                        compute_dtype=None) -> int:
         """VMEM the Mosaic pipeline itself allocates for the pallas
         input/output windows (2 buffering levels per operand).  Rings are
         explicit scratch; these windows are implicit, and they dominate at
         very large planes (e.g. 2-D domains), so the tile-size search must
-        budget them too."""
+        budget them too.  Inputs are cast to ``compute_dtype`` before the
+        pallas call; outputs keep their kernel dtype."""
         pj, pk = self.plane
         core_j = pj - 2 * self.halo_jk[0]
         total = 0
         for name, spec in program.inputs.items():
             if spec.is_scalar:
                 continue
-            isz = np.dtype(program.field_dtype(name)).itemsize
+            isz = (np.dtype(compute_dtype).itemsize if compute_dtype
+                   is not None else
+                   np.dtype(program.field_dtype(name)).itemsize)
             sizes = [(pj, pk)[d - 1] for d in (1, 2) if spec.dim_mask[d]]
             if spec.dim_mask[0]:
                 sizes = [block] + sizes
@@ -154,6 +158,25 @@ class StreamPlan:
                     program.kernels[out].dtype)).itemsize
             total += 2 * block * core_j * pk * isz
         return total
+
+
+def jtile_splits(n: int, halo: int):
+    """Legal j-tile configurations for a plane of ``n`` rows under the
+    Mosaic block rules: the core tile divides ``n`` and is a multiple of 8
+    (it is an output-block dim), and the overlap halo is rounded up to a
+    multiple of 4 so the widened tile (core + 2*halo, an input-block dim)
+    stays 8-divisible.  Returns ``(halo_pad, [(tiles, core), ...])`` in
+    increasing tile-count order."""
+    halo_pad = -(-halo // 4) * 4 if halo else 0
+    splits = []
+    for tiles in range(2, n + 1):
+        if n % tiles:
+            continue
+        core = n // tiles
+        if core % 8 or core <= halo_pad:
+            continue
+        splits.append((tiles, core))
+    return halo_pad, splits
 
 
 def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
@@ -737,19 +760,10 @@ def compile_chain_stream(program: ir.Program,
 
     from .xla import chain_halo
     hjt = chain_halo(analysis)[1]
-    # Mosaic block divisibility: the widened tile (core + 2*halo) is the
-    # second-minor block dim and must be a multiple of 8 (the core tile
-    # already is), so round the overlap halo up to a multiple of 4 — the
-    # extra cells are interior overlap, masked like any halo.
-    hjt_pad = -(-hjt // 4) * 4 if hjt else 0
+    hjt_pad, splits = jtile_splits(J, hjt)
     candidates = [(1, None, (0, 0))]
-    for cand_tiles in range(2, J + 1):
-        if J % cand_tiles:
-            continue
-        cand = J // cand_tiles
-        if cand % 8 or cand <= hjt_pad:
-            continue
-        candidates.append((cand_tiles, (cand, K), (hjt_pad, 0)))
+    candidates += [(tiles, (core, K), (hjt_pad, 0))
+                   for tiles, core in splits]
 
     budget = vmem_budget * 0.7
     chosen = None
@@ -758,7 +772,7 @@ def compile_chain_stream(program: ir.Program,
         for nt, tjk, hjk in candidates:
             trial = StreamPlan.build(analysis, local_jk=tjk, halo_jk=hjk)
             trial_bytes = trial.vmem_bytes(program, compute_dtype) + \
-                trial.io_window_bytes(program)
+                trial.io_window_bytes(program, compute_dtype=compute_dtype)
             if use_mxu:
                 assets = mxu_assets(trial, nt)
                 if not assets[0]:
@@ -779,9 +793,11 @@ def compile_chain_stream(program: ir.Program,
         # to TPU).  Rescues chains where no j-tile fits (e.g. the halo
         # exceeds every legal tile).
         base = StreamPlan.build(analysis)
-        sel = choose_spill(program, analysis, base,
-                           budget - base.io_window_bytes(program),
-                           compute_dtype)
+        sel = choose_spill(
+            program, analysis, base,
+            budget - base.io_window_bytes(program,
+                                          compute_dtype=compute_dtype),
+            compute_dtype)
         if sel is not None:
             spilled_reads, need = sel
             chosen = (1, None, (0, 0), ({}, [], [], {}, [], 0))
@@ -821,7 +837,8 @@ def compile_chain_stream(program: ir.Program,
     # the final block and step down until it holds
     while block > 1 and not spilled_reads:
         total = plan.vmem_bytes(program, compute_dtype) + \
-            plan.io_window_bytes(program, block) + \
+            plan.io_window_bytes(program, block,
+                                 compute_dtype=compute_dtype) + \
             assets_extra_vmem(plan, transform_keys, pool_keys, pool_arrays)
         if total <= budget:
             break

@@ -157,8 +157,20 @@ def _cmd_report(args) -> int:
             print("wrote " + plot_compute_graph(
                 kspec, f"{program.name}_{kname}_compute.png"))
     report = Report.build(program, analysis)
+    mesh_scaling = None
+    if args.mesh:
+        mesh_dims = {}
+        for part in args.mesh.split(","):
+            ax, _, n = part.partition("=")
+            mesh_dims[ax.strip()] = int(n)
+        axes = tuple(None if a.strip().lower() in ("none", "-") else
+                     a.strip() for a in args.mesh_axes.split(","))
+        mesh_scaling = report.mesh_scaling(mesh_dims, axes)
     if args.json:
-        print(json.dumps(report.as_dict(), indent=2, default=str))
+        d = report.as_dict()
+        if mesh_scaling:
+            d["mesh_scaling"] = mesh_scaling
+        print(json.dumps(d, indent=2, default=str))
     elif args.verbose:
         print(report.full_dump())
     else:
@@ -170,27 +182,18 @@ def _cmd_report(args) -> int:
         print(f"\nmemory placement at slow/fast ratio "
               f"{args.optimize_ratio}:")
         print(opt.summary())
-    if args.mesh:
-        mesh_dims = {}
-        for part in args.mesh.split(","):
-            ax, _, n = part.partition("=")
-            mesh_dims[ax.strip()] = int(n)
-        axes = tuple(None if a.strip().lower() in ("none", "-") else
-                     a.strip() for a in args.mesh_axes.split(","))
-        s = report.mesh_scaling(mesh_dims, axes)
-        if args.json:
-            print(json.dumps(s, indent=2, default=str))
-        else:
-            print(f"\nmesh scaling [{s['devices']} devices, "
-                  f"mesh {s['mesh']}, dims->axes {s['dim_axes']}]:")
-            print(f"  local block {s['local_dims']}  "
-                  f"halo {s['halo']}  "
-                  f"ICI {s['ici_bytes_per_device']/2**20:.2f} MiB/device")
-            print(f"  step: compute {s['t_compute_s']*1e6:.1f} us + "
-                  f"ICI {s['t_ici_s']*1e6:.1f} us = "
-                  f"{s['t_step_s']*1e6:.1f} us  "
-                  f"-> {s['scaled_gcell_s']:.1f} GCell/s, "
-                  f"efficiency {s['parallel_efficiency']:.2f}")
+    if mesh_scaling is not None and not args.json:
+        s = mesh_scaling
+        print(f"\nmesh scaling [{s['devices']} devices, "
+              f"mesh {s['mesh']}, dims->axes {s['dim_axes']}]:")
+        print(f"  local block {s['local_dims']}  "
+              f"halo {s['halo']}  "
+              f"ICI {s['ici_bytes_per_device']/2**20:.2f} MiB/device")
+        print(f"  step: compute {s['t_compute_s']*1e6:.1f} us + "
+              f"ICI {s['t_ici_s']*1e6:.1f} us = "
+              f"{s['t_step_s']*1e6:.1f} us  "
+              f"-> {s['scaled_gcell_s']:.1f} GCell/s, "
+              f"efficiency {s['parallel_efficiency']:.2f}")
     return 0
 
 
@@ -228,7 +231,8 @@ def _cmd_partition(args) -> int:
     print(f"kernels (topological): {graph.kernel_order}")
     if args.at:
         from .parallel.pipeline import split_kernels_at
-        segments = split_kernels_at(graph, args.at.split(","))
+        segments = split_kernels_at(
+            graph, [k.strip() for k in args.at.split(",")])
     else:
         segments = split_kernels(graph, args.devices)
     for i, seg in enumerate(segments):
@@ -275,8 +279,10 @@ def _cmd_run_distributed(args) -> int:
         mesh = Mesh(np.array(devices), ("p",))
         outputs = run_pipeline_split(program, mesh, "p", inputs,
                                      num_chunks=args.num_chunks,
-                                     split_at=(args.split_at.split(",")
-                                               if args.split_at else None))
+                                     split_at=(
+                                         [k.strip() for k in
+                                          args.split_at.split(",")]
+                                         if args.split_at else None))
     else:
         from .parallel.domain import run_sharded_chain
         a = int(np.floor(np.sqrt(args.devices)))

@@ -319,19 +319,11 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
         # locally if the mesh exchange did not already provide the margin
         cands = [(1, (plan.block[1], plan.block[2]),
                   (plan.halo[1], plan.halo[2]), 0)]
-        # Mosaic block divisibility: the widened tile (tj + 2*halo) is the
-        # second-minor block dim and must be a multiple of 8, so round the
-        # overlap halo up to a multiple of 4 (extra interior overlap)
-        hjt_pad = -(-hjt // 4) * 4 if hjt else 0
-        for cand_tiles in range(2, max(2, Bj) + 1):
-            if Bj % cand_tiles:
-                continue
-            tj = Bj // cand_tiles
-            if tj % 8 or tj <= hjt_pad:
-                continue
-            cands.append((cand_tiles, (tj, plan.block[2]),
-                          (hjt_pad, plan.halo[2]),
-                          max(0, hjt_pad - plan.halo[1])))
+        from ..backend.stream import jtile_splits
+        hjt_pad, splits = jtile_splits(Bj, hjt)
+        cands += [(tiles, (tj, plan.block[2]), (hjt_pad, plan.halo[2]),
+                   max(0, hjt_pad - plan.halo[1]))
+                  for tiles, tj in splits]
         chosen = None
         for use_mxu in ([True, False] if mxu != "off" else [False]):
             for nt, ljk, hjk, pad in cands:
@@ -367,7 +359,8 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
                 analysis, local_jk=(plan.block[1], plan.block[2]),
                 halo_jk=(plan.halo[1], plan.halo[2]),
                 min_lag_max=halo_i, direct_emit=halo_i == 0)
-            sel = choose_spill(program, analysis, trial, budget,
+            sel = choose_spill(program, analysis, trial,
+                               budget - trial.io_window_bytes(program),
                                allow_outputs=halo_i == 0)
             if sel is not None:
                 chosen = (1, (plan.halo[1], plan.halo[2]), 0, trial,

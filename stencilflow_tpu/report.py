@@ -106,8 +106,15 @@ class Report:
         from .backend.xla import chain_halo
         dims = self.program.dimensions
         halo = chain_halo(self.analysis)
-        n_dev = 1
-        local = list(dims)
+        used = [a for a in dim_axes if a]
+        if len(set(used)) != len(used):
+            raise ValueError(f"mesh axis used for two dims: {dim_axes}")
+        unknown = [a for a in used if a not in mesh_dims]
+        if unknown:
+            raise ValueError(f"dim_axes name(s) {unknown} missing from "
+                             f"mesh {dict(mesh_dims)}")
+        n_dev = int(np.prod(list(mesh_dims.values())))  # unused axes
+        local = list(dims)                              # replicate
         shards = [1, 1, 1]
         for d, ax in enumerate(dim_axes):
             m = mesh_dims.get(ax, 1) if ax else 1
@@ -117,12 +124,8 @@ class Report:
                 raise ValueError(
                     f"dim {d} ({dims[d]}) not divisible by mesh axis "
                     f"{ax!r} ({m})")
-            n_dev *= m
             shards[d] = m
             local[d] = dims[d] // m
-        for ax, m in mesh_dims.items():
-            if m > 1 and ax not in [a for a in dim_axes if a]:
-                n_dev *= m   # unused axes replicate; count their devices
 
         # redundant compute on the exchanged halo shell
         widened = 1.0

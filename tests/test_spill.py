@@ -80,7 +80,7 @@ class TestSpill:
         fn, plan = compile_sharded_chain(p, mesh, (None, None, "y"),
                                          local_backend="stream",
                                          interpret=True,
-                                         vmem_budget=460 * 1024)
+                                         vmem_budget=480 * 1024)
         cfg = compile_sharded_chain.last_config
         assert cfg["backend"] == "stream" and cfg.get("spilled"), cfg
         sh = plan.input_shardings()
