@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .. import ir
+from .. import config, ir
 from ..config import JUNK_VAL
 from ..frontend.analysis import ChainAnalysis
 from .tile_eval import eval_kernel_statements, read_access_tile
@@ -695,7 +695,7 @@ def choose_spill(program: ir.Program, analysis: ChainAnalysis,
 def compile_chain_stream(program: ir.Program,
                          analysis: Optional[ChainAnalysis] = None,
                          interpret: bool = False,
-                         vmem_budget: int = 96 * 2**20,
+                         vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET,
                          mxu: str = "auto",
                          mxu_min_footprint: int = 12,
                          mxu_precision: str = "split",
@@ -1036,7 +1036,7 @@ def run_chain_stream(program: ir.Program, inputs: Dict[str, Any],
 def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
                          plan: StreamPlan, local_block,
                          interpret: bool = False,
-                         vmem_budget: int = 96 * 2**20,
+                         vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET,
                          halo_i: int = 0,
                          jtiles: int = 1,
                          mxu_assets: Optional[dict] = None,

@@ -62,6 +62,12 @@ TPU_VMEM_BYTES = 32 * 2**20
 TPU_VPU_ELEMOPS = 8 * 128 * 940e6
 TPU_VPU_FLOPS = TPU_VPU_ELEMOPS  # alias
 TPU_MXU_BF16_FLOPS = 197e12     # v5e peak bf16
+# Streaming-backend VMEM budget: the chip's real VMEM (v5e: 128 MiB); the
+# planner spends 0.7 of it on rings + pipeline windows + MXU assets, the
+# rest is Mosaic compiler slack.  (Both terms are accounted explicitly
+# since the io_window_bytes audit; the previous 96 MiB default predated it
+# and double-counted conservatism.)
+TPU_STREAM_VMEM_BUDGET = 128 * 2**20
 # ICI bandwidth per link direction (bytes/s); v5e 2-D torus, ~45 GB/s
 # one-way per link.  Used by the mesh-scaling model (report) for the
 # halo-exchange cost of domain decomposition.

@@ -29,7 +29,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from .. import ir
+from .. import config, ir
 from ..frontend.analysis import ChainAnalysis
 from ..frontend.chain import ChainGraph
 from ..backend.xla import chain_halo
@@ -281,7 +281,7 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
                           mxu_min_footprint: int = 12,
                           mxu_precision: str = "split",
                           spill: str = "auto",
-                          vmem_budget: int = 96 * 2**20):
+                          vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET):
     """Build a jitted, mesh-sharded ``fn(inputs) -> outputs`` for the chain.
 
     ``local_backend``: per-shard compute path — "stream" (the streaming

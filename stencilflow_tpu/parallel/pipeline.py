@@ -28,7 +28,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from .. import ir
+from .. import config, ir
 from ..frontend.analysis import ChainAnalysis
 from ..frontend.chain import ChainGraph
 from ..backend.xla import chain_halo
@@ -136,7 +136,7 @@ def _segment_stream_fns(program: ir.Program, graph: ChainGraph,
                         segments: List[List[str]], halo: Vec3, chunk: int,
                         interpret: bool, mxu: str, mxu_min_footprint: int,
                         mxu_precision: str,
-                        vmem_budget: int = 96 * 2**20):
+                        vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET):
     """Per-segment streaming Pallas kernels over the widened chunk tile,
     or None when any segment's rings exceed the VMEM budget (callers fall
     back to the fused-XLA segment evaluator).
@@ -331,7 +331,7 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
                            mxu: str = "auto",
                            mxu_min_footprint: int = 12,
                            mxu_precision: str = "split",
-                           vmem_budget: int = 96 * 2**20,
+                           vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET,
                            split_at: Optional[Sequence[str]] = None):
     """Jitted wavefront-pipelined chain over ``mesh.shape[axis]`` devices.
 

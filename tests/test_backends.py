@@ -200,7 +200,8 @@ class TestStreamBackend:
             tj, hj = cfg["tile_jk"][0], cfg["halo_jk"][0]
             assert cfg["jtiles"] > 1
             assert (tj + 2 * hj) % 8 == 0
-            assert cfg["vmem_bytes"] <= 0.7 * 96 * 2**20
+            from stencilflow_tpu import config
+            assert cfg["vmem_bytes"] <= 0.7 * config.TPU_STREAM_VMEM_BUDGET
 
     def test_multiple_outputs_at_different_lags(self):
         """Two outputs at different pipeline depths: the emit logic pads
