@@ -62,6 +62,19 @@ def main():
                                inputs={"a": np.float32}, name="traced_demo")
     print(f"\ntraced program: kernels={list(traced.kernels)}")
 
+    # 8. projected multi-chip scaling (halo exchange over ICI vs compute)
+    s = Report.build(program).mesh_scaling({"x": 2, "y": 2})
+    print(f"\n2x2 mesh: {s['scaled_gcell_s']:.1f} GCell/s projected, "
+          f"efficiency {s['parallel_efficiency']:.2f} "
+          f"(ICI {s['ici_bytes_per_device']/2**10:.0f} KiB/device/step)")
+
+    # 9. time-stepping with temporal fusion (iterate.py; add
+    #    checkpoint_every/checkpoint_dir for crash-resumable runs)
+    state = sft.iterate(program, inputs, steps=8, fuse=4,
+                        interpret=interpret)
+    total = float(np.asarray(state["a"]).sum())
+    print(f"iterated 8 steps (fuse=4): state sum={total:.3f}")
+
 
 if __name__ == "__main__":
     main()

@@ -22,6 +22,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stencils", default="/root/reference/test/stencils")
     ap.add_argument("--max-elements", type=int, default=2_000_000)
+    ap.add_argument("--odd-shapes", action="store_true",
+                    help="also sweep synthetic programs with odd "
+                         "(non-8/128-divisible) dims through the compiled "
+                         "streaming backend — shakes out Mosaic block-"
+                         "shape edge cases invisible to interpret mode")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -64,6 +69,41 @@ def main() -> int:
             for o in program.outputs)
         print(f"{'OK  ' if ok else 'FAIL'} {name} [{backend}]")
         failures += not ok
+    if args.odd_shapes:
+        from stencilflow_tpu.backend.stream import compile_chain_stream
+        from stencilflow_tpu.synthesize import synthesize_stencil
+        cases = [
+            (3, (7, 100, 100), "diffusion", 1),
+            (2, (53, 200), "diffusion", 2),
+            (4, (10, 96, 53), "cross", 2),
+            (2, (5, 33, 129), "box", 1),
+            (3, (11, 17, 257), "diffusion", 1),
+            (1, (9, 130), "hotspot", 1),
+            (2, (100, 100), "diffusion", 3),
+            (2, (6, 24, 1000), "cross", 1),
+            (2, (8, 24, 24), "hdiff", 1),
+        ]
+        for stages, dims, shape, extent in cases:
+            spec = synthesize_stencil(num_stages=stages, dimensions=dims,
+                                      shape=shape, extent=extent,
+                                      seed_data="random:0,1")
+            nm = f"odd_{shape}_{'x'.join(map(str, dims))}"
+            program = sft.parse_program(spec, name=nm)
+            inputs = sft.load_input_arrays(program, seed=1)
+            ref = sft.run_interpreter(program, inputs)
+            try:
+                fn = compile_chain_stream(program)
+                out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
+                ok = all(arrays_are_equal(np.asarray(ref[o]),
+                                          np.asarray(out[o]))
+                         for o in program.outputs)
+            except Exception as e:  # noqa: BLE001 — report, keep sweeping
+                print(f"FAIL {nm}: {type(e).__name__}: {str(e)[:100]}")
+                failures += 1
+                continue
+            print(f"{'OK  ' if ok else 'FAIL'} {nm} [stream]")
+            failures += not ok
+        paths += cases
     print(f"\n{len(paths)} programs, {failures} failures")
     return 1 if failures else 0
 

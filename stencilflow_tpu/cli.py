@@ -87,6 +87,7 @@ def _cmd_iterate(args) -> int:
                     fuse=args.fuse_steps,
                     checkpoint_every=args.checkpoint_every,
                     checkpoint_dir=args.checkpoint_dir,
+                    checkpoint_format=args.checkpoint_format,
                     resume=not args.no_resume)
     print(f"ran {args.steps} steps")
     if args.output_dir:
@@ -366,6 +367,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "intensity; steps must be a multiple)")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--checkpoint-dir")
+    p.add_argument("--checkpoint-format", default="npz",
+                   choices=["npz", "orbax"],
+                   help="npz: one host file per checkpoint; orbax: "
+                        "async device-sharded checkpoints (production "
+                        "choice for mesh-sharded runs)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--output-dir")
     p.add_argument("--input-directory")

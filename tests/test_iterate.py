@@ -124,6 +124,44 @@ class TestIterate:
                           checkpoint_every=2, checkpoint_dir=ckpt)
         np.testing.assert_array_equal(full["a"], resumed["a"])
 
+    def test_orbax_checkpoint_and_resume(self, tmp_path):
+        """The orbax format: async device-sharded checkpoints; resume
+        from the newest step matches the uninterrupted run."""
+        p1 = _one_step_program()
+        inputs = sft.load_input_arrays(p1, seed=7)
+        ckpt = str(tmp_path / "ock")
+        full = iterate(p1, inputs, steps=6, interpret=True, chunk=2,
+                       checkpoint_every=2, checkpoint_dir=ckpt,
+                       checkpoint_format="orbax")
+        import shutil
+        assert sorted(int(d) for d in os.listdir(ckpt)
+                      if d.isdigit()) == [2, 4, 6]
+        shutil.rmtree(os.path.join(ckpt, "6"))
+        resumed = iterate(p1, inputs, steps=6, interpret=True, chunk=2,
+                          checkpoint_every=2, checkpoint_dir=ckpt,
+                          checkpoint_format="orbax")
+        np.testing.assert_array_equal(full["a"], resumed["a"])
+
+    def test_orbax_sharded_checkpoint(self, tmp_path):
+        """Sharded state checkpoints and restores with its sharding."""
+        p1 = _one_step_program(size=16, dims=3)
+        inputs = sft.load_input_arrays(p1, seed=8)
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
+        ckpt = str(tmp_path / "osh")
+        kw = dict(steps=4, mesh=mesh, dim_axes=(None, "x", "y"), chunk=2,
+                  checkpoint_every=2, checkpoint_dir=ckpt,
+                  checkpoint_format="orbax")
+        full = iterate(p1, inputs, **kw)
+        import shutil
+        shutil.rmtree(os.path.join(ckpt, "4"))
+        resumed = iterate(p1, inputs, **kw)
+        np.testing.assert_allclose(full["a"], resumed["a"],
+                                   rtol=1e-6, atol=1e-7)
+        expect = iterate(p1, inputs, steps=4, mesh=mesh,
+                         dim_axes=(None, "x", "y"), chunk=2)
+        np.testing.assert_allclose(resumed["a"], expect["a"],
+                                   rtol=1e-6, atol=1e-7)
+
     def test_resume_ignores_inputs(self, tmp_path):
         """After a checkpoint exists, fresh inputs are ignored (state
         restores from disk)."""
