@@ -825,10 +825,13 @@ def compile_chain_stream(program: ir.Program,
             block = min(2, I)
         else:
             area = (tile_jk[0] + 2 * halo_jk[0] if tile_jk else J) * K
-            # even at large planes, 2 planes/step amortizes measurable
-            # per-grid-step pipeline overhead (~6us; +6% at 256^3)
-            block = 8 if area <= 128 * 128 else \
-                (4 if area <= 224 * 224 else 2)
+            # micro-step blocking amortizes per-grid-step pipeline
+            # overhead (~6us/step); measured on chip block=4 is equal to
+            # slightly better than 2 at 256^3-512^3 (within tunnel
+            # noise), block=8 only wins on small planes, and the VMEM
+            # re-audit below steps block back down if the windows/lag
+            # padding overflow the budget
+            block = 8 if area <= 128 * 128 else 4
             block = max(1, min(block, I))
     plan = StreamPlan.build(analysis, local_jk=tile_jk, halo_jk=halo_jk,
                             block=block)

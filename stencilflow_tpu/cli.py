@@ -234,6 +234,12 @@ def _cmd_partition(args) -> int:
         from .parallel.pipeline import split_kernels_at
         segments = split_kernels_at(
             graph, [k.strip() for k in args.at.split(",")])
+    elif args.optimize:
+        from .parallel.pipeline import optimize_split
+        segments, stats = optimize_split(program, graph, args.devices)
+        print(f"optimized cuts: segment loads {stats['segment_loads']} "
+              f"(weighted ops/cell), crossing "
+              f"{stats['cut_bytes_per_cell']} B/cell per cut")
     else:
         segments = split_kernels(graph, args.devices)
     for i, seg in enumerate(segments):
@@ -436,6 +442,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--at", default=None,
                    help="comma-separated kernel names to cut after "
                         "(named-stream split) instead of auto-balancing")
+    p.add_argument("--optimize", action="store_true",
+                   help="search cuts minimizing the bottleneck segment "
+                        "load, tie-breaking on inter-device traffic")
     p.add_argument("--enumerate-cuts", action="store_true")
     p.set_defaults(fn=_cmd_partition)
 

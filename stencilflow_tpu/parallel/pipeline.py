@@ -75,6 +75,86 @@ def split_kernels_at(graph: ChainGraph,
     return [order[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
 
 
+def optimize_split(program: ir.Program, graph: ChainGraph,
+                   num_segments: int) -> Tuple[List[List[str]], Dict]:
+    """Search contiguous cuts for the best pipeline partition: minimize
+    the bottleneck segment's compute load (weighted ops/cell), breaking
+    ties on inter-device stream traffic (bytes/cell crossing the cuts).
+    This is the role the reference's ``enumerate_cuts`` search serves for
+    its multi-FPGA partitioning (kernel_chain_graph.py:116-160); for the
+    wavefront pipeline only contiguous topological cuts are valid, so the
+    search is an exact O(n²·S) DP rather than an enumeration.
+
+    Returns ``(segments, stats)`` with per-segment loads and per-cut
+    crossing bytes.
+    """
+    from ..frontend.analysis import operation_count
+    from ..report import _OP_COST
+    order = graph.kernel_order
+    n = len(order)
+    if num_segments > n:
+        raise ValueError(f"cannot split {n} kernels into {num_segments} "
+                         "segments")
+    load = []
+    for k in order:
+        ops = operation_count(program.kernels[k])
+        load.append(sum(c * _OP_COST.get(op, 1) for op, c in ops.items()))
+    prefix = [0]
+    for v in load:
+        prefix.append(prefix[-1] + v)
+
+    idx = {k: i for i, k in enumerate(order)}
+    # crossing bytes per cell for a cut after position i: kernel fields
+    # produced at <= i and read later (program inputs are replicated)
+    cross = [0] * n
+    for i in range(n - 1):
+        total = 0
+        for j, k in enumerate(order):
+            if j > i:
+                continue
+            reads_later = any(idx.get(c, -1) > i
+                              for c in graph.consumers(k)
+                              if c in program.kernels)
+            if reads_later:
+                total += np.dtype(program.kernels[k].dtype).itemsize
+        cross[i] = total
+
+    INF = (float("inf"), float("inf"))
+    # dp[s][j]: best (bottleneck, total_cross) splitting order[:j] into s
+    dp = [[INF] * (n + 1) for _ in range(num_segments + 1)]
+    cut_at = [[-1] * (n + 1) for _ in range(num_segments + 1)]
+    dp[0][0] = (0.0, 0.0)
+    for s in range(1, num_segments + 1):
+        for j in range(s, n + 1):
+            for i in range(s - 1, j):
+                prev = dp[s - 1][i]
+                if prev == INF:
+                    continue
+                seg = prefix[j] - prefix[i]
+                c = prev[1] + (cross[i - 1] if i > 0 else 0)
+                cand = (max(prev[0], seg), c)
+                if cand < dp[s][j]:
+                    dp[s][j] = cand
+                    cut_at[s][j] = i
+    # reconstruct
+    bounds = [n]
+    j = n
+    for s in range(num_segments, 0, -1):
+        j = cut_at[s][j]
+        bounds.append(j)
+    bounds.reverse()
+    segments = [order[bounds[i]:bounds[i + 1]]
+                for i in range(num_segments)]
+    stats = {
+        "segment_loads": [prefix[bounds[i + 1]] - prefix[bounds[i]]
+                          for i in range(num_segments)],
+        "cut_bytes_per_cell": [cross[bounds[i + 1] - 1]
+                               for i in range(num_segments - 1)],
+        "bottleneck_load": dp[num_segments][n][0],
+    }
+    return segments, stats
+
+
 @dataclasses.dataclass
 class PipelineSplit:
     program: ir.Program
@@ -332,7 +412,8 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
                            mxu_min_footprint: int = 12,
                            mxu_precision: str = "split",
                            vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET,
-                           split_at: Optional[Sequence[str]] = None):
+                           split_at: Optional[Sequence[str]] = None,
+                           optimize_cuts: bool = False):
     """Jitted wavefront-pipelined chain over ``mesh.shape[axis]`` devices.
 
     Inputs are replicated; outputs are replicated.  Returns ``(fn, plan)``.
@@ -351,6 +432,8 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
             raise ValueError(
                 f"{len(split_at)} cut(s) give {len(segments)} segments "
                 f"but mesh axis {axis!r} has {S} devices")
+    elif optimize_cuts:
+        segments, _stats = optimize_split(program, graph, S)
     else:
         segments = split_kernels(graph, S)
     halo = chain_halo(analysis)

@@ -388,6 +388,45 @@ class TestMultiChip:
             run_pipeline_split(p, mesh, "p", inputs,
                                split_at=["s1", "s5"])
 
+    def test_optimize_split(self):
+        """Cut search: bottleneck load <= the count-balanced split's, and
+        ties prefer cuts crossed by fewer live fields."""
+        from stencilflow_tpu.frontend.analysis import (ChainAnalysis,
+                                                       operation_count)
+        from stencilflow_tpu.parallel.pipeline import (optimize_split,
+                                                       run_pipeline_split,
+                                                       split_kernels)
+        from stencilflow_tpu.report import _OP_COST
+        # s1 is far heavier than the rest: balanced-count splits lump it
+        # with neighbors; the optimizer isolates it
+        spec = synthesize_stencil(num_stages=4, dimensions=(8, 8, 16))
+        big = " + ".join(f"{0.01 * i:.3f} * s0[i,j,k-{i % 3}]"
+                         for i in range(1, 30))
+        spec["program"]["s1"]["computation_string"] = f"s1 = {big}"
+        p = sft.parse_program(spec, name="optsplit")
+        analysis = ChainAnalysis.run(p)
+        g = analysis.graph
+
+        def bottleneck(segs):
+            return max(sum(sum(c * _OP_COST.get(op, 1) for op, c in
+                               operation_count(p.kernels[k]).items())
+                           for k in seg) for seg in segs)
+
+        segs, stats = optimize_split(p, g, 2)
+        assert bottleneck(segs) <= bottleneck(split_kernels(g, 2))
+        assert stats["bottleneck_load"] == bottleneck(segs)
+        assert len(stats["cut_bytes_per_cell"]) == 1
+
+        # and the optimized split still computes the right answer
+        inputs = sft.load_input_arrays(p, seed=9)
+        ref = _oracle(p, inputs)["s3"]
+        mesh = Mesh(np.array(jax.devices()[:2]), ("p",))
+        from stencilflow_tpu.parallel.pipeline import compile_pipeline_split
+        fn, _ = compile_pipeline_split(p, mesh, "p", optimize_cuts=True)
+        out = np.asarray(fn({k: jnp.asarray(v)
+                             for k, v in inputs.items()})["s3"])
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
     def test_pipeline_split_stream_segments(self):
         """Per-segment streaming Pallas kernels over the widened chunk
         tiles (interpret mode), vs the oracle."""
