@@ -282,14 +282,16 @@ def _cmd_run_distributed(args) -> int:
         return 2
 
     if args.parallel_mode == "pipeline":
-        from .parallel.pipeline import run_pipeline_split
+        from .parallel.pipeline import compile_pipeline_split
+        import jax.numpy as jnp
         mesh = Mesh(np.array(devices), ("p",))
-        outputs = run_pipeline_split(program, mesh, "p", inputs,
-                                     num_chunks=args.num_chunks,
-                                     split_at=(
-                                         [k.strip() for k in
-                                          args.split_at.split(",")]
-                                         if args.split_at else None))
+        fn, _plan = compile_pipeline_split(
+            program, mesh, "p", num_chunks=args.num_chunks,
+            split_at=([k.strip() for k in args.split_at.split(",")]
+                      if args.split_at else None),
+            optimize_cuts=args.optimize_cuts)
+        out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
+        outputs = {k: np.asarray(v) for k, v in out.items()}
     else:
         from .parallel.domain import run_sharded_chain
         a = int(np.floor(np.sqrt(args.devices)))
@@ -297,7 +299,18 @@ def _cmd_run_distributed(args) -> int:
             a -= 1
         mesh = Mesh(np.array(devices).reshape(a, args.devices // a),
                     ("x", "y"))
-        outputs = run_sharded_chain(program, mesh, (None, "x", "y"), inputs)
+        if args.dim_axes:
+            axes = tuple(None if t.strip().lower() in ("none", "-")
+                         else t.strip()
+                         for t in args.dim_axes.split(","))
+            bad = [a for a in axes if a and a not in mesh.shape]
+            if bad:
+                print(f"unknown mesh axis {bad} (mesh has "
+                      f"{list(mesh.shape)})", file=sys.stderr)
+                return 2
+        else:
+            axes = (None, "x", "y")
+        outputs = run_sharded_chain(program, mesh, axes, inputs)
     print(f"ran {args.parallel_mode} over {args.devices} devices "
           f"(mesh {dict(mesh.shape)})")
 
@@ -459,6 +472,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pipeline mode: comma-separated kernel names to "
                         "cut after (the reference's split at a named "
                         "stream); cuts+1 must equal --devices")
+    p.add_argument("--optimize-cuts", action="store_true",
+                   help="pipeline mode: search cuts minimizing the "
+                        "bottleneck segment load")
+    p.add_argument("--dim-axes", default=None,
+                   help="domain mode: mesh axis per padded dim (i,j,k), "
+                        "e.g. 'x,y,none' to shard (i, j); default "
+                        "'none,x,y'")
     p.add_argument("--compare-to-reference", action="store_true")
     p.add_argument("--input-directory")
     p.add_argument("--force-host-devices", action="store_true",
