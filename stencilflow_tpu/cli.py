@@ -40,7 +40,13 @@ def _cmd_run(args) -> int:
         return 1
     print(f"backend: {res.backend}")
     if res.wall_time_s is not None:
-        print(f"wall time: {res.wall_time_s*1e3:.3f} ms/run")
+        from .report import Report
+        rep = Report.build(res.program)
+        gcell = res.program.total_elements / res.wall_time_s / 1e9
+        print(f"wall time: {res.wall_time_s*1e3:.3f} ms/run "
+              f"(~{gcell:.3g} GCell/s incl. transfers; roofline "
+              f"{rep.roofline_gcell_s():.1f} GCell/s — time the "
+              f"on-device loop, bench.py, for kernel throughput)")
     if res.simulation_cycles is not None:
         print(f"simulated cycles: {res.simulation_cycles}")
     if res.verified_against_reference is not None:

@@ -153,6 +153,10 @@ def run_program(stencil_file, mode: str = "emulation",
                       getattr(v, "ndim", 0) > 0 else v
                       for k, v in inputs.items()}
         out = fn(dev_inputs)  # warm up: compile outside the timed region
+        # through the device tunnel block_until_ready returns before the
+        # remote compile finishes — only a host readback truly waits, so
+        # force one or the timed region absorbs minutes of compile
+        np.asarray(next(iter(out.values())).ravel()[0])
         import contextlib
         ctx = contextlib.nullcontext()
         if profile_dir:
