@@ -67,7 +67,10 @@ def _cmd_simulate(args) -> int:
     program = parse_program(args.stencil_file)
     inputs = load_input_arrays(program, prefix=args.input_directory,
                                seed=args.seed)
-    res = simulate(program, inputs, native=not args.no_native)
+    res = simulate(program, inputs, native=not args.no_native,
+                   trace=args.trace)
+    if args.trace:
+        print(f"per-cycle trace written to {args.trace}")
     print(f"cycles: {res.cycles} (elements: {program.total_elements})")
     for (src, dst), high in res.edge_high_water.items():
         print(f"  edge {src}->{dst}: high water {high}")
@@ -378,6 +381,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir")
     p.add_argument("--no-native", action="store_true",
                    help="use the Python machine instead of the C++ core")
+    p.add_argument("--trace", metavar="CSV",
+                   help="write a per-cycle CSV (kernel PCs + FIFO "
+                        "occupancies; uses the Python engine)")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=_cmd_simulate)
 

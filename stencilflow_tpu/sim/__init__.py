@@ -14,9 +14,15 @@ from .bounded_queue import BoundedQueue, QueueOverflow, QueueUnderflow
 from .machine import SimResult, SimulationError, Simulator
 
 
-def simulate(program, inputs, native: bool = True, **kw) -> SimResult:
+def simulate(program, inputs, native: bool = True, trace=None,
+             **kw) -> SimResult:
     """Run the dataflow simulation, preferring the C++ core (falls back to
-    the Python machine if the toolchain is unavailable)."""
+    the Python machine if the toolchain is unavailable).  ``trace`` (a
+    path or file) streams a per-cycle CSV of every kernel's program
+    counter and every FIFO's occupancy — tracing always uses the Python
+    machine (the engines are semantically identical)."""
+    if trace is not None:
+        return Simulator(program, **kw).run(inputs, trace=trace)
     if native:
         try:
             from .native import NativeBuildError, NativeSimulator

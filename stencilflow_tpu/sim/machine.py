@@ -16,6 +16,7 @@ cycle, kernel.py:703-706 — its biggest performance sin; we don't repeat it).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -325,9 +326,22 @@ class Simulator:
         return True
 
     # -- run -----------------------------------------------------------------
-    def run(self, inputs: Dict[str, Any]) -> SimResult:
+    def run(self, inputs: Dict[str, Any],
+            trace: Optional[Any] = None) -> SimResult:
+        """``trace``: a path or writable file — stream one CSV row per
+        cycle (program counters of every kernel, then the occupancy of
+        every edge FIFO), the reference's FULL-log per-cycle dump
+        (simulator.py:189-205) in a greppable/plottable form."""
         program = self.program
         N = self.N
+
+        trace_fh = None
+        if trace is not None:
+            trace_fh = (open(trace, "w") if isinstance(trace, (str,
+                        bytes, os.PathLike)) else trace)
+            cols = (["cycle"] + [f"pc:{k}" for k in self.kernels] +
+                    [f"occ:{s}->{d}" for (s, d) in self.edges])
+            trace_fh.write(",".join(cols) + "\n")
 
         input_arrays: Dict[str, np.ndarray] = {}
         input_sent: Dict[Tuple[str, str], int] = {}
@@ -425,12 +439,21 @@ class Simulator:
                         input_sent[(name, dst)] = sent + 1
                         progressed = True
 
+            if trace_fh is not None:
+                row = ([str(cycle)] +
+                       [str(st.pc) for st in self.kernels.values()] +
+                       [str(e.occupancy()) for e in self.edges.values()])
+                trace_fh.write(",".join(row) + "\n")
             cycle += 1
             stagnant = 0 if progressed else stagnant + 1
             # pipeline latencies can legitimately idle for O(max op latency)
             if stagnant > 2048 or cycle > max_stall:
+                if trace_fh is not None and trace_fh is not trace:
+                    trace_fh.close()
                 raise DeadlockError(self.diagnostics(cycle, out_pc))
 
+        if trace_fh is not None and trace_fh is not trace:
+            trace_fh.close()
         outputs = {
             o: out_arrays[o].reshape(program.raw_dimensions)
             for o in program.outputs

@@ -137,3 +137,27 @@ class TestNativeMatchesPython:
         assert r_py.edge_high_water == r_cc.edge_high_water
         np.testing.assert_array_equal(r_py.outputs["s1"],
                                       r_cc.outputs["s1"])
+
+
+def test_per_cycle_trace(tmp_path):
+    """--trace CSV: one row per cycle, PCs monotone, occupancies bounded
+    by the proven high-water marks."""
+    import stencilflow_tpu as sft
+    from stencilflow_tpu.sim import simulate
+    from stencilflow_tpu.synthesize import jacobi
+    p = sft.parse_program(jacobi(2, 8, iterations=2), name="tracetest")
+    inputs = sft.load_input_arrays(p, seed=0)
+    path = tmp_path / "trace.csv"
+    res = simulate(p, inputs, trace=str(path))
+    lines = path.read_text().strip().split("\n")
+    assert len(lines) == res.cycles + 1
+    header = lines[0].split(",")
+    assert header[0] == "cycle" and "pc:s1" in header
+    first, last = lines[1].split(","), lines[-1].split(",")
+    pc_cols = [i for i, h in enumerate(header) if h.startswith("pc:")]
+    assert all(int(last[i]) >= int(first[i]) for i in pc_cols)
+    occ = {h.split("occ:")[1]: i for i, h in enumerate(header)
+           if h.startswith("occ:")}
+    for (s, d), hw in res.edge_high_water.items():
+        col = occ[f"{s}->{d}"]
+        assert max(int(row.split(",")[col]) for row in lines[1:]) <= hw
