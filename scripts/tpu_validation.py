@@ -103,8 +103,10 @@ def main() -> int:
                 continue
             print(f"{'OK  ' if ok else 'FAIL'} {nm} [stream]")
             failures += not ok
-        paths += cases
-    print(f"\n{len(paths)} programs, {failures} failures")
+        total = len(paths) + len(cases)
+    else:
+        total = len(paths)
+    print(f"\n{total} programs, {failures} failures")
     return 1 if failures else 0
 
 

@@ -995,7 +995,8 @@ def compile_chain_stream(program: ir.Program,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=semantics,
-            vmem_limit_bytes=vmem_budget + 16 * 2**20),
+            vmem_limit_bytes=min(vmem_budget + 16 * 2**20,
+                                 config.TPU_VMEM_PHYSICAL)),
     )
 
     raw = program.raw_dimensions
@@ -1220,7 +1221,8 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=semantics,
-            vmem_limit_bytes=vmem_budget + 16 * 2**20),
+            vmem_limit_bytes=min(vmem_budget + 16 * 2**20,
+                                 config.TPU_VMEM_PHYSICAL)),
     )
 
     def fn(origin, widened_inputs, pool_locals=None):

@@ -312,6 +312,10 @@ def _cmd_run_distributed(args) -> int:
             axes = tuple(None if t.strip().lower() in ("none", "-")
                          else t.strip()
                          for t in args.dim_axes.split(","))
+            if len(axes) != 3:
+                print(f"--dim-axes needs 3 entries (i,j,k), got "
+                      f"{len(axes)}", file=sys.stderr)
+                return 2
             bad = [a for a in axes if a and a not in mesh.shape]
             if bad:
                 print(f"unknown mesh axis {bad} (mesh has "

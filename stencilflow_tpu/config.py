@@ -62,6 +62,9 @@ TPU_VMEM_BYTES = 32 * 2**20
 TPU_VPU_ELEMOPS = 8 * 128 * 940e6
 TPU_VPU_FLOPS = TPU_VPU_ELEMOPS  # alias
 TPU_MXU_BF16_FLOPS = 197e12     # v5e peak bf16
+# Physical per-core VMEM (v5e: 128 MiB) — the hard cap for Mosaic's
+# compile-time vmem_limit_bytes guard.
+TPU_VMEM_PHYSICAL = 128 * 2**20
 # Streaming-backend VMEM budget: the chip's real VMEM (v5e: 128 MiB); the
 # planner spends 0.7 of it on rings + pipeline windows + MXU assets, the
 # rest is Mosaic compiler slack.  (Both terms are accounted explicitly

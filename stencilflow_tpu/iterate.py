@@ -113,7 +113,8 @@ def make_step(program: ir.Program,
               feed: Optional[Dict[str, str]] = None,
               backend: str = "auto",
               interpret: bool = False,
-              mesh=None, dim_axes: Optional[Sequence] = None
+              mesh=None, dim_axes: Optional[Sequence] = None,
+              analysis: Optional[ChainAnalysis] = None
               ) -> Tuple[Callable, Dict[str, str]]:
     """Compile one time step.  Returns ``(step, feed)`` where
     ``step(state_dict) -> state_dict`` carries every program input; fed
@@ -128,7 +129,7 @@ def make_step(program: ir.Program,
             raise IterateError(
                 f"fed input {iname!r} must span the full domain")
 
-    analysis = ChainAnalysis.run(program)
+    analysis = analysis or ChainAnalysis.run(program)
     if mesh is not None:
         if dim_axes is None:
             raise IterateError("mesh requires dim_axes, e.g. "
@@ -220,14 +221,15 @@ def iterate(program: ir.Program, inputs: Dict[str, Any], steps: int,
     steps_f = steps // scale
     ckpt_f = checkpoint_every // scale if checkpoint_every else 0
 
+    analysis = ChainAnalysis.run(program)
     step, feed = make_step(program, feed, backend, interpret, mesh,
-                           dim_axes)
+                           dim_axes, analysis)
 
     start = 0
     shardings: Dict[str, Any] = {}
     if mesh is not None:
         from .parallel.domain import DomainDecomposition
-        dplan = DomainDecomposition.plan(program, mesh, dim_axes)
+        dplan = DomainDecomposition.plan(program, mesh, dim_axes, analysis)
         shardings = dplan.input_shardings()
 
     def place(k, v):
@@ -269,7 +271,6 @@ def iterate(program: ir.Program, inputs: Dict[str, Any], steps: int,
                         f"align with fuse={scale}")
                 start = start_orig // scale
                 if manager is not None:
-                    import orbax.checkpoint as ocp
                     state = manager.restore(
                         start_orig, args=ocp.args.StandardRestore(state))
                 else:
@@ -293,7 +294,6 @@ def iterate(program: ir.Program, inputs: Dict[str, Any], steps: int,
             if manager is not None:
                 # async: the save overlaps the next chunk's compute;
                 # orbax finalizes atomically per step directory
-                import orbax.checkpoint as ocp
                 manager.save(done * scale,
                              args=ocp.args.StandardSave(state))
             else:

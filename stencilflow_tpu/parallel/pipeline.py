@@ -83,7 +83,9 @@ def optimize_split(program: ir.Program, graph: ChainGraph,
     This is the role the reference's ``enumerate_cuts`` search serves for
     its multi-FPGA partitioning (kernel_chain_graph.py:116-160); for the
     wavefront pipeline only contiguous topological cuts are valid, so the
-    search is an exact O(n²·S) DP rather than an enumeration.
+    search is two exact O(n²·S) DPs (minimal bottleneck, then minimal
+    crossing among bottleneck-optimal partitions) rather than an
+    enumeration.
 
     Returns ``(segments, stats)`` with per-segment loads and per-cut
     crossing bytes.
@@ -105,7 +107,9 @@ def optimize_split(program: ir.Program, graph: ChainGraph,
 
     idx = {k: i for i, k in enumerate(order)}
     # crossing bytes per cell for a cut after position i: kernel fields
-    # produced at <= i and read later (program inputs are replicated)
+    # produced at <= i and read later (program inputs are replicated);
+    # program outputs produced early ride the carry across every later
+    # cut until emission, so they always cross
     cross = [0] * n
     for i in range(n - 1):
         total = 0
@@ -115,26 +119,35 @@ def optimize_split(program: ir.Program, graph: ChainGraph,
             reads_later = any(idx.get(c, -1) > i
                               for c in graph.consumers(k)
                               if c in program.kernels)
-            if reads_later:
+            if reads_later or k in program.outputs:
                 total += np.dtype(program.kernels[k].dtype).itemsize
         cross[i] = total
 
-    INF = (float("inf"), float("inf"))
-    # dp[s][j]: best (bottleneck, total_cross) splitting order[:j] into s
-    dp = [[INF] * (n + 1) for _ in range(num_segments + 1)]
+    INF = float("inf")
+    # phase 1 — exact minimal bottleneck: dp1[s][j] = min over cuts of
+    # the max segment load splitting order[:j] into s segments
+    dp1 = [[INF] * (n + 1) for _ in range(num_segments + 1)]
+    dp1[0][0] = 0.0
+    for s in range(1, num_segments + 1):
+        for j in range(s, n + 1):
+            dp1[s][j] = min(
+                (max(dp1[s - 1][i], prefix[j] - prefix[i])
+                 for i in range(s - 1, j)), default=INF)
+    bstar = dp1[num_segments][n]
+    # phase 2 — among partitions whose every segment load <= bstar,
+    # exactly minimize total crossing bytes
+    dp2 = [[INF] * (n + 1) for _ in range(num_segments + 1)]
     cut_at = [[-1] * (n + 1) for _ in range(num_segments + 1)]
-    dp[0][0] = (0.0, 0.0)
+    dp2[0][0] = 0.0
     for s in range(1, num_segments + 1):
         for j in range(s, n + 1):
             for i in range(s - 1, j):
-                prev = dp[s - 1][i]
-                if prev == INF:
+                if dp2[s - 1][i] == INF or \
+                        prefix[j] - prefix[i] > bstar:
                     continue
-                seg = prefix[j] - prefix[i]
-                c = prev[1] + (cross[i - 1] if i > 0 else 0)
-                cand = (max(prev[0], seg), c)
-                if cand < dp[s][j]:
-                    dp[s][j] = cand
+                c = dp2[s - 1][i] + (cross[i - 1] if i > 0 else 0)
+                if c < dp2[s][j]:
+                    dp2[s][j] = c
                     cut_at[s][j] = i
     # reconstruct
     bounds = [n]
@@ -150,7 +163,7 @@ def optimize_split(program: ir.Program, graph: ChainGraph,
                           for i in range(num_segments)],
         "cut_bytes_per_cell": [cross[bounds[i + 1] - 1]
                                for i in range(num_segments - 1)],
-        "bottleneck_load": dp[num_segments][n][0],
+        "bottleneck_load": bstar,
     }
     return segments, stats
 

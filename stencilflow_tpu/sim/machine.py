@@ -331,10 +331,9 @@ class Simulator:
         """``trace``: a path or writable file — stream one CSV row per
         cycle (program counters of every kernel, then the occupancy of
         every edge FIFO), the reference's FULL-log per-cycle dump
-        (simulator.py:189-205) in a greppable/plottable form."""
-        program = self.program
-        N = self.N
-
+        (simulator.py:189-205) in a greppable/plottable form.  Closed
+        (when opened here) even when the run raises, so the cycles
+        leading up to a failure are on disk."""
         trace_fh = None
         if trace is not None:
             trace_fh = (open(trace, "w") if isinstance(trace, (str,
@@ -342,6 +341,15 @@ class Simulator:
             cols = (["cycle"] + [f"pc:{k}" for k in self.kernels] +
                     [f"occ:{s}->{d}" for (s, d) in self.edges])
             trace_fh.write(",".join(cols) + "\n")
+        try:
+            return self._run(inputs, trace_fh)
+        finally:
+            if trace_fh is not None and trace_fh is not trace:
+                trace_fh.close()
+
+    def _run(self, inputs: Dict[str, Any], trace_fh) -> SimResult:
+        program = self.program
+        N = self.N
 
         input_arrays: Dict[str, np.ndarray] = {}
         input_sent: Dict[Tuple[str, str], int] = {}
@@ -448,12 +456,8 @@ class Simulator:
             stagnant = 0 if progressed else stagnant + 1
             # pipeline latencies can legitimately idle for O(max op latency)
             if stagnant > 2048 or cycle > max_stall:
-                if trace_fh is not None and trace_fh is not trace:
-                    trace_fh.close()
                 raise DeadlockError(self.diagnostics(cycle, out_pc))
 
-        if trace_fh is not None and trace_fh is not trace:
-            trace_fh.close()
         outputs = {
             o: out_arrays[o].reshape(program.raw_dimensions)
             for o in program.outputs

@@ -258,11 +258,16 @@ class TestStreamBackend:
         inputs = sft.load_input_arrays(p, seed=71)
         ref = _oracle(p, inputs)["s1"]
         an = ChainAnalysis.run(p)
+        # the search's actual candidates for the (None, x, y) 2x2 mesh:
+        # untiled local planes widened by the exchanged halo (2, 2), and
+        # one 2-way j-tile at the 4-rounded Mosaic overlap halo
         whole = st.StreamPlan.build(
-            an, local_jk=(16, 16), halo_jk=(0, 2)).vmem_bytes(p)
+            an, local_jk=(16, 16), halo_jk=(2, 2)).vmem_bytes(p)
         tiled = st.StreamPlan.build(
-            an, local_jk=(8, 16), halo_jk=(2, 2)).vmem_bytes(p)
-        scale = (0.7 * 96 * 2**20) / ((whole + tiled) / 2)
+            an, local_jk=(8, 16), halo_jk=(4, 2)).vmem_bytes(p)
+        from stencilflow_tpu import config
+        scale = (0.7 * config.TPU_STREAM_VMEM_BUDGET) / \
+            ((whole + tiled) / 2)
         orig = st.StreamPlan.vmem_bytes
         monkeypatch.setattr(
             st.StreamPlan, "vmem_bytes",
@@ -271,6 +276,7 @@ class TestStreamBackend:
         fn, plan = compile_sharded_chain(p, mesh, (None, "x", "y"),
                                          local_backend="stream",
                                          interpret=True)
+        assert compile_sharded_chain.last_config["jtiles"] > 1
         sh = plan.input_shardings()
         dev_in = {n: jax.device_put(jnp.asarray(v), sh[n])
                   for n, v in inputs.items()}
