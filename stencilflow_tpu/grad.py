@@ -1,0 +1,71 @@
+"""Differentiable chain evaluation — adjoints of stencil programs.
+
+A capability the reference cannot offer: its pipelines are generated
+OpenCL/HLS (sdfg_generator.py) with no derivative story.  Here the fused-XLA
+tile evaluator (backend/xla.py) is pure JAX, so any stencil chain — linear
+or not (ternaries, min/max, limiters differentiate as subgradients) — is
+reverse-mode differentiable end to end.  The adjoint of a stencil chain is
+itself a chain of (transposed) stencils, and XLA fuses the backward pass
+the same way it fuses the forward one.
+
+Use cases: PDE-constrained optimization, data assimilation (4D-Var),
+sensitivity analysis of initial conditions / coefficient fields.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+from . import ir
+from .frontend.analysis import ChainAnalysis
+
+
+def value_and_grad(program: ir.Program,
+                   loss: Optional[Callable[[Dict[str, Any]], Any]] = None,
+                   wrt: Optional[Sequence[str]] = None,
+                   analysis: Optional[ChainAnalysis] = None,
+                   jit: bool = True) -> Callable:
+    """Build ``f(inputs) -> (value, grads)`` for a scalar loss of the
+    chain's outputs.
+
+    ``loss``: callable mapping the outputs dict to a scalar (default: sum
+    of every output).  ``wrt``: input names to differentiate with respect
+    to (default: every non-scalar input).  ``grads`` is a dict over
+    ``wrt``.  The returned function is jit-compiled and itself further
+    differentiable (higher-order derivatives work).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .backend.xla import compile_chain
+
+    fn = compile_chain(program, analysis)
+    if wrt is None:
+        wrt = [n for n, s in program.inputs.items() if not s.is_scalar]
+    unknown = [n for n in wrt if n not in program.inputs]
+    if unknown:
+        raise ValueError(f"wrt names {unknown} are not program inputs "
+                         f"(inputs: {list(program.inputs)})")
+    if loss is None:
+        def loss(outputs):
+            return sum(jnp.sum(v) for v in outputs.values())
+
+    def f(inputs: Dict[str, Any]):
+        diff = {n: inputs[n] for n in wrt}
+        rest = {n: v for n, v in inputs.items() if n not in diff}
+
+        def scalar(d):
+            return loss(fn({**rest, **d}))
+
+        return jax.value_and_grad(scalar)(diff)
+
+    return jax.jit(f) if jit else f
+
+
+def grad(program: ir.Program, **kw) -> Callable:
+    """``f(inputs) -> grads`` (see :func:`value_and_grad`)."""
+    vg = value_and_grad(program, **kw)
+
+    def f(inputs):
+        return vg(inputs)[1]
+
+    return f
