@@ -75,6 +75,12 @@ def main():
     total = float(np.asarray(state["a"]).sum())
     print(f"iterated 8 steps (fuse=4): state sum={total:.3f}")
 
+    # 10. adjoints: gradient of a loss on the outputs w.r.t. any input
+    val, grads = sft.value_and_grad(program)(
+        {k: np.asarray(v) for k, v in inputs.items()})
+    print(f"d(sum outputs)/d a: interior value "
+          f"{float(np.asarray(grads['a'])[16, 16, 16]):.3f} (exact 1.0)")
+
 
 if __name__ == "__main__":
     main()
