@@ -23,6 +23,7 @@ def value_and_grad(program: ir.Program,
                    loss: Optional[Callable[[Dict[str, Any]], Any]] = None,
                    wrt: Optional[Sequence[str]] = None,
                    analysis: Optional[ChainAnalysis] = None,
+                   mesh=None, dim_axes: Optional[Sequence] = None,
                    jit: bool = True) -> Callable:
     """Build ``f(inputs) -> (value, grads)`` for a scalar loss of the
     chain's outputs.
@@ -32,13 +33,25 @@ def value_and_grad(program: ir.Program,
     to (default: every non-scalar input).  ``grads`` is a dict over
     ``wrt``.  The returned function is jit-compiled and itself further
     differentiable (higher-order derivatives work).
+
+    Multi-chip: pass ``mesh`` + ``dim_axes`` — the forward pass is the
+    shard_map domain decomposition and JAX transposes the ICI halo
+    exchange (``ppermute``) in the backward pass, so gradients stay
+    sharded exactly like the primals.
     """
     import jax
     import jax.numpy as jnp
 
-    from .backend.xla import compile_chain
-
-    fn = compile_chain(program, analysis)
+    if mesh is not None:
+        from .parallel.domain import compile_sharded_chain
+        if dim_axes is None:
+            raise ValueError("mesh requires dim_axes, e.g. "
+                             "(None, 'x', 'y')")
+        fn, _plan = compile_sharded_chain(program, mesh, dim_axes,
+                                          analysis)
+    else:
+        from .backend.xla import compile_chain
+        fn = compile_chain(program, analysis)
     if wrt is None:
         wrt = [n for n, s in program.inputs.items() if not s.is_scalar]
     unknown = [n for n in wrt if n not in program.inputs]

@@ -72,6 +72,20 @@ def test_nonlinear_subgradients_and_descent():
     assert np.isfinite(losses).all()
 
 
+def test_sharded_adjoint():
+    """Gradients flow through shard_map + the ppermute halo exchange
+    (JAX transposes the collective); sharded interior adjoint is exact."""
+    from jax.sharding import Mesh
+    p = sft.parse_program(jacobi(3, 16, iterations=3), name="g5")
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
+    f = sft.value_and_grad(p, mesh=mesh, dim_axes=(None, "x", "y"))
+    inputs = {k: jnp.asarray(v)
+              for k, v in sft.load_input_arrays(p, seed=4).items()}
+    _val, grads = f(inputs)
+    g = np.asarray(grads["a"])
+    np.testing.assert_allclose(g[6:10, 6:10, 6:10], 1.0, rtol=1e-5)
+
+
 def test_higher_order():
     p = sft.parse_program(jacobi(2, 8, iterations=1), name="g4")
     a = jnp.asarray(sft.load_input_arrays(p, seed=3)["a"])
