@@ -30,30 +30,39 @@ def value_and_grad(program: ir.Program,
 
     ``loss``: callable mapping the outputs dict to a scalar (default: sum
     of every output).  ``wrt``: input names to differentiate with respect
-    to (default: every non-scalar input).  ``grads`` is a dict over
-    ``wrt``.  The returned function is jit-compiled and itself further
-    differentiable (higher-order derivatives work).
+    to (default: every non-scalar floating-point input).  ``grads`` is a
+    dict over ``wrt``.  The returned function is jit-compiled and itself
+    further differentiable (higher-order derivatives work).
 
     Multi-chip: pass ``mesh`` + ``dim_axes`` — the forward pass is the
-    shard_map domain decomposition and JAX transposes the ICI halo
+    shard_map domain decomposition (fused-XLA local body: the Pallas
+    stream kernel has no transpose rule) and JAX transposes the ICI halo
     exchange (``ppermute``) in the backward pass, so gradients stay
-    sharded exactly like the primals.
+    sharded exactly like the primals.  The decomposition plan is attached
+    as ``f.plan`` — commit inputs with ``f.plan.input_shardings()`` to
+    avoid a reshard on entry.  (First compile of the sharded-grad graph
+    is slow on real hardware — ~20 min observed through the device
+    tunnel — and cached afterwards.)
     """
     import jax
     import jax.numpy as jnp
 
+    from .dtypes import is_floating
+
+    plan = None
     if mesh is not None:
         from .parallel.domain import compile_sharded_chain
         if dim_axes is None:
             raise ValueError("mesh requires dim_axes, e.g. "
                              "(None, 'x', 'y')")
-        fn, _plan = compile_sharded_chain(program, mesh, dim_axes,
-                                          analysis)
+        fn, plan = compile_sharded_chain(program, mesh, dim_axes,
+                                         analysis, local_backend="xla")
     else:
         from .backend.xla import compile_chain
         fn = compile_chain(program, analysis)
     if wrt is None:
-        wrt = [n for n, s in program.inputs.items() if not s.is_scalar]
+        wrt = [n for n, s in program.inputs.items()
+               if not s.is_scalar and is_floating(s.dtype)]
     unknown = [n for n in wrt if n not in program.inputs]
     if unknown:
         raise ValueError(f"wrt names {unknown} are not program inputs "
@@ -71,7 +80,12 @@ def value_and_grad(program: ir.Program,
 
         return jax.value_and_grad(scalar)(diff)
 
-    return jax.jit(f) if jit else f
+    # NB: the backends' forward fns are themselves jitted; jit=False only
+    # removes the outer wrapper (the forward still traces), it is not an
+    # eager escape hatch
+    out = jax.jit(f) if jit else f
+    out.plan = plan
+    return out
 
 
 def grad(program: ir.Program, **kw) -> Callable:

@@ -74,16 +74,38 @@ def test_nonlinear_subgradients_and_descent():
 
 def test_sharded_adjoint():
     """Gradients flow through shard_map + the ppermute halo exchange
-    (JAX transposes the collective); sharded interior adjoint is exact."""
+    (JAX transposes the collective); sharded interior adjoint is exact.
+    Inputs committed with the exposed plan's shardings."""
     from jax.sharding import Mesh
     p = sft.parse_program(jacobi(3, 16, iterations=3), name="g5")
     mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
     f = sft.value_and_grad(p, mesh=mesh, dim_axes=(None, "x", "y"))
-    inputs = {k: jnp.asarray(v)
+    sh = f.plan.input_shardings()
+    inputs = {k: jax.device_put(jnp.asarray(v), sh[k])
               for k, v in sft.load_input_arrays(p, seed=4).items()}
     _val, grads = f(inputs)
     g = np.asarray(grads["a"])
     np.testing.assert_allclose(g[6:10, 6:10, 6:10], 1.0, rtol=1e-5)
+
+
+def test_default_wrt_skips_integer_inputs():
+    a = np.random.default_rng(0).random((4, 8, 8)).astype(np.float32)
+    mask = np.ones((4, 8, 8), np.int32)
+    p = sft.parse_program({
+        "inputs": {"a": {"data": a, "data_type": "float32"},
+                   "m": {"data": mask, "data_type": "int32"}},
+        "outputs": ["r"], "dimensions": [4, 8, 8],
+        "program": {"r": {
+            "computation_string":
+                "r = a[i,j,k] if m[i,j,k] > 0 else 0.0",
+            "boundary_conditions": {
+                "a": {"type": "constant", "value": 0.0},
+                "m": {"type": "constant", "value": 0.0}},
+            "data_type": "float32"}}}, name="g6")
+    inputs = {k: jnp.asarray(v)
+              for k, v in sft.load_input_arrays(p).items()}
+    _val, grads = sft.value_and_grad(p)(inputs)
+    assert set(grads) == {"a"}   # int input excluded by default
 
 
 def test_higher_order():
