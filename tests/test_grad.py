@@ -7,6 +7,8 @@ correctness.  Nonlinear programs (limiters/ternaries) must produce finite
 subgradients, and the whole thing must remain jittable and composable
 with further transforms.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -14,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 import stencilflow_tpu as sft
+from stencilflow_tpu.grad import adjoint_program
 from stencilflow_tpu.synthesize import jacobi, synthesize_stencil
 
 
@@ -106,6 +109,60 @@ def test_default_wrt_skips_integer_inputs():
               for k, v in sft.load_input_arrays(p).items()}
     _val, grads = sft.value_and_grad(p)(inputs)
     assert set(grads) == {"a"}   # int input excluded by default
+
+
+class TestAdjointProgram:
+    def test_matches_autodiff(self):
+        from stencilflow_tpu.backend.stream import run_chain_stream
+        from stencilflow_tpu.backend.xla import compile_chain
+        p = sft.parse_program(jacobi(3, 12, iterations=3), name="ap1")
+        adj, cot = adjoint_program(p)
+        g_fast = run_chain_stream(adj, sft.load_input_arrays(adj),
+                                  interpret=True)["adj_a"]
+        fn = compile_chain(p)
+        a = jnp.asarray(sft.load_input_arrays(p, seed=0)["a"])
+        g_ad = np.asarray(jax.grad(
+            lambda x: fn({"a": x})[p.outputs[0]].sum())(a))
+        np.testing.assert_allclose(np.asarray(g_fast).squeeze(),
+                                   g_ad.squeeze(), rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_random_affine_random_cotangent(self, seed):
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_fuzz import _affine_program
+        from stencilflow_tpu.backend.stream import run_chain_stream
+        from stencilflow_tpu.backend.xla import compile_chain
+        rng = np.random.default_rng(4000 + seed)
+        p = sft.parse_program(_affine_program(rng, int(rng.integers(2, 4))),
+                              name=f"ap{seed}")
+        adj, cot = adjoint_program(p)
+        out = p.outputs[0]
+        ct = rng.random(tuple(p.dimensions)).astype(np.float32)
+        g_fast = run_chain_stream(adj, {cot[out]: ct},
+                                  interpret=True)["adj_a"]
+        fn = compile_chain(p)
+        a = jnp.asarray(sft.load_input_arrays(p, seed=seed)["a"])
+        g_ad = np.asarray(jax.grad(
+            lambda x: (fn({"a": x})[out] *
+                       jnp.asarray(ct.reshape(x.shape))).sum())(a))
+        np.testing.assert_allclose(np.asarray(g_fast).squeeze(),
+                                   g_ad.squeeze(), rtol=3e-5, atol=1e-5)
+
+    def test_rejections(self):
+        from stencilflow_tpu.synthesize import synthesize_stencil
+        ph = sft.parse_program(
+            synthesize_stencil(num_stages=1, dimensions=(4, 12, 12),
+                               shape="hdiff"), name="apnl")
+        with pytest.raises(ValueError, match="not affine"):
+            adjoint_program(ph, wrt=["a"])
+        pc = sft.parse_program(jacobi(2, 8, iterations=1,
+                                      boundary="copy"), name="apbc")
+        with pytest.raises(ValueError, match="boundary"):
+            adjoint_program(pc)
+        p = sft.parse_program(jacobi(2, 8, iterations=1), name="apw")
+        with pytest.raises(ValueError, match="not a program input"):
+            adjoint_program(p, wrt=["zzz"])
 
 
 def test_higher_order():
