@@ -23,7 +23,8 @@ from .frontend.analysis import ChainAnalysis, flatten_index
 from .frontend.canonicalize import canonicalize, version_program
 from .frontend.trace import trace_program
 from .frontend.export import program_to_json
-from .grad import adjoint_program, grad, value_and_grad
+from .grad import (adjoint_program, fast_value_and_grad, grad,
+                   value_and_grad)
 from .iterate import compose_iterations, iterate, make_step
 from .interpreter import ChainInterpreter, run_interpreter
 from .data import (arrays_are_equal, load_array, load_input_arrays,
@@ -40,7 +41,7 @@ __all__ = [
     "ChainAnalysis", "flatten_index",
     "canonicalize", "version_program", "trace_program", "program_to_json",
     "compose_iterations", "iterate", "make_step",
-    "adjoint_program", "grad", "value_and_grad",
+    "adjoint_program", "fast_value_and_grad", "grad", "value_and_grad",
     "ChainInterpreter", "run_interpreter",
     "arrays_are_equal", "load_array", "load_input_arrays", "prune_halo",
     "save_array", "save_output_arrays",

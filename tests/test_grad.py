@@ -149,6 +149,29 @@ class TestAdjointProgram:
         np.testing.assert_allclose(np.asarray(g_fast).squeeze(),
                                    g_ad.squeeze(), rtol=3e-5, atol=1e-5)
 
+    def test_fast_value_and_grad(self):
+        """Streaming fwd + elementwise cotangent + streaming adjoint ==
+        value_and_grad for an affine chain and a custom loss."""
+        from stencilflow_tpu.grad import fast_value_and_grad
+        p = sft.parse_program(jacobi(3, 12, iterations=3), name="ap4")
+        out = p.outputs[0]
+        target = np.random.default_rng(5).random(
+            (12, 12, 12)).astype(np.float32)
+
+        def loss(o):
+            return ((o[out] - jnp.asarray(target)) ** 2).sum()
+
+        inputs = {k: jnp.asarray(v)
+                  for k, v in sft.load_input_arrays(p, seed=6).items()}
+        vf, gf = fast_value_and_grad(p, loss=loss,
+                                     interpret=True)(inputs)
+        vs, gs = sft.value_and_grad(p, loss=loss)(inputs)
+        np.testing.assert_allclose(float(vf), float(vs), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gf["a"]),
+                                   np.asarray(gs["a"]),
+                                   rtol=1e-4, atol=1e-5)
+        assert gf["a"].shape == inputs["a"].shape
+
     def test_rejections(self):
         from stencilflow_tpu.synthesize import synthesize_stencil
         ph = sft.parse_program(
