@@ -172,6 +172,37 @@ class TestAdjointProgram:
                                    rtol=1e-4, atol=1e-5)
         assert gf["a"].shape == inputs["a"].shape
 
+    def test_adjoint_composes_with_sharding_and_fusion(self):
+        """The adjoint IS a chain: it domain-decomposes over a mesh like
+        any program, and transposing a temporally-fused chain gives the
+        N-step adjoint in one streaming kernel."""
+        from jax.sharding import Mesh
+        from stencilflow_tpu.parallel.domain import run_sharded_chain
+        from stencilflow_tpu.backend.stream import run_chain_stream
+        from stencilflow_tpu.backend.xla import compile_chain
+
+        # fused: adjoint of compose_iterations(p1, 4) == grad of 4 steps
+        p1 = sft.parse_program(jacobi(3, 16, iterations=1), name="af1")
+        p4 = sft.compose_iterations(p1, 4)
+        adj, cot = adjoint_program(p4)
+        g_fast = run_chain_stream(adj, sft.load_input_arrays(adj),
+                                  interpret=True)[adj.outputs[0]]
+        fn = compile_chain(sft.parse_program(
+            jacobi(3, 16, iterations=4), name="af4"))
+        a = jnp.asarray(sft.load_input_arrays(p1, seed=0)["a"])
+        g_ad = np.asarray(jax.grad(
+            lambda x: fn({"a": x})["s3"].sum())(a))
+        np.testing.assert_allclose(np.asarray(g_fast).squeeze(),
+                                   g_ad, rtol=1e-5, atol=1e-6)
+
+        # sharded: the adjoint program under domain decomposition
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
+        g_sh = run_sharded_chain(adj, mesh, (None, "x", "y"),
+                                 sft.load_input_arrays(adj))
+        np.testing.assert_allclose(
+            np.asarray(g_sh[adj.outputs[0]]).squeeze(), g_ad,
+            rtol=1e-5, atol=1e-6)
+
     def test_rejections(self):
         from stencilflow_tpu.synthesize import synthesize_stencil
         ph = sft.parse_program(
