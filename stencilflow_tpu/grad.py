@@ -128,7 +128,6 @@ def fast_value_and_grad(program: ir.Program,
     fwd, _b = compile_chain_best(program, interpret=interpret)
     adj, cot = adjoint_program(program, wrt)
     bwd, _b2 = compile_chain_best(adj, interpret=interpret)
-    raw = tuple(program.raw_dimensions)
 
     @jax.jit
     def f(inputs: Dict[str, Any]):
@@ -171,7 +170,6 @@ def adjoint_program(program: ir.Program,
 
     from .backend.linear import extract_linear
     from .dtypes import dtype_to_str, is_floating
-    from .frontend.analysis import ChainAnalysis
 
     if wrt is None:
         wrt = [n for n, s in program.inputs.items()
@@ -250,7 +248,8 @@ def adjoint_program(program: ir.Program,
         dtype = program.kernels[kname].dtype
         kernels[adj_name(kname)] = {
             "computation_string":
-                f"{adj_name(kname)} = " + " + ".join(terms),
+                # all-zero coefficients leave no terms: the adjoint is 0
+                f"{adj_name(kname)} = " + (" + ".join(terms) or "0.0"),
             "boundary_conditions": {
                 r: {"type": "constant", "value": 0.0} for r in reads},
             "data_type": dtype_to_str(dtype),
@@ -258,12 +257,11 @@ def adjoint_program(program: ir.Program,
     # adjoints of the wrt inputs
     for n in wrt:
         terms, reads = consumer_terms(n)
-        if not terms:
-            raise ValueError(f"input {n!r} is never read by a kernel")
         dtype = program.inputs[n].dtype
         kernels[adj_name(n)] = {
             "computation_string":
-                f"{adj_name(n)} = " + " + ".join(terms),
+                # unread or zero-coefficient input: the gradient is 0
+                f"{adj_name(n)} = " + (" + ".join(terms) or "0.0"),
             "boundary_conditions": {
                 r: {"type": "constant", "value": 0.0} for r in reads},
             "data_type": dtype_to_str(np.dtype(dtype)),
@@ -281,6 +279,8 @@ def adjoint_program(program: ir.Program,
         "dimensions": list(program.dimensions),
         "program": kernels,
     }
+    if program.vectorization > 1:
+        spec["vectorization"] = program.vectorization
     from .frontend.parser import parse_program
     return (parse_program(spec, name=f"{program.name}_adjoint"),
             dict(cot))
