@@ -105,6 +105,27 @@ def _cmd_iterate(args) -> int:
     return 0
 
 
+def _cmd_adjoint(args) -> int:
+    """Transpose an affine chain into its adjoint program (grad.py) and
+    emit it in the JSON dialect — the backward pass then runs through any
+    backend/CLI command like a forward chain."""
+    import json as _json
+
+    from .frontend.export import program_to_json
+    from .frontend.parser import parse_program
+    from .grad import adjoint_program
+    program = parse_program(args.stencil_file)
+    wrt = ([w.strip() for w in args.wrt.split(",")] if args.wrt else None)
+    adj, cot = adjoint_program(program, wrt)
+    spec = program_to_json(adj)
+    out = args.output or f"{program.name}_adjoint.json"
+    with open(out, "w") as f:
+        _json.dump(spec, f, indent=2)
+    print(f"wrote {out} (cotangent inputs: {cot}; "
+          f"outputs: {adj.outputs})")
+    return 0
+
+
 def _cmd_canonicalize(args) -> int:
     """Canonicalization passes + JSON re-export — the analogue of
     bin/canonicalize_sdfg.py (cleanup) + bin/sdfg_to_stencilflow.py
@@ -420,6 +441,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--symbols", help='e.g. "C=1.5,D=2"')
     p.add_argument("--predicate-min-max", action="store_true")
     p.set_defaults(fn=_cmd_canonicalize)
+
+    p = sub.add_parser("adjoint",
+                       help="transpose an affine chain into its adjoint "
+                            "program (JSON dialect)")
+    p.add_argument("stencil_file")
+    p.add_argument("-o", "--output")
+    p.add_argument("--wrt", help="comma-separated input names "
+                                 "(default: all floating field inputs)")
+    p.set_defaults(fn=_cmd_adjoint)
 
     p = sub.add_parser("compile",
                        help="lower a program and save the StableHLO "
