@@ -128,6 +128,25 @@ class TestCLI:
         out = capsys.readouterr().out
         assert "device 0" in out and "device 1" in out
 
+    def test_adjoint_command_roundtrip(self, j2d_file, tmp_path, capsys):
+        """cli adjoint emits a dialect program whose run matches the
+        adjoint built in-process."""
+        out = str(tmp_path / "adj.json")
+        rc = cli_main(["adjoint", j2d_file, "-o", out])
+        assert rc == 0
+        assert "cotangent" in capsys.readouterr().out
+        import numpy as np
+        from stencilflow_tpu.grad import adjoint_program
+        p = sft.parse_program(j2d_file)
+        adj_direct, _ = adjoint_program(p)
+        p2 = sft.parse_program(out)
+        r1 = sft.run_interpreter(adj_direct,
+                                 sft.load_input_arrays(adj_direct))
+        r2 = sft.run_interpreter(p2, sft.load_input_arrays(p2))
+        for k in r1:
+            np.testing.assert_array_equal(np.asarray(r1[k]),
+                                          np.asarray(r2[k]))
+
     def test_run_distributed_domain(self, j2d_file, capsys):
         rc = cli_main(["run-distributed", j2d_file, "--devices", "4",
                        "--compare-to-reference"])
