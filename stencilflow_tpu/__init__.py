@@ -25,7 +25,7 @@ from .frontend.trace import trace_program
 from .frontend.export import program_to_json
 from .grad import (adjoint_program, fast_value_and_grad, grad,
                    value_and_grad)
-from .solve import solve_cg, solve_cgnr
+from .solve import make_solver, solve_cg, solve_cgnr
 from .iterate import compose_iterations, iterate, make_step
 from .interpreter import ChainInterpreter, run_interpreter
 from .data import (arrays_are_equal, load_array, load_input_arrays,
@@ -43,7 +43,7 @@ __all__ = [
     "canonicalize", "version_program", "trace_program", "program_to_json",
     "compose_iterations", "iterate", "make_step",
     "adjoint_program", "fast_value_and_grad", "grad", "value_and_grad",
-    "solve_cg", "solve_cgnr",
+    "make_solver", "solve_cg", "solve_cgnr",
     "ChainInterpreter", "run_interpreter",
     "arrays_are_equal", "load_array", "load_input_arrays", "prune_halo",
     "save_array", "save_output_arrays",

@@ -1,17 +1,18 @@
 """Matrix-free Krylov solvers over stencil-chain operators.
 
-An affine chain ``y = A x + c`` (constant coefficients, constant BCs) is a
-matrix-free linear operator: one application = one streaming-kernel
-evaluation.  That unlocks IMPLICIT solvers the reference's feed-forward
-pipelines cannot express — e.g. backward-Euler diffusion
-``(I - dt·L) x_{t+1} = x_t`` solved by conjugate gradients with the
-operator running on the streaming Pallas backend (and its transpose via
-:func:`stencilflow_tpu.grad.adjoint_program` when the operator is not
+An affine chain ``fn(x) = A x + c`` (constant coefficients, constant BCs;
+``c`` collects bias terms, boundary constants, and any other inputs'
+contributions) is a matrix-free linear operator: one application = one
+streaming-kernel evaluation.  That unlocks IMPLICIT solvers the
+reference's feed-forward pipelines cannot express — e.g. backward-Euler
+diffusion ``(I - dt·L) x_{t+1} = x_t`` solved by conjugate gradients with
+the operator running on the streaming Pallas backend (and its transpose
+via :func:`stencilflow_tpu.grad.adjoint_program` when the operator is not
 symmetric).
 
-The affine part ``c`` (bias terms + boundary constants) is measured once as
-``A(0)`` and subtracted, so programs with nonzero constant BCs solve
-correctly.
+``c`` is measured once as ``fn(0)`` and moved to the right-hand side, so
+the returned ``x`` satisfies the PROGRAM's equation ``fn(x) = rhs``
+exactly (not just the homogeneous part).
 """
 from __future__ import annotations
 
@@ -20,14 +21,17 @@ from typing import Any, Callable, Dict, Optional, Tuple
 from . import ir
 
 
-def _linear_op(program: ir.Program, field: str, out: str,
-               interpret: bool) -> Callable:
-    """``op(x) -> A x`` for the chain's affine map ``x -> fn(x) = A x + c``
-    (c measured as fn(0)); validates affinity like adjoint_program."""
+def _affine_op(program: ir.Program, field: str, out: str,
+               interpret: bool):
+    """``(op, offset)`` for the chain's affine map restricted to
+    ``field`` → ``out``: ``op(x) = A x`` (traced-safe) and the concrete
+    offset ``c = fn(0)`` with every other input at its declared data.
+    Validates affinity/BCs/rank like adjoint_program."""
     import jax.numpy as jnp
 
     from .backend import compile_chain_best
     from .backend.linear import extract_linear
+    from .data import load_input_arrays
 
     for kname, kspec in program.kernels.items():
         if extract_linear(kspec) is None:
@@ -41,51 +45,42 @@ def _linear_op(program: ir.Program, field: str, out: str,
                     "condition")
     if field not in program.inputs:
         raise ValueError(f"{field!r} is not a program input")
+    spec = program.inputs[field]
+    if spec.is_scalar or any(
+            program.dimensions[d] > 1 and not spec.dim_mask[d]
+            for d in range(3)):
+        raise ValueError(f"solve field {field!r} must be a full-rank "
+                         "array input")
     if out not in program.outputs:
         raise ValueError(f"{out!r} is not a program output")
 
     fn, _b = compile_chain_best(program, interpret=interpret)
-    spec = program.inputs[field]
     shape = tuple(spec.shape(program.dimensions))
+    # every other input pinned at its declared data: its contribution
+    # lands in the affine offset and is subtracted with it
+    rest = {n: jnp.asarray(v)
+            for n, v in load_input_arrays(program).items() if n != field}
 
     def full(x):
-        return fn({field: x.reshape(shape)})[out].reshape(x.shape)
+        return fn({field: x.reshape(shape), **rest})[out].reshape(
+            x.shape)
 
-    zero_img = None
+    # measured eagerly (never under a trace): c = fn(0)
+    zero = jnp.zeros(shape, jnp.dtype(spec.dtype))
+    offset = full(zero)
 
     def op(x):
-        nonlocal zero_img
-        if zero_img is None:
-            zero_img = full(jnp.zeros_like(x))
-        return full(x) - zero_img
+        return full(x) - offset.reshape(x.shape)
 
-    return op
+    return op, offset
 
 
-def solve_cg(program: ir.Program, rhs: Any,
-             field: Optional[str] = None, out: Optional[str] = None,
-             x0: Optional[Any] = None,
-             tol: float = 1e-6, maxiter: int = 1000,
-             interpret: bool = False) -> Tuple[Any, Dict]:
-    """Solve ``A x = rhs`` by conjugate gradients, where ``A`` is the
-    chain's linear part mapping input ``field`` to output ``out``
-    (defaults: the sole input/output).  ``A`` must be symmetric positive
-    definite — e.g. ``y = x - dt·laplacian(x)`` for implicit diffusion;
-    for general chains use :func:`solve_cgnr`.
-
-    Returns ``(x, info)`` with ``info = {"iterations", "residual"}``.
-    The iteration runs on device (``lax.while_loop``); each step costs
-    one streaming-kernel evaluation.
-    """
+def _cg_loop(op: Callable, b, x0, tol: float, maxiter: int):
+    """Textbook CG on ``op`` (must be SPD), iterations on device."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    field = field or next(iter(program.inputs))
-    out = out or program.outputs[0]
-    op = _linear_op(program, field, out, interpret)
-
-    b = jnp.asarray(rhs)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
     atol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.vdot(b, b).real
 
@@ -110,60 +105,70 @@ def solve_cg(program: ir.Program, rhs: Any,
         state = lax.while_loop(cond, body, (x, r, r, rs, 0))
         return state[0], state[3], state[4]
 
-    x, rs, k = run(x, b)
-    return x, {"iterations": int(k), "residual": float(rs) ** 0.5}
+    return run(x, b)
 
 
-def solve_cgnr(program: ir.Program, rhs: Any,
-               field: Optional[str] = None, out: Optional[str] = None,
-               x0: Optional[Any] = None,
-               tol: float = 1e-6, maxiter: int = 1000,
-               interpret: bool = False) -> Tuple[Any, Dict]:
-    """Solve ``A x = rhs`` for a general (nonsymmetric) affine chain via
-    CG on the normal equations ``AᵀA x = Aᵀ rhs`` — ``Aᵀ`` is the
-    transposed chain from :func:`stencilflow_tpu.grad.adjoint_program`,
-    so both operators run on the streaming backend."""
-    import jax
+def make_solver(program: ir.Program,
+                field: Optional[str] = None, out: Optional[str] = None,
+                method: str = "cg",
+                tol: float = 1e-6, maxiter: int = 1000,
+                interpret: bool = False) -> Callable:
+    """Compile a reusable solver ``solver(rhs, x0=None) -> (x, info)`` for
+    the program's equation ``fn(x) = rhs`` (``fn`` restricted to input
+    ``field`` and output ``out``; defaults: the sole input/output).
+
+    ``method="cg"`` needs the linear part symmetric positive definite
+    (e.g. ``y = x - dt·laplacian(x)``); ``method="cgnr"`` handles general
+    affine chains via CG on the normal equations, with the transposed
+    chain from :func:`stencilflow_tpu.grad.adjoint_program` — both
+    operators run on the streaming backend, iterations on device.
+
+    ``info["residual"]`` is always the true relative residual
+    ``|fn(x) - rhs| / |rhs|`` (one extra operator application).
+    Compilation happens once here — reuse the solver across time steps.
+    """
     import jax.numpy as jnp
-    from jax import lax
-
-    from .grad import adjoint_program
 
     field = field or next(iter(program.inputs))
     out = out or program.outputs[0]
-    op = _linear_op(program, field, out, interpret)
-    adj, cot = adjoint_program(program, wrt=[field])
-    op_t = _linear_op(adj, cot[out], f"adj_{field}", interpret)
+    op, offset = _affine_op(program, field, out, interpret)
 
-    b = jnp.asarray(rhs)
-    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    if method == "cg":
+        normal = op
+        project = None
+    elif method == "cgnr":
+        from .grad import adjoint_program
+        adj, cot = adjoint_program(program, wrt=[field])
+        op_t, _zero = _affine_op(adj, cot[out], f"adj_{field}",
+                                 interpret)
 
-    def normal_op(v):
-        return op_t(op(v).reshape(v.shape)).reshape(v.shape)
+        def normal(v):
+            return op_t(op(v).reshape(v.shape)).reshape(v.shape)
 
-    bt = op_t(b).reshape(b.shape)
-    atol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.vdot(bt, bt).real
+        project = op_t
+    else:
+        raise ValueError(f"unknown method {method!r} (cg | cgnr)")
 
-    def body(state):
-        x, r, p, rs, k = state
-        ap = normal_op(p)
-        alpha = rs / jnp.vdot(p, ap).real
-        x = x + alpha * p
-        r = r - alpha * ap
-        rs_new = jnp.vdot(r, r).real
-        p = r + (rs_new / rs) * p
-        return x, r, p, rs_new, k + 1
+    def solver(rhs, x0=None):
+        b = jnp.asarray(rhs) - offset.reshape(jnp.shape(rhs))
+        if project is not None:
+            b_sys = project(b).reshape(b.shape)
+        else:
+            b_sys = b
+        x, _rs, k = _cg_loop(normal, b_sys, x0, tol, maxiter)
+        true_res = float(jnp.linalg.norm(op(x) - b) /
+                         jnp.maximum(jnp.linalg.norm(b), 1e-30))
+        return x, {"iterations": int(k), "residual": true_res}
 
-    def cond(state):
-        _x, _r, _p, rs, k = state
-        return (rs > atol2) & (k < maxiter)
+    return solver
 
-    @jax.jit
-    def run(x, bt):
-        r = bt - normal_op(x)
-        rs = jnp.vdot(r, r).real
-        state = lax.while_loop(cond, body, (x, r, r, rs, 0))
-        return state[0], state[3], state[4]
 
-    x, rs, k = run(x, bt)
-    return x, {"iterations": int(k), "residual": float(rs) ** 0.5}
+def solve_cg(program: ir.Program, rhs: Any, **kw) -> Tuple[Any, Dict]:
+    """One-shot :func:`make_solver`(method="cg") — see there.  For
+    repeated solves (implicit time-stepping) build the solver once."""
+    return make_solver(program, method="cg", **kw)(rhs)
+
+
+def solve_cgnr(program: ir.Program, rhs: Any, **kw) -> Tuple[Any, Dict]:
+    """One-shot :func:`make_solver`(method="cgnr") — see there."""
+    return make_solver(program, method="cgnr", **kw)(rhs)

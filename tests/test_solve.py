@@ -1,9 +1,10 @@
 """Matrix-free Krylov solvers (solve.py): the chain as a linear operator.
 
 CG on an SPD implicit-diffusion operator and CGNR (via the transposed
-chain) on a nonsymmetric upwind operator, both checked against dense
-numpy solves; nonzero boundary constants fold into the measured affine
-offset; non-affine programs are rejected.
+chain) on a nonsymmetric upwind operator, checked against dense numpy
+solves; the affine offset (nonzero boundary constants, extra source
+inputs) moves to the right-hand side so the returned x satisfies the
+PROGRAM's equation fn(x) = rhs; non-affine programs are rejected.
 """
 import itertools
 
@@ -11,22 +12,29 @@ import numpy as np
 import pytest
 
 import stencilflow_tpu as sft
-from stencilflow_tpu.solve import solve_cg, solve_cgnr
+from stencilflow_tpu.solve import make_solver, solve_cg, solve_cgnr
 
 N, DT = 10, 0.3
 
 
-def _implicit_program(bc_value=0.0):
+def _implicit_program(bc_value=0.0, source=False):
+    inputs = {"x": {"data": "constant:0.0", "data_type": "float32"}}
+    extra = ""
+    if source:
+        inputs["s"] = {"data": "random:0,1", "data_type": "float32"}
+        extra = " + 0.1 * s[j, k]"
     return sft.parse_program({
-        "inputs": {"x": {"data": "constant:0.0", "data_type": "float32"}},
+        "inputs": inputs,
         "outputs": ["y"], "dimensions": [N, N],
         "program": {"y": {
             "computation_string":
                 f"y = x[j, k] - {DT} * (x[j-1, k] + x[j+1, k] + "
-                f"x[j, k-1] + x[j, k+1] - 4.0 * x[j, k])",
+                f"x[j, k-1] + x[j, k+1] - 4.0 * x[j, k]){extra}",
             "boundary_conditions": {
-                "x": {"type": "constant", "value": bc_value}},
-            "data_type": "float32"}}}, name=f"impl_{bc_value}")
+                f: {"type": "constant", "value": bc_value}
+                for f in inputs},
+            "data_type": "float32"}}},
+        name=f"impl_{bc_value}_{source}")
 
 
 def _dense_operator():
@@ -41,16 +49,28 @@ def _dense_operator():
     return A
 
 
-@pytest.mark.parametrize("bc_value", [0.0, 2.5])
-def test_cg_implicit_diffusion(bc_value):
-    """CG solves (I - dt L) x = b; a nonzero BC constant becomes part of
-    the affine offset and must not corrupt the linear solve."""
-    p = _implicit_program(bc_value)
+@pytest.mark.parametrize("bc_value,source", [(0.0, False), (2.5, False),
+                                             (0.0, True)])
+def test_cg_solves_the_program_equation(bc_value, source):
+    """fn(x) == rhs exactly: boundary constants and extra source inputs
+    fold into the affine offset and move to the right-hand side."""
+    p = _implicit_program(bc_value, source)
     b = np.random.default_rng(0).random((N, N)).astype(np.float32)
     x, info = solve_cg(p, b, interpret=True, tol=1e-6)
     assert info["iterations"] < 100
-    x_ref = np.linalg.solve(_dense_operator(), b.ravel()).reshape(N, N)
-    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=2e-4, atol=3e-5)
+    assert info["residual"] < 1e-5
+    # the program's own evaluation of x reproduces rhs
+    inputs = {**sft.load_input_arrays(p), "x": np.asarray(x)}
+    y = np.asarray(sft.run_interpreter(p, inputs)["y"])
+    np.testing.assert_allclose(y, b, rtol=2e-4, atol=2e-5)
+    # dense cross-check: A x = b - c
+    zero_in = {**sft.load_input_arrays(p), "x": np.zeros((N, N),
+                                                         np.float32)}
+    c = np.asarray(sft.run_interpreter(p, zero_in)["y"])
+    x_ref = np.linalg.solve(_dense_operator(),
+                            (b - c).ravel()).reshape(N, N)
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=2e-4,
+                               atol=3e-5)
 
 
 def test_cgnr_nonsymmetric():
@@ -65,18 +85,37 @@ def test_cgnr_nonsymmetric():
             "data_type": "float32"}}}, name="upwind")
     b = np.random.default_rng(1).random((N, N)).astype(np.float32)
     x, info = solve_cgnr(p, b, interpret=True, tol=1e-6, maxiter=3000)
+    assert info["residual"] < 1e-4   # TRUE residual |Ax-b|/|b|
     A = np.eye(N * N, dtype=np.float32) * 0.6
     for j, k in itertools.product(range(N), range(N)):
         if k > 0:
             A[j * N + k, j * N + k - 1] = 0.4
     x_ref = np.linalg.solve(A, b.ravel()).reshape(N, N)
-    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-3,
+                               atol=1e-3)
 
 
-def test_rejects_nonlinear():
+def test_make_solver_reuse_time_stepping():
+    """One compiled solver drives many implicit time steps; diffusion
+    with zero BCs decays monotonically."""
+    p = _implicit_program()
+    solver = make_solver(p, interpret=True, tol=1e-6)
+    state = np.random.default_rng(2).random((N, N)).astype(np.float32)
+    norms = [float(np.linalg.norm(state))]
+    for _ in range(3):
+        state, info = solver(state)
+        assert info["residual"] < 1e-5
+        norms.append(float(np.linalg.norm(np.asarray(state))))
+    assert norms[0] > norms[1] > norms[2] > norms[3]
+
+
+def test_rejections():
     from stencilflow_tpu.synthesize import synthesize_stencil
     p = sft.parse_program(
         synthesize_stencil(num_stages=1, dimensions=(4, 8, 8),
                            shape="hdiff"), name="slv_nl")
     with pytest.raises(ValueError, match="not affine"):
         solve_cg(p, np.zeros((4, 8, 8), np.float32), field="a")
+    p2 = _implicit_program()
+    with pytest.raises(ValueError, match="unknown method"):
+        make_solver(p2, method="qmr")
