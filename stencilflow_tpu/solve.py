@@ -75,14 +75,12 @@ def _affine_op(program: ir.Program, field: str, out: str,
     return op, offset
 
 
-def _cg_loop(op: Callable, b, x0, tol: float, maxiter: int):
-    """Textbook CG on ``op`` (must be SPD), iterations on device."""
+def _make_cg_run(op: Callable, tol: float, maxiter: int) -> Callable:
+    """Jitted textbook CG on ``op`` (must be SPD), iterations on device.
+    Built ONCE per solver so repeated solves reuse the compilation."""
     import jax
     import jax.numpy as jnp
     from jax import lax
-
-    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
-    atol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.vdot(b, b).real
 
     def body(state):
         x, r, p, rs, k = state
@@ -94,18 +92,20 @@ def _cg_loop(op: Callable, b, x0, tol: float, maxiter: int):
         p = r + (rs_new / rs) * p
         return x, r, p, rs_new, k + 1
 
-    def cond(state):
-        _x, _r, _p, rs, k = state
-        return (rs > atol2) & (k < maxiter)
-
     @jax.jit
     def run(x, b):
+        atol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.vdot(b, b).real
+
+        def cond(state):
+            _x, _r, _p, rs, k = state
+            return (rs > atol2) & (k < maxiter)
+
         r = b - op(x)
         rs = jnp.vdot(r, r).real
         state = lax.while_loop(cond, body, (x, r, r, rs, 0))
         return state[0], state[3], state[4]
 
-    return run(x, b)
+    return run
 
 
 def make_solver(program: ir.Program,
@@ -127,6 +127,7 @@ def make_solver(program: ir.Program,
     ``|fn(x) - rhs| / |rhs|`` (one extra operator application).
     Compilation happens once here — reuse the solver across time steps.
     """
+    import jax
     import jax.numpy as jnp
 
     field = field or next(iter(program.inputs))
@@ -149,16 +150,20 @@ def make_solver(program: ir.Program,
     else:
         raise ValueError(f"unknown method {method!r} (cg | cgnr)")
 
+    run = _make_cg_run(normal, tol, maxiter)
+
+    @jax.jit
+    def _residual(x, b):
+        return (jnp.linalg.norm(op(x) - b) /
+                jnp.maximum(jnp.linalg.norm(b), 1e-30))
+
     def solver(rhs, x0=None):
         b = jnp.asarray(rhs) - offset.reshape(jnp.shape(rhs))
-        if project is not None:
-            b_sys = project(b).reshape(b.shape)
-        else:
-            b_sys = b
-        x, _rs, k = _cg_loop(normal, b_sys, x0, tol, maxiter)
-        true_res = float(jnp.linalg.norm(op(x) - b) /
-                         jnp.maximum(jnp.linalg.norm(b), 1e-30))
-        return x, {"iterations": int(k), "residual": true_res}
+        b_sys = project(b).reshape(b.shape) if project is not None else b
+        x = jnp.zeros_like(b_sys) if x0 is None else jnp.asarray(x0)
+        x, _rs, k = run(x, b_sys)
+        return x, {"iterations": int(k),
+                   "residual": float(_residual(x, b))}
 
     return solver
 
