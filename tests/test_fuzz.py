@@ -238,6 +238,34 @@ def test_affine_mxu_configurations(seed):
                                err_msg="sharded stream")
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_random_multi_output_programs(seed):
+    """Random DAGs exposing TWO outputs at different pipeline depths
+    (multi-output emit paths in every engine)."""
+    rng = np.random.default_rng(8000 + seed)
+    spec = make_random_program(rng, seed)
+    kernels = list(spec["program"])
+    if len(kernels) < 2:
+        pytest.skip("single-kernel draw")
+    # expose a mid-chain kernel alongside the final one
+    extra = kernels[int(rng.integers(0, len(kernels) - 1))]
+    spec["outputs"] = sorted({spec["outputs"][0], extra})
+    p = sft.parse_program(spec, name=f"mo{seed}")
+    inputs = sft.load_input_arrays(p, seed=seed)
+    ref = {o: np.asarray(v, dtype=np.float64)
+           for o, v in sft.run_interpreter(p, inputs).items()}
+    for name, engine in [
+            ("xla", lambda: run_chain(p, inputs)),
+            ("stream", lambda: run_chain_stream(p, inputs,
+                                                interpret=True)),
+            ("sim", lambda: NativeSimulator(p).run(inputs).outputs)]:
+        got = engine()
+        for o in p.outputs:
+            np.testing.assert_allclose(
+                got[o], ref[o], rtol=2e-5, atol=1e-6,
+                err_msg=f"{name}:{o}")
+
+
 @pytest.mark.parametrize("seed", range(20))
 def test_random_program_all_engines(seed):
     rng = np.random.default_rng(1000 + seed)
