@@ -174,6 +174,31 @@ def _cmd_compile(args) -> int:
     return 0
 
 
+def _parse_axes(text: str):
+    """'none,x,y' -> (None, 'x', 'y'); exactly one entry per padded dim.
+    Returns None (and prints to stderr) on malformed input."""
+    axes = tuple(None if t.strip().lower() in ("none", "-") else t.strip()
+                 for t in text.split(","))
+    if len(axes) != 3:
+        print(f"axis list needs 3 entries (i,j,k), got {len(axes)}",
+              file=sys.stderr)
+        return None
+    return axes
+
+
+def _parse_mesh(text: str):
+    """'x=2,y=4' -> {'x': 2, 'y': 4}; None on malformed input."""
+    mesh = {}
+    for part in text.split(","):
+        ax, sep, n = part.partition("=")
+        if not sep or not ax.strip() or not n.strip().isdigit():
+            print(f"bad --mesh entry {part!r} (want axis=N)",
+                  file=sys.stderr)
+            return None
+        mesh[ax.strip()] = int(n)
+    return mesh
+
+
 def _cmd_report(args) -> int:
     from .frontend.analysis import ChainAnalysis
     from .frontend.parser import parse_program
@@ -190,12 +215,10 @@ def _cmd_report(args) -> int:
     report = Report.build(program, analysis)
     mesh_scaling = None
     if args.mesh:
-        mesh_dims = {}
-        for part in args.mesh.split(","):
-            ax, _, n = part.partition("=")
-            mesh_dims[ax.strip()] = int(n)
-        axes = tuple(None if a.strip().lower() in ("none", "-") else
-                     a.strip() for a in args.mesh_axes.split(","))
+        mesh_dims = _parse_mesh(args.mesh)
+        axes = _parse_axes(args.mesh_axes)
+        if mesh_dims is None or axes is None:
+            return 2
         mesh_scaling = report.mesh_scaling(mesh_dims, axes)
     if args.json:
         d = report.as_dict()
@@ -264,6 +287,9 @@ def _cmd_partition(args) -> int:
         from .parallel.pipeline import split_kernels_at
         segments = split_kernels_at(
             graph, [k.strip() for k in args.at.split(",")])
+        if len(segments) != args.devices:
+            print(f"note: {len(segments)} segments from --at; pass "
+                  f"--devices {len(segments)} to run-distributed")
     elif args.optimize:
         from .parallel.pipeline import optimize_split
         segments, stats = optimize_split(program, graph, args.devices)
@@ -311,6 +337,15 @@ def _cmd_run_distributed(args) -> int:
         print(f"only {len(devices)} devices available", file=sys.stderr)
         return 2
 
+    if args.parallel_mode == "pipeline" and args.dim_axes:
+        print("--dim-axes applies to domain mode only", file=sys.stderr)
+        return 2
+    if args.parallel_mode == "domain" and (args.split_at or
+                                           args.optimize_cuts):
+        print("--split-at/--optimize-cuts apply to pipeline mode only "
+              "(pass --parallel-mode pipeline)", file=sys.stderr)
+        return 2
+
     if args.parallel_mode == "pipeline":
         from .parallel.pipeline import compile_pipeline_split
         import jax.numpy as jnp
@@ -330,12 +365,8 @@ def _cmd_run_distributed(args) -> int:
         mesh = Mesh(np.array(devices).reshape(a, args.devices // a),
                     ("x", "y"))
         if args.dim_axes:
-            axes = tuple(None if t.strip().lower() in ("none", "-")
-                         else t.strip()
-                         for t in args.dim_axes.split(","))
-            if len(axes) != 3:
-                print(f"--dim-axes needs 3 entries (i,j,k), got "
-                      f"{len(axes)}", file=sys.stderr)
+            axes = _parse_axes(args.dim_axes)
+            if axes is None:
                 return 2
             bad = [a for a in axes if a and a not in mesh.shape]
             if bad:

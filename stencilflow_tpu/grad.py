@@ -95,6 +95,7 @@ def grad(program: ir.Program, **kw) -> Callable:
     def f(inputs):
         return vg(inputs)[1]
 
+    f.plan = vg.plan
     return f
 
 

@@ -284,29 +284,33 @@ def iterate(program: ir.Program, inputs: Dict[str, Any], steps: int,
         return lax.fori_loop(0, n, lambda _i, s: step(s), state)
 
     done = start
-    while done < steps_f:
-        n = min(chunk, steps_f - done)
-        if ckpt_f > 0:
-            n = min(n, ckpt_f - done % ckpt_f or ckpt_f)
-        state = run_chunk(state, n)
-        done += n
-        if ckpt_f > 0 and (done % ckpt_f == 0 or done >= steps_f):
-            if manager is not None:
-                # async: the save overlaps the next chunk's compute;
-                # orbax finalizes atomically per step directory
-                manager.save(done * scale,
-                             args=ocp.args.StandardSave(state))
-            else:
-                jax.block_until_ready(state)
-                final = os.path.join(checkpoint_dir,
-                                     f"step_{done * scale}.npz")
-                tmp = final + ".tmp.npz"
-                np.savez(tmp, **{k: np.asarray(v)
-                                 for k, v in state.items()})
-                os.replace(tmp, final)  # atomic: a crash never corrupts
-                #                         the newest resumable checkpoint
-    if manager is not None:
-        manager.wait_until_finished()
-        manager.close()
+    try:
+        while done < steps_f:
+            n = min(chunk, steps_f - done)
+            if ckpt_f > 0:
+                n = min(n, ckpt_f - done % ckpt_f or ckpt_f)
+            state = run_chunk(state, n)
+            done += n
+            if ckpt_f > 0 and (done % ckpt_f == 0 or done >= steps_f):
+                if manager is not None:
+                    # async: the save overlaps the next chunk's compute;
+                    # orbax finalizes atomically per step directory
+                    manager.save(done * scale,
+                                 args=ocp.args.StandardSave(state))
+                else:
+                    jax.block_until_ready(state)
+                    final = os.path.join(checkpoint_dir,
+                                         f"step_{done * scale}.npz")
+                    tmp = final + ".tmp.npz"
+                    np.savez(tmp, **{k: np.asarray(v)
+                                     for k, v in state.items()})
+                    os.replace(tmp, final)  # atomic: a crash never
+                    #               corrupts the newest resumable one
+    finally:
+        if manager is not None:
+            # finalize pending async saves even when the loop raises, so
+            # the newest checkpoint directory is complete and resumable
+            manager.wait_until_finished()
+            manager.close()
 
     return {k: np.asarray(v) for k, v in state.items()}

@@ -171,9 +171,17 @@ def make_solver(program: ir.Program,
 def solve_cg(program: ir.Program, rhs: Any, **kw) -> Tuple[Any, Dict]:
     """One-shot :func:`make_solver`(method="cg") — see there.  For
     repeated solves (implicit time-stepping) build the solver once."""
-    return make_solver(program, method="cg", **kw)(rhs)
+    kw.setdefault("method", "cg")
+    if kw["method"] != "cg":
+        raise ValueError("solve_cg is CG; call solve_cgnr or "
+                         "make_solver(method=...) instead")
+    return make_solver(program, **kw)(rhs)
 
 
 def solve_cgnr(program: ir.Program, rhs: Any, **kw) -> Tuple[Any, Dict]:
     """One-shot :func:`make_solver`(method="cgnr") — see there."""
-    return make_solver(program, method="cgnr", **kw)(rhs)
+    kw.setdefault("method", "cgnr")
+    if kw["method"] != "cgnr":
+        raise ValueError("solve_cgnr is CGNR; call solve_cg or "
+                         "make_solver(method=...) instead")
+    return make_solver(program, **kw)(rhs)

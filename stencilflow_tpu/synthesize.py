@@ -199,6 +199,10 @@ def synthesize_stencil(num_stages: int = 4,
     elif shape == "hdiff":
         if num_dims < 2:
             raise ValueError("hdiff needs >= 2 dimensions")
+        if extent != 1 or fork_frequency or input_frequency:
+            raise ValueError(
+                "hdiff is a fixed 4-kernel block per stage; extent / "
+                "fork_frequency / input_frequency do not apply")
         if seed_data == "constant:1.0":
             # constant input makes lap ≡ 0 and the limiters degenerate
             inputs["a"]["data"] = "random:0.0,1.0"
