@@ -172,6 +172,39 @@ class TestAdjointProgram:
                                    rtol=1e-4, atol=1e-5)
         assert gf["a"].shape == inputs["a"].shape
 
+    def test_multi_output_adjoint_with_consumed_output(self):
+        """An output read by LATER kernels: its adjoint kernel sums the
+        cotangent input AND the consumer terms."""
+        from stencilflow_tpu.backend.stream import run_chain_stream
+        from stencilflow_tpu.backend.xla import compile_chain
+        p = sft.parse_program({
+            "inputs": {"a": {"data": "random:0,1",
+                             "data_type": "float32"}},
+            "outputs": ["mid", "top"], "dimensions": [6, 10, 10],
+            "program": {
+                "mid": {"computation_string":
+                        "mid = 0.5 * (a[i,j-1,k] + a[i,j+1,k])",
+                        "boundary_conditions": {
+                            "a": {"type": "constant", "value": 0.0}},
+                        "data_type": "float32"},
+                "top": {"computation_string":
+                        "top = mid[i,j,k-1] - 0.25 * mid[i+1,j,k]",
+                        "boundary_conditions": {
+                            "mid": {"type": "constant", "value": 0.0}},
+                        "data_type": "float32"}}}, name="moadj")
+        adj, cot = adjoint_program(p)
+        rng = np.random.default_rng(11)
+        cts = {cot[o]: rng.random((6, 10, 10)).astype(np.float32)
+               for o in p.outputs}
+        g_fast = run_chain_stream(adj, cts, interpret=True)["adj_a"]
+        fn = compile_chain(p)
+        a = jnp.asarray(sft.load_input_arrays(p, seed=0)["a"])
+        g_ad = np.asarray(jax.grad(lambda x: sum(
+            (fn({"a": x})[o] * jnp.asarray(cts[cot[o]])).sum()
+            for o in p.outputs))(a))
+        np.testing.assert_allclose(np.asarray(g_fast), g_ad,
+                                   rtol=1e-5, atol=1e-6)
+
     def test_adjoint_composes_with_sharding_and_fusion(self):
         """The adjoint IS a chain: it domain-decomposes over a mesh like
         any program, and transposing a temporally-fused chain gives the
