@@ -262,3 +262,30 @@ def test_higher_order():
 
     h = jax.grad(scalar)(a)   # grad-of-grad traces cleanly
     assert np.isfinite(np.asarray(h)).all()
+
+
+def test_traced_frontend_composes_with_adjoint_solve_iterate():
+    """Programs from the traced-Python frontend flow through the adjoint
+    transform, the CG solver, and the iterate driver unchanged."""
+    from stencilflow_tpu.solve import solve_cg
+
+    def model(x):
+        y = x - 0.2 * (x[0, -1, 0] + x[0, 1, 0] + x[0, 0, -1]
+                       + x[0, 0, 1] - 4.0 * x)
+        return {"y": y}
+
+    p = sft.trace_program(model, dimensions=(16, 16),
+                          inputs={"x": np.float32}, name="tcomp")
+    adj, _cot = adjoint_program(p)
+    g = np.asarray(sft.run_interpreter(
+        adj, sft.load_input_arrays(adj))["adj_x"]).squeeze()
+    np.testing.assert_allclose(g[6:10, 6:10], 1.0, rtol=1e-5)
+
+    b = np.random.default_rng(0).random((16, 16)).astype(np.float32)
+    x, info = solve_cg(p, b, interpret=True, tol=1e-6)
+    y = np.asarray(sft.run_interpreter(p, {"x": np.asarray(x)})["y"])
+    assert np.linalg.norm(y - b) / np.linalg.norm(b) < 1e-5
+
+    state = sft.iterate(p, {"x": b}, steps=4, feed={"x": "y"},
+                        interpret=True)
+    assert np.isfinite(np.asarray(state["x"])).all()
