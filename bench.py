@@ -36,8 +36,11 @@ def main():
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "stream", "pallas", "xla"])
     ap.add_argument("--workload", default="jacobi",
-                    choices=["jacobi", "box", "hotspot", "hdiff"],
-                    help="jacobi: headline 6-point chain; box: wide-footprint"
+                    choices=["jacobi", "jacobi2d", "box", "hotspot",
+                             "hdiff"],
+                    help="jacobi: headline 6-point chain; jacobi2d: the"
+                         " reference's canonical 2-D workload at large"
+                         " size (j-tiled planes); box: wide-footprint"
                          " radius-2 chain (exercises the MXU lowering);"
                          " hotspot: the reference's Hotspot3D synthetic"
                          " (scalar coefficients, mixed-rank inputs);"
@@ -54,7 +57,12 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     size = args.size or (512 if on_tpu else 32)
 
-    if args.workload == "box":
+    if args.workload == "jacobi2d":
+        size = args.size or (8192 if on_tpu else 64)
+        program = sft.parse_program(
+            jacobi(2, size, iterations=args.iters),
+            name=f"jacobi2d_{size}_{args.iters}itr")
+    elif args.workload == "box":
         from stencilflow_tpu.synthesize import synthesize_stencil
         size = args.size or (128 if on_tpu else 16)
         program = sft.parse_program(
@@ -126,9 +134,12 @@ def main():
     report = Report.build(program)
     vs = report.roofline_time_s() / dt if on_tpu else None
 
+    tag = (args.workload if args.workload.endswith("2d")
+           else f"{args.workload}3d")
+    rank = len(program.raw_dimensions)
     print(json.dumps({
-        "metric": f"{args.workload}3d_{size}^3_{args.iters}itr_{backend}"
-                  f"_{jax.devices()[0].platform}",
+        "metric": f"{tag}_{size}^{rank}_{args.iters}itr_"
+                  f"{backend}_{jax.devices()[0].platform}",
         "value": round(gcell_s, 3),
         "unit": "GCell/s",
         "vs_baseline": round(vs, 4) if vs is not None else None,
