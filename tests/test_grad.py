@@ -172,6 +172,32 @@ class TestAdjointProgram:
                                    rtol=1e-4, atol=1e-5)
         assert gf["a"].shape == inputs["a"].shape
 
+    def test_fast_value_and_grad_sharded(self):
+        """Both passes as shard_map domain decompositions on the mesh."""
+        from jax.sharding import Mesh
+        from stencilflow_tpu.grad import fast_value_and_grad
+        p = sft.parse_program(jacobi(3, 16, iterations=3), name="ap5")
+        out = p.outputs[0]
+        target = np.random.default_rng(7).random(
+            (16, 16, 16)).astype(np.float32)
+
+        def loss(o):
+            return ((o[out] - jnp.asarray(target)) ** 2).sum()
+
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                    ("x", "y"))
+        f = fast_value_and_grad(p, loss=loss, mesh=mesh,
+                                dim_axes=(None, "x", "y"))
+        assert f.plan is not None
+        inputs = {k: jnp.asarray(v)
+                  for k, v in sft.load_input_arrays(p, seed=9).items()}
+        vf, gf = f(inputs)
+        vs, gs = sft.value_and_grad(p, loss=loss)(inputs)
+        np.testing.assert_allclose(float(vf), float(vs), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gf["a"]),
+                                   np.asarray(gs["a"]),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_multi_output_adjoint_with_consumed_output(self):
         """An output read by LATER kernels: its adjoint kernel sums the
         cotangent input AND the consumer terms."""
