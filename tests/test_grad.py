@@ -315,3 +315,26 @@ def test_traced_frontend_composes_with_adjoint_solve_iterate():
     state = sft.iterate(p, {"x": b}, steps=4, feed={"x": "y"},
                         interpret=True)
     assert np.isfinite(np.asarray(state["x"])).all()
+
+
+def test_adjoint_of_vectorized_reference_fixture():
+    """The upstream vectorized fixture transposes cleanly: W propagates
+    and the adjoint matches autodiff (skipped if the reference tree is
+    absent)."""
+    path = "/root/reference/test/stencils/jacobi3d_32x32x32_8itr_4vec.json"
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures unavailable")
+    from stencilflow_tpu.backend.stream import run_chain_stream
+    from stencilflow_tpu.backend.xla import compile_chain
+    p = sft.parse_program(path)
+    adj, _cot = adjoint_program(p)
+    assert adj.vectorization == p.vectorization > 1
+    g = run_chain_stream(adj, sft.load_input_arrays(adj),
+                         interpret=True)[adj.outputs[0]]
+    fn = compile_chain(p)
+    a = jnp.asarray(sft.load_input_arrays(
+        p, prefix=os.path.dirname(path), seed=0)["a"])
+    g_ad = np.asarray(jax.grad(
+        lambda x: fn({"a": x})[p.outputs[0]].sum())(a))
+    np.testing.assert_allclose(np.asarray(g).squeeze(), g_ad.squeeze(),
+                               rtol=1e-5, atol=1e-6)
