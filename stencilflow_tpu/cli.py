@@ -73,7 +73,9 @@ def _cmd_simulate(args) -> int:
         print(f"per-cycle trace written to {args.trace}")
     print(f"cycles: {res.cycles} (elements: {program.total_elements})")
     for (src, dst), high in res.edge_high_water.items():
-        print(f"  edge {src}->{dst}: high water {high}")
+        mean = res.edge_mean_occupancy.get((src, dst))
+        mean_s = f", mean occupancy {mean:.2f}" if mean is not None else ""
+        print(f"  edge {src}->{dst}: high water {high}{mean_s}")
     for k, st in res.kernel_stats.items():
         print(f"  kernel {k}: first fire {st['first_fire']}, last fire "
               f"{st['last_fire']}, stalls {st['stall_cycles']}")

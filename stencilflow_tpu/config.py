@@ -65,12 +65,13 @@ TPU_MXU_BF16_FLOPS = 197e12     # v5e peak bf16
 # Physical per-core VMEM (v5e: 128 MiB) — the hard cap for Mosaic's
 # compile-time vmem_limit_bytes guard.
 TPU_VMEM_PHYSICAL = 128 * 2**20
-# Streaming-backend VMEM budget: the chip's real VMEM (v5e: 128 MiB); the
-# planner spends 0.7 of it on rings + pipeline windows + MXU assets, the
-# rest is Mosaic compiler slack.  (Both terms are accounted explicitly
-# since the io_window_bytes audit; the previous 96 MiB default predated it
-# and double-counted conservatism.)
-TPU_STREAM_VMEM_BUDGET = 128 * 2**20
+# Streaming-backend VMEM budget: the chip's real VMEM (v5e: 128 MiB)
+# minus 8 MiB explicit slack for what io_window_bytes does not model
+# (semaphores, compiler scratch, >2-level buffering); the planner spends
+# 0.7 of the budget on rings + pipeline windows + MXU assets.  (Both
+# terms are accounted explicitly since the io_window_bytes audit; the
+# previous 96 MiB default predated it and double-counted conservatism.)
+TPU_STREAM_VMEM_BUDGET = 120 * 2**20
 # ICI bandwidth per link direction (bytes/s); v5e 2-D torus, ~45 GB/s
 # one-way per link.  Used by the mesh-scaling model (report) for the
 # halo-exchange cost of domain decomposition.

@@ -80,13 +80,22 @@ def save_output_arrays(outputs: Dict[str, np.ndarray], output_dir: str) -> None:
 
 def arrays_are_equal(reference, result,
                      tolerance: float = config.VERIFY_RTOL) -> bool:
-    """Relative comparison with epsilon-guarded divisor
-    (reference: helper.py:261-276)."""
+    """Relative comparison with epsilon-guarded divisor.
+
+    The reference's formula (helper.py:261-276) divides by
+    ``max(ref, res) + eps`` *without* abs: for predominantly negative
+    outputs the "relative diff" goes negative and ``<= tol`` passes
+    vacuously, so verification could report OK on a wrong result.  We
+    deliberately deviate and use ``|ref - res| / (max(|ref|, |res|) + eps)``,
+    which is sound for any sign (see tests/test_data.py negative-output
+    regression).
+    """
     reference = np.asarray(reference, dtype=np.float64)
     result = np.asarray(result, dtype=np.float64)
     if reference.shape != result.shape:
         return False
-    denom = np.maximum(reference, result) + np.finfo(np.float64).eps
+    denom = (np.maximum(np.abs(reference), np.abs(result))
+             + np.finfo(np.float64).eps)
     relative_diff = np.abs(reference - result) / denom
     return bool(np.all(relative_diff <= tolerance))
 

@@ -225,6 +225,15 @@ def adjoint_program(program: ir.Program,
 
     cot = {o: f"ct_{o}" for o in program.outputs}
 
+    # kernels whose value transitively reaches a program output; a dead
+    # kernel's cotangent is identically zero, so its consumers' terms (and
+    # its own adjoint kernel) are skipped rather than referencing an
+    # undefined adj_<dead> field
+    live = set(program.outputs)
+    for kname in reversed(order):
+        if any(c in live for c in analysis.graph.consumers(kname)):
+            live.add(kname)
+
     def idx(offsets) -> str:
         its = ("i", "j", "k")
         parts = []
@@ -239,10 +248,11 @@ def adjoint_program(program: ir.Program,
         terms = []
         reads = set()
         for c in analysis.graph.consumers(f):
-            if c not in program.kernels:
+            if c not in program.kernels or c not in live:
                 continue
             src = (cot[c] if (c in cot and
-                              not any(k in program.kernels for k in
+                              not any(k in program.kernels and k in live
+                                      for k in
                                       analysis.graph.consumers(c)))
                    else adj_name(c))
             for key, w in coeffs[c].items():
@@ -255,7 +265,9 @@ def adjoint_program(program: ir.Program,
     kernels: Dict[str, Dict] = {}
     # adjoints of intermediate kernels (reverse topological order)
     for kname in reversed(order):
-        consumed = any(c in program.kernels
+        if kname not in live:
+            continue   # dead kernel: cotangent identically zero
+        consumed = any(c in program.kernels and c in live
                        for c in analysis.graph.consumers(kname))
         if not consumed:
             continue   # pure output: its adjoint IS the cotangent input

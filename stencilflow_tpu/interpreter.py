@@ -123,12 +123,21 @@ class ChainInterpreter:
         self.graph = graph or ChainGraph.build(program)
         self.xp = xp
         self.calls = _call_table(xp)
+        self._kdtype: Optional[np.dtype] = None
 
     # -- expression evaluation ------------------------------------------------
     def _eval(self, expr: ir.Expr, fields: Dict[str, Any],
               env: Dict[str, Any], bcs: Dict[str, ir.BoundaryCondition]):
         xp = self.xp
         if isinstance(expr, ir.Const):
+            # Under numpy, a Call on a bare python-float const returns a
+            # STRONG np.float64 scalar that promotes the surrounding op to
+            # f64 (NEP 50), while jnp keeps consts weak (per-op f32) — the
+            # semantics every backend implements.  Pin numpy to the kernel
+            # dtype so the oracle matches (1-ulp bit-exactness).
+            if (self.xp is np and isinstance(expr.value, float)
+                    and self._kdtype is not None):
+                return self._kdtype.type(expr.value)
             return expr.value
         if isinstance(expr, ir.Ref):
             return env[expr.name]
@@ -165,6 +174,8 @@ class ChainInterpreter:
     # -- kernel & chain evaluation ---------------------------------------------
     def eval_kernel(self, kname: str, fields: Dict[str, Any]):
         kspec = self.program.kernels[kname]
+        dt = np.dtype(kspec.dtype)
+        self._kdtype = dt if dt.kind == "f" else None
         env: Dict[str, Any] = {}
         for stmt in kspec.statements:
             env[stmt.lhs] = self._eval(stmt.rhs, fields, env,

@@ -72,6 +72,35 @@ class DeadlockError(SimulationError):
     pass
 
 
+def edge_capacities(program, analysis, windows=None, slack: int = 0
+                    ) -> Dict[Tuple[str, str], int]:
+    """Machine-exact static FIFO bound per edge, from the fire schedule.
+
+    Element t of edge (f, c) is pushed at cycle C[f] + t (emit phase) and
+    released once c's pc passes t - lo (fire phase, same cycle ordering),
+    so with both running exactly on schedule the peak occupancy is
+        F[c] - C[f] - lo + 1.
+    The emit phase precedes fire within a cycle, so the bound is exact on
+    both sides; ``slack=0`` is proven tight by the fuzz corpus (the run
+    completes without deadlock at these capacities, and shrinking any
+    attained edge by one element would stall its producer).  This supplants
+    the reference's elastic 2048-deep FIFO floors
+    (sdfg_generator.py:31) with a provable machine-exact bound.
+    """
+    if windows is None:
+        windows = access_windows(program, analysis)
+    F, C = fire_schedule(program, analysis, windows)
+    caps: Dict[Tuple[str, str], int] = {}
+    for (src, dst), eb in analysis.edges.items():
+        if (src, dst) not in windows:
+            caps[(src, dst)] = 1
+            continue
+        lo = windows[(src, dst)][0]
+        cap = F[dst] - C[src] - lo + 1 + slack
+        caps[(src, dst)] = max(cap, eb.internal_size + 1)
+    return caps
+
+
 # ---------------------------------------------------------------------------
 # Kernel compilation: IR -> python closure
 # ---------------------------------------------------------------------------
@@ -91,6 +120,10 @@ _CMP_SRC = {"lt": "<", "le": "<=", "gt": ">", "ge": ">=",
 def _expr_src(expr: ir.Expr, access_ids: Dict[Tuple[str, ir.Offsets], int]
               ) -> str:
     if isinstance(expr, ir.Const):
+        # _dt pins float consts to the kernel dtype (see compile_kernel_fn)
+        # so numpy-scalar ops round per-op like every other engine
+        if isinstance(expr.value, float):
+            return f"_dt({expr.value!r})"
         return repr(expr.value)
     if isinstance(expr, ir.Ref):
         return f"_t_{expr.name}"
@@ -129,7 +162,11 @@ def compile_kernel_fn(kspec: ir.KernelSpec,
                      f"{_expr_src(stmt.rhs, access_ids)}")
     lines.append(f"    return _t_{kspec.output_statement.lhs}")
     src = "\n".join(lines)
-    ns: Dict[str, Any] = {"math": math}
+    dt = np.dtype(kspec.dtype)
+    ns: Dict[str, Any] = {
+        "math": math,
+        "_dt": dt.type if dt.kind == "f" else (lambda v: v),
+    }
     exec(src, ns)  # noqa: S102 — source is generated from the typed IR
     return ns["_kernel"]
 
@@ -147,6 +184,7 @@ class _Edge:
     base: int = 0          # flat index of data[0] in the element stream
     arrived: int = 0       # #elements pushed so far
     high_water: int = 0
+    occ_sum: int = 0       # Σ occupancy over cycles (mean = occ_sum/cycles)
 
     def occupancy(self) -> int:
         return self.arrived - self.base
@@ -160,6 +198,16 @@ class _Edge:
         return True
 
     def peek(self, flat_idx: int) -> float:
+        # Proof discipline, underflow side (the reference's BoundedQueue
+        # raised on both over- and underflow, bounded_queue.py:121-139):
+        # a read below base is a released/stale element, above arrived a
+        # not-yet-produced one — both are scheduling bugs, never silently
+        # served.
+        if not self.base <= flat_idx < self.arrived:
+            raise SimulationError(
+                f"stale/underflow read on edge {self.src}->{self.dst}: "
+                f"element {flat_idx} outside live window "
+                f"[{self.base}, {self.arrived})")
         return self.data[flat_idx - self.base]
 
     def release_to(self, new_base: int) -> None:
@@ -206,6 +254,10 @@ class SimResult:
     cycles: int
     edge_high_water: Dict[Tuple[str, str], int]
     kernel_stats: Dict[str, Dict[str, Any]]
+    # mean FIFO occupancy over the whole run (reference: the per-buffer
+    # mean in kernel.py:117-164's performance printout)
+    edge_mean_occupancy: Dict[Tuple[str, str], float] = dataclasses.field(
+        default_factory=dict)
 
 
 class Simulator:
@@ -213,7 +265,7 @@ class Simulator:
 
     def __init__(self, program: ir.Program,
                  analysis: Optional[ChainAnalysis] = None,
-                 slack: int = 2):
+                 slack: int = 0):
         self.program = program
         self.analysis = analysis or ChainAnalysis.run(program)
         self.graph = self.analysis.graph
@@ -232,20 +284,11 @@ class Simulator:
         self._F, self._C = fire_schedule(program, analysis, self._windows)
         self._pace = self._F
 
-        # Capacity: the machine's exact static bound.  Element t of edge
-        # (f, c) is emitted at C[f] + t and released once c's pc passes
-        # t - lo_f; c fires element u at F[c] + u, so peak occupancy is
-        #   F[c] - C[f] - lo_f + 1
-        # (the machine-exact refinement of the reference's delay+internal
-        # sizing; equal for aligned symmetric stencils).
-        for (src, dst), eb in analysis.edges.items():
-            if (src, dst) not in self._windows:
-                self.edges[(src, dst)] = _Edge(src, dst, 1)
-                continue
-            lo = self._windows[(src, dst)][0]
-            cap = self._F[dst] - self._C[src] - lo + 1 + self.slack
-            cap = max(cap, eb.internal_size + 1)
-            self.edges[(src, dst)] = _Edge(src, dst, cap)
+        # Capacity: the machine-exact static bound (see edge_capacities;
+        # slack defaults to 0 — proven tight across the fuzz corpus).
+        for key, cap in edge_capacities(program, analysis, self._windows,
+                                        self.slack).items():
+            self.edges[key] = _Edge(key[0], key[1], cap)
 
         for kname in graph.kernel_order:
             kspec = program.kernels[kname]
@@ -452,6 +495,8 @@ class Simulator:
                        [str(st.pc) for st in self.kernels.values()] +
                        [str(e.occupancy()) for e in self.edges.values()])
                 trace_fh.write(",".join(row) + "\n")
+            for e in self.edges.values():
+                e.occ_sum += e.occupancy()
             cycle += 1
             stagnant = 0 if progressed else stagnant + 1
             # pipeline latencies can legitimately idle for O(max op latency)
@@ -473,6 +518,8 @@ class Simulator:
             edge_high_water={k: e.high_water
                              for k, e in self.edges.items()},
             kernel_stats=stats,
+            edge_mean_occupancy={k: e.occ_sum / max(cycle, 1)
+                                 for k, e in self.edges.items()},
         )
 
     # -- diagnostics ---------------------------------------------------------

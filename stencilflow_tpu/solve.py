@@ -153,17 +153,21 @@ def make_solver(program: ir.Program,
     run = _make_cg_run(normal, tol, maxiter)
 
     @jax.jit
-    def _residual(x, b):
+    def _residual(x, b, rhs):
+        # |op(x) - b| == |fn(x) - rhs| (b = rhs - offset), but normalize by
+        # the ORIGINAL rhs: with a nonzero affine offset |b| can differ from
+        # |rhs| by an unbounded factor and misreport convergence.
         return (jnp.linalg.norm(op(x) - b) /
-                jnp.maximum(jnp.linalg.norm(b), 1e-30))
+                jnp.maximum(jnp.linalg.norm(rhs), 1e-30))
 
     def solver(rhs, x0=None):
-        b = jnp.asarray(rhs) - offset.reshape(jnp.shape(rhs))
+        rhs = jnp.asarray(rhs)
+        b = rhs - offset.reshape(jnp.shape(rhs))
         b_sys = project(b).reshape(b.shape) if project is not None else b
         x = jnp.zeros_like(b_sys) if x0 is None else jnp.asarray(x0)
         x, _rs, k = run(x, b_sys)
         return x, {"iterations": int(k),
-                   "residual": float(_residual(x, b))}
+                   "residual": float(_residual(x, b, rhs))}
 
     return solver
 

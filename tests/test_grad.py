@@ -149,6 +149,44 @@ class TestAdjointProgram:
         np.testing.assert_allclose(np.asarray(g_fast).squeeze(),
                                    g_ad.squeeze(), rtol=3e-5, atol=1e-5)
 
+    def test_dead_kernel_skipped(self):
+        """A kernel whose output is neither consumed nor a program output
+        has zero cotangent; adjoint_program must skip it (not emit a read
+        of an undefined adj_<dead> field) and still match jax.grad."""
+        from stencilflow_tpu.backend.stream import run_chain_stream
+        from stencilflow_tpu.backend.xla import compile_chain
+        p = sft.parse_program({
+            "inputs": {"a": {"data": "random:0,1",
+                             "data_type": "float32"}},
+            "outputs": ["y"], "dimensions": [8, 8],
+            "program": {
+                "b": {"computation_string":
+                      "b = 0.5 * a[j, k] + 0.25 * a[j, k-1]",
+                      "boundary_conditions": {
+                          "a": {"type": "constant", "value": 0.0}},
+                      "data_type": "float32"},
+                "dead": {"computation_string":
+                         "dead = 2.0 * b[j, k] + a[j+1, k]",
+                         "boundary_conditions": {
+                             "b": {"type": "constant", "value": 0.0},
+                             "a": {"type": "constant", "value": 0.0}},
+                         "data_type": "float32"},
+                "y": {"computation_string":
+                      "y = b[j, k] + 0.5 * b[j-1, k]",
+                      "boundary_conditions": {
+                          "b": {"type": "constant", "value": 0.0}},
+                      "data_type": "float32"}}}, name="deadk")
+        adj, cot = adjoint_program(p)
+        assert "adj_dead" not in adj.kernels
+        g_fast = run_chain_stream(adj, sft.load_input_arrays(adj),
+                                  interpret=True)["adj_a"]
+        fn = compile_chain(p)
+        a = jnp.asarray(sft.load_input_arrays(p, seed=0)["a"])
+        g_ad = np.asarray(jax.grad(
+            lambda x: fn({"a": x})["y"].sum())(a))
+        np.testing.assert_allclose(np.asarray(g_fast).squeeze(),
+                                   g_ad.squeeze(), rtol=1e-5, atol=1e-6)
+
     def test_fast_value_and_grad(self):
         """Streaming fwd + elementwise cotangent + streaming adjoint ==
         value_and_grad for an affine chain and a custom loss."""

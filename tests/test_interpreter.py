@@ -304,3 +304,35 @@ class TestDataLoading:
         b = a * (1 + 5e-6)
         assert sft.arrays_are_equal(a, b)
         assert not sft.arrays_are_equal(a, a * 1.1)
+
+    def test_arrays_are_equal_negative_values(self):
+        # Regression: the reference's formula (helper.py:261-276) divides by
+        # max(ref, res) without abs, so for negative outputs the relative
+        # diff is negative and any wrong result passes vacuously.  Ours must
+        # reject a 10% error regardless of sign.
+        a = -np.ones(10)
+        assert sft.arrays_are_equal(a, a * (1 + 5e-6))
+        assert not sft.arrays_are_equal(a, a * 1.1)
+        assert not sft.arrays_are_equal(a, a + 0.5)
+        mixed = np.linspace(-1.0, 1.0, 16)
+        assert not sft.arrays_are_equal(mixed, mixed - 0.1)
+
+    def test_driver_verification_rejects_negative_wrong_result(self):
+        # End-to-end: a chain whose output is ~ -1 everywhere, with an
+        # injected error, must fail compare_to_reference.
+        spec = {
+            "inputs": {"x": {"data": "constant:1.0", "data_type": "float64"}},
+            "outputs": ["y"],
+            "dimensions": [8, 8],
+            "program": {"y": {
+                "computation_string": "y = -x[j,k]",
+                "boundary_conditions": {
+                    "x": {"type": "constant", "value": 0.0}},
+                "data_type": "float64"}},
+        }
+        p = sft.parse_program(spec, name="neg_out")
+        arrays = sft.load_input_arrays(p)
+        ref = sft.run_interpreter(p, arrays)
+        assert np.all(np.asarray(ref["y"]) == -1.0)
+        wrong = {"y": np.asarray(ref["y"]) * 1.5}
+        assert not sft.arrays_are_equal(ref["y"], wrong["y"])

@@ -73,6 +73,19 @@ def test_cg_solves_the_program_equation(bc_value, source):
                                atol=3e-5)
 
 
+def test_residual_normalized_by_original_rhs():
+    """info['residual'] must be |fn(x)-rhs|/|rhs| — normalized by the
+    ORIGINAL rhs even with a large affine offset (bias + nonzero BCs),
+    where |rhs - offset| can differ from |rhs| by a large factor."""
+    p = _implicit_program(bc_value=2.0, source=True)
+    rhs = np.full((N, N), 5.0, np.float32)
+    x, info = solve_cg(p, rhs, interpret=True, tol=1e-8, maxiter=500)
+    inputs = {**sft.load_input_arrays(p), "x": np.asarray(x)}
+    y = np.asarray(sft.run_interpreter(p, inputs)["y"])
+    true_rel = np.linalg.norm(y - rhs) / np.linalg.norm(rhs)
+    assert info["residual"] == pytest.approx(true_rel, rel=0.05, abs=1e-7)
+
+
 def test_cgnr_nonsymmetric():
     p = sft.parse_program({
         "inputs": {"x": {"data": "constant:0.0", "data_type": "float32"}},
