@@ -309,20 +309,82 @@ def _cmd_partition(args) -> int:
     return 0
 
 
+def _run_distributed_multihost(args, program, inputs, devices) -> int:
+    """Multi-host SPMD body: global mesh over every process's devices, one
+    sharded evaluation, per-host verification of the addressable shards
+    (the reference verified on the last rank after a barrier,
+    bin/run_distributed_program.py:304-341; with global arrays every host
+    can check exactly the shards it owns)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from .data import arrays_are_equal
+    from .interpreter import run_interpreter
+    from .parallel.domain import run_sharded_chain
+
+    a = int(np.floor(np.sqrt(args.devices)))
+    while args.devices % a:
+        a -= 1
+    mesh = Mesh(np.array(devices).reshape(a, args.devices // a),
+                ("x", "y"))
+    axes = ((None, "x", "y") if not args.dim_axes
+            else _parse_axes(args.dim_axes))
+    if axes is None:
+        return 2
+    out = run_sharded_chain(program, mesh, axes, inputs, as_numpy=False)
+    host = args.host_id
+    print(f"host {host}: ran domain over {args.devices} global devices "
+          f"(mesh {dict(mesh.shape)}, "
+          f"{len(jax.local_devices())} local)")
+    if args.compare_to_reference:
+        ref = run_interpreter(program, inputs)
+        ok = True
+        for o in program.outputs:
+            expected = np.asarray(ref[o])
+            for shard in out[o].addressable_shards:
+                if not arrays_are_equal(expected[shard.index],
+                                        np.asarray(shard.data)):
+                    print(f"host {host}: MISMATCH on {o} shard "
+                          f"{shard.index}", file=sys.stderr)
+                    ok = False
+        print(f"host {host}: verified local shards: "
+              + ("OK" if ok else "FAIL"))
+        return 0 if ok else 1
+    return 0
+
+
 def _cmd_run_distributed(args) -> int:
     import os
+    multihost = args.coordinator is not None
+    if multihost and (args.num_hosts is None or args.host_id is None):
+        print("--coordinator requires --num-hosts and --host-id",
+              file=sys.stderr)
+        return 2
     if args.force_host_devices:
+        # per-process virtual device count (global = local * num_hosts)
+        local = (args.devices // args.num_hosts if multihost
+                 else args.devices)
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
                 flags + f" --xla_force_host_platform_device_count="
-                f"{args.devices}").strip()
+                f"{local}").strip()
     import jax
     if args.force_host_devices:
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+    if multihost:
+        # the TPU-native launcher: the JAX runtime owns the mesh — the
+        # coordination service replaces the reference's MPI rendezvous
+        # (bin/run_distributed_program.py:98-116,283-299); barriers are
+        # implicit in SPMD program dispatch
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_hosts,
+            process_id=args.host_id)
     import numpy as np
     from jax.sharding import Mesh
 
@@ -338,6 +400,12 @@ def _cmd_run_distributed(args) -> int:
     if len(devices) < args.devices:
         print(f"only {len(devices)} devices available", file=sys.stderr)
         return 2
+    if multihost:
+        if args.parallel_mode != "domain":
+            print("multi-host supports --parallel-mode domain",
+                  file=sys.stderr)
+            return 2
+        return _run_distributed_multihost(args, program, inputs, devices)
 
     if args.parallel_mode == "pipeline" and args.dim_axes:
         print("--dim-axes applies to domain mode only", file=sys.stderr)
@@ -563,6 +631,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--force-host-devices", action="store_true",
                    help="simulate the mesh with virtual CPU devices")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host launch: jax.distributed coordination "
+                        "service address (process 0 binds it); replaces "
+                        "the reference's MPI rendezvous")
+    p.add_argument("--num-hosts", type=int, default=None,
+                   help="multi-host: total number of processes")
+    p.add_argument("--host-id", type=int, default=None,
+                   help="multi-host: this process's id (0-based)")
     p.set_defaults(fn=_cmd_run_distributed)
 
     return ap

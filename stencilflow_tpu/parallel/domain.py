@@ -407,15 +407,43 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
     return jax.jit(fn), plan
 
 
+def place_global_inputs(program: ir.Program,
+                        plan: DomainDecomposition,
+                        inputs: Dict[str, Any]) -> Dict[str, Any]:
+    """Commit every input as a GLOBAL mesh-sharded array.
+
+    Uses ``jax.make_array_from_callback`` so each process supplies only its
+    addressable shards — required for multi-host SPMD (where
+    ``device_put`` of a host-local array cannot address remote devices;
+    the reference's per-rank input loading,
+    bin/run_distributed_program.py:217-277) and equivalent to
+    ``device_put`` on a single process.  Every process must hold the same
+    full (replicated) numpy input, e.g. from the shared program JSON with
+    one seed."""
+    shardings = plan.input_shardings()
+    placed = {}
+    for n, v in inputs.items():
+        spec = program.inputs[n]
+        if spec.is_scalar:
+            sh = NamedSharding(plan.mesh, P())
+            arr = np.asarray(v)
+        else:
+            sh = shardings[n]
+            arr = np.asarray(v)
+        placed[n] = jax.make_array_from_callback(
+            arr.shape, sh, lambda idx, a=arr: a[idx])
+    return placed
+
+
 def run_sharded_chain(program: ir.Program, mesh: Mesh,
                       dim_axes: Sequence[Optional[str]],
-                      inputs: Dict[str, Any]) -> Dict[str, np.ndarray]:
+                      inputs: Dict[str, Any],
+                      as_numpy: bool = True) -> Dict[str, Any]:
+    """One-shot sharded evaluation.  ``as_numpy=False`` returns the global
+    jax Arrays (required on multi-host meshes, where a process can only
+    convert its own shards — verify via ``arr.addressable_shards``)."""
     fn, plan = compile_sharded_chain(program, mesh, dim_axes)
-    shardings = plan.input_shardings()
-    dev_inputs = {
-        n: jax.device_put(jnp.asarray(v), shardings[n])
-        if not program.inputs[n].is_scalar else jnp.asarray(v)
-        for n, v in inputs.items()
-    }
-    out = fn(dev_inputs)
+    out = fn(place_global_inputs(program, plan, inputs))
+    if not as_numpy:
+        return out
     return {k: np.asarray(v) for k, v in out.items()}
