@@ -416,6 +416,227 @@ def _pipeline_body(plan: PipelineSplit, graph: ChainGraph, seg_fns,
     return {k: v.reshape(raw) for k, v in outputs.items()}
 
 
+def _pipeline_body_sharded(plan: PipelineSplit, graph: ChainGraph, seg_fns,
+                           inputs: Dict[str, Any]) -> Dict[str, Any]:
+    """Memory-scalable wavefront: every per-device buffer is O(N/S).
+
+    Three systolic rings replace the replicated-I/O body (the cut-stream-
+    only traffic model of the reference, sdfg_generator.py:848-963):
+
+    * **feed ring** (leftward, ``p+1 -> p``): device ``d`` starts holding
+      its own halo-widened input shard (chunk ``d``); after ``t`` shifts,
+      stage 0 holds exactly chunk ``t`` — the chunk it must start at step
+      ``t``.  Inputs are i-sharded (``P(axis)``), never replicated; the
+      i-halo is gathered multi-hop when the chain halo spans several
+      chunks.
+    * **wavefront carry** (rightward, ``p -> p+1``): ONE stacked buffer
+      sized by the widest cut — entry ``i`` at the hop out of stage ``s``
+      is ``cut_layouts[s][i]``, each stage un/packing by its own static
+      layout.  Only the fields actually crossing a cut ever travel
+      (the reference charges exactly the cut stream,
+      sdfg_generator.py:848), and the carry does NOT grow with S.
+    * **output return ring** (rightward, cyclic): the last stage drops
+      each finished core chunk into the ring; chunk ``c`` reaches its home
+      device ``c`` after ``(c+1) mod S`` hops, where an arithmetic capture
+      condition (no lax.switch, no psum) stores it into that device's
+      O(N/S) output shard.
+
+    Requires ``num_chunks == S`` and ``dims[0] % S == 0`` (the caller
+    falls back to the replicated body otherwise).
+    """
+    program = plan.program
+    S = len(plan.segments)
+    C = plan.num_chunks
+    assert C == S
+    halo = plan.halo
+    dims = program.dimensions
+    chunk = plan.chunk
+    tile_shape = (chunk + 2 * halo[0], dims[1] + 2 * halo[1],
+                  dims[2] + 2 * halo[2])
+    s = lax.axis_index(plan.axis)
+
+    right = [(p, p + 1) for p in range(S - 1)]
+    left = [(p + 1, p) for p in range(S - 1)]
+    ring = [(p, (p + 1) % S) for p in range(S)]
+
+    seg_of = {k: i for i, seg in enumerate(plan.segments) for k in seg}
+    idx_of = {k: i for i, k in enumerate(graph.kernel_order)}
+
+    # per-cut layout: fields crossing the cut after segment cs — kernels
+    # read by a later segment plus outputs produced at or before cs
+    cut_layouts: List[List[str]] = []
+    for cs in range(S - 1):
+        L = []
+        for f in program.kernels:
+            if seg_of[f] > cs:
+                continue
+            later = any(seg_of.get(c, -1) > cs
+                        for c in graph.consumers(f)
+                        if c in program.kernels)
+            if later or f in program.outputs:
+                L.append(f)
+        cut_layouts.append(sorted(L, key=idx_of.get))
+    M = max(len(L) for L in cut_layouts)
+    wave_dtype = jnp.result_type(
+        *[np.dtype(program.kernels[f].dtype)
+          for L in cut_layouts for f in L])
+
+    # i-spanning inputs still read by segments past the first ride a
+    # separate named carry (injected by stage 0 from its feed slot)
+    i_inputs = [n for n, sp in program.inputs.items()
+                if not sp.is_scalar and sp.dim_mask[0]]
+    carried_inputs = sorted({
+        f for kname, kspec in program.kernels.items()
+        if seg_of[kname] > 0 for f in kspec.accesses()
+        if f in i_inputs})
+
+    # --- per-device widened input shard (the feed ring's initial load) ---
+    feed0: Dict[str, Any] = {}
+    small: Dict[str, Any] = {}   # replicated non-i inputs, padded once
+    for name, spec in program.inputs.items():
+        arr = inputs[name]
+        if spec.is_scalar:
+            small[name] = arr
+            continue
+        spanned = [d for d in range(3) if spec.dim_mask[d]]
+        arr = jnp.asarray(arr).reshape(
+            tuple(chunk if d == 0 else dims[d] for d in spanned))
+        if not spec.dim_mask[0]:
+            pads = [(halo[d], halo[d]) for d in spanned]
+            small[name] = jnp.pad(arr, pads)
+            continue
+        # pad j/k locally, gather the i-halo from shard neighbors —
+        # multi-hop when the chain halo exceeds one chunk (deep chains,
+        # the mode's raison d'être): pull whole neighbor chunks from up
+        # to ceil(h0/chunk) hops each side, then slice the exact window.
+        # O(chunk + 2*h0) rows per device; domain edges see zeros, which
+        # the BC masks at global coordinates correct.
+        pads = [(0, 0) if d == 0 else (halo[d], halo[d]) for d in spanned]
+        arr = jnp.pad(arr, pads)
+        h0 = halo[0]
+        if h0:
+            hops = -(-h0 // chunk)
+            froms_right, froms_left = [], []
+            fr = fl = arr
+            for _ in range(hops):
+                fr = lax.ppermute(fr, plan.axis, left)    # neighbor above
+                fl = lax.ppermute(fl, plan.axis, right)   # neighbor below
+                froms_right.append(fr)
+                froms_left.append(fl)
+            stacked = jnp.concatenate(
+                list(reversed(froms_left)) + [arr] + froms_right, axis=0)
+            start = hops * chunk - h0
+            arr = lax.slice_in_dim(stacked, start,
+                                   start + chunk + 2 * h0, axis=0)
+        feed0[name] = arr
+
+    def zero_input_tiles(names):
+        out = {}
+        for k in names:
+            spec = program.inputs[k]
+            shp = tuple(tile_shape[d] for d in range(3)
+                        if spec.dim_mask[d])
+            out[k] = jnp.zeros(shp, np.dtype(spec.dtype))
+        return out
+
+    out_local0 = {o: jnp.zeros((chunk, dims[1], dims[2]),
+                               program.kernels[o].dtype)
+                  for o in program.outputs}
+    ring0 = {o: jnp.zeros((chunk, dims[1], dims[2]),
+                          program.kernels[o].dtype)
+             for o in program.outputs}
+    wave0 = jnp.zeros((M,) + tile_shape, wave_dtype)
+
+    # branches: unpack the incoming cut stack by the segment's own static
+    # layout, evaluate, pack the outgoing cut; also return every program
+    # output tile (zeros when this segment does not see it) for the ring
+    branches = []
+    for seg_idx, segment in enumerate(plan.segments):
+        def branch(args, segment=segment, seg_idx=seg_idx):
+            stack, tiles, origin = args
+            tiles = dict(tiles)
+            if seg_idx > 0:
+                for i, f in enumerate(cut_layouts[seg_idx - 1]):
+                    tiles[f] = stack[i].astype(program.kernels[f].dtype)
+            if seg_fns is not None:
+                subp, fn, pools = seg_fns[seg_idx][:3]
+                o = jnp.stack([jnp.int32(origin[0]) - jnp.int32(halo[0]),
+                               jnp.int32(-halo[1]), jnp.int32(-halo[2])])
+                res = fn(o, {n: tiles[n] for n in subp.inputs}, pools)
+            else:
+                res = _segment_eval(program, graph, segment, tiles,
+                                    origin, halo)
+            new = dict(tiles)
+            new.update(res)
+            out_layout = (cut_layouts[seg_idx] if seg_idx < S - 1 else [])
+            parts = [new[f].astype(wave_dtype)[None] for f in out_layout]
+            parts += [jnp.zeros((M - len(parts),) + tile_shape,
+                                wave_dtype)] if len(parts) < M else []
+            out_stack = jnp.concatenate(parts, axis=0) if parts else wave0
+            outs = {o: (new[o] if o in new else
+                        jnp.zeros(tile_shape, program.kernels[o].dtype))
+                    for o in program.outputs}
+            return out_stack, outs
+        branches.append(branch)
+
+    # arithmetic capture step for this device's output chunk (see above)
+    t_cap = s + jnp.int32(S - 1) + jax.lax.rem(s + 1, jnp.int32(S))
+
+    def step(carry, t):
+        feed, wave, wave_in, out_ring, out_local = carry
+        c = t - s
+        valid = (c >= 0) & (c < C)
+        c_clamped = jnp.clip(c, 0, C - 1)
+        origin = (c_clamped * chunk, 0, 0)
+
+        # stage 0 takes its input tiles from the feed slot; later stages
+        # from the input carry
+        tiles = dict(small)
+        for n in i_inputs:
+            src = feed[n]
+            if n in wave_in:
+                src = jnp.where(s == 0, src, wave_in[n])
+            tiles[n] = src
+        seg = jnp.minimum(s, S - 1)
+        out_stack, outs = lax.switch(seg, branches, (wave, tiles, origin))
+        new_wave_in = {n: tiles[n] for n in carried_inputs}
+
+        # last stage drops its finished core chunk into the return ring
+        core = (slice(halo[0], halo[0] + chunk),
+                slice(halo[1], halo[1] + dims[1]),
+                slice(halo[2], halo[2] + dims[2]))
+        is_last = (s == S - 1) & valid
+        new_ring = {}
+        for o in program.outputs:
+            done = outs[o][core]
+            new_ring[o] = jnp.where(is_last, done.astype(out_ring[o].dtype),
+                                    out_ring[o])
+
+        # capture: my chunk is in my ring slot exactly at step t_cap
+        grab = t == t_cap
+        out_local = {o: jnp.where(grab, new_ring[o], out_local[o])
+                     for o in program.outputs}
+
+        # systolic shifts
+        feed = {n: lax.ppermute(v, plan.axis, left)
+                for n, v in feed.items()}
+        out_stack = lax.ppermute(out_stack, plan.axis, right)
+        new_wave_in = {n: lax.ppermute(v, plan.axis, right)
+                       for n, v in new_wave_in.items()}
+        new_ring = {o: lax.ppermute(v, plan.axis, ring)
+                    for o, v in new_ring.items()}
+        return (feed, out_stack, new_wave_in, new_ring, out_local), None
+
+    T = max(S + C - 1, 3 * S - 3)
+    carry0 = (feed0, wave0, zero_input_tiles(carried_inputs),
+              ring0, out_local0)
+    (_f, _w, _wi, _r, out_local), _ = lax.scan(step, carry0,
+                                               jnp.arange(T))
+    raw = program.raw_dimensions
+    local_raw = (chunk,) + tuple(raw[1:])
+    return {k: v.reshape(local_raw) for k, v in out_local.items()}
+
+
 def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
                            num_chunks: Optional[int] = None,
                            analysis: Optional[ChainAnalysis] = None,
@@ -426,15 +647,23 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
                            mxu_precision: str = "split",
                            vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET,
                            split_at: Optional[Sequence[str]] = None,
-                           optimize_cuts: bool = False):
+                           optimize_cuts: bool = False,
+                           io: str = "auto"):
     """Jitted wavefront-pipelined chain over ``mesh.shape[axis]`` devices.
 
-    Inputs are replicated; outputs are replicated.  Returns ``(fn, plan)``.
+    ``io="sharded"`` (the default when the shape allows): inputs and
+    outputs are i-sharded over the pipeline axis and every per-device
+    buffer is O(N/S) (_pipeline_body_sharded) — the memory-scalable mode
+    that justifies pipelining chains too deep for one chip.  Requires
+    ``dims[0]`` divisible by the device count, a chunk at least the
+    i-halo wide, and rank-3 output.  ``io="replicated"`` keeps the
+    round-1 body (replicated inputs/outputs, any chunk count).
 
     ``local_backend``: per-segment compute — "stream" runs each segment as
     a streaming Pallas kernel over the widened chunk tile (the production
     TPU path, with the MXU lowering for wide affine stages), "xla" the
     fused tile evaluator (runs anywhere), "auto" picks by platform.
+    Returns ``(fn, plan)``.
     """
     analysis = analysis or ChainAnalysis.run(program)
     graph = analysis.graph
@@ -451,8 +680,18 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
         segments = split_kernels(graph, S)
     halo = chain_halo(analysis)
     dims = program.dimensions
+    # sharded-I/O eligibility: C == S chunks of equal size, rank-3 output
+    # (the i-halo may span multiple chunks — gathered multi-hop)
+    can_shard = (S > 1 and dims[0] % S == 0 and dims[0] // S >= 1
+                 and len(program.raw_dimensions) == 3
+                 and (num_chunks is None or num_chunks == S))
+    if io == "sharded" and not can_shard:
+        raise ValueError(
+            "sharded pipeline I/O needs num_chunks == devices, dim 0 "
+            f"divisible by {S}, and a 3-D output")
+    sharded_io = io == "sharded" or (io == "auto" and can_shard)
     if num_chunks is None:
-        num_chunks = max(1, min(S, dims[0]))
+        num_chunks = S if sharded_io else max(1, min(S, dims[0]))
     if dims[0] % num_chunks != 0:
         raise ValueError(f"dim 0 ({dims[0]}) not divisible into "
                          f"{num_chunks} chunks")
@@ -471,14 +710,27 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
         # None: a segment's rings exceed VMEM — fused-XLA fallback
     compile_pipeline_split.last_config = {
         "backend": "stream" if seg_fns is not None else "xla",
+        "io": "sharded" if sharded_io else "replicated",
         "segments": [info for (_p, _f, _pl, info) in seg_fns]
         if seg_fns is not None else [],
     }
-    in_specs = ({n: P() for n in program.inputs},)
-    out_specs = {n: P() for n in program.outputs}
-    fn = shard_map(functools.partial(_pipeline_body, plan, graph, seg_fns),
-                   mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                   check_vma=False)
+    if sharded_io:
+        in_spec_map = {}
+        for n, spec in program.inputs.items():
+            if spec.is_scalar or not spec.dim_mask[0]:
+                in_spec_map[n] = P()
+            else:
+                nsp = sum(spec.dim_mask)
+                in_spec_map[n] = P(axis, *([None] * (nsp - 1)))
+        out_specs = {n: P(axis, None, None) for n in program.outputs}
+        body = functools.partial(_pipeline_body_sharded, plan, graph,
+                                 seg_fns)
+    else:
+        in_spec_map = {n: P() for n in program.inputs}
+        out_specs = {n: P() for n in program.outputs}
+        body = functools.partial(_pipeline_body, plan, graph, seg_fns)
+    fn = shard_map(body, mesh=mesh, in_specs=(in_spec_map,),
+                   out_specs=out_specs, check_vma=False)
     return jax.jit(fn), plan
 
 

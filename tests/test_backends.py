@@ -433,6 +433,87 @@ class TestMultiChip:
                              for k, v in inputs.items()})["s3"])
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
+    def test_pipeline_sharded_io_memory_scaling(self):
+        """The sharded wavefront body (VERDICT r1 #3): i-sharded inputs
+        and outputs, packed cut-stack carry, output return ring.  Both
+        bodies agree with the oracle; per-device argument/output bytes
+        scale ~1/S and temp shrinks."""
+        from stencilflow_tpu.parallel.pipeline import compile_pipeline_split
+        p = _program_jacobi3d(size=16, iters=8)
+        inputs = sft.load_input_arrays(p, seed=30)
+        ref = _oracle(p, inputs)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("p",))
+        jins = {k: jnp.asarray(v) for k, v in inputs.items()}
+        mems = {}
+        for io in ("replicated", "sharded"):
+            fn, _ = compile_pipeline_split(p, mesh, "p", io=io)
+            assert compile_pipeline_split.last_config["io"] == io
+            out = fn(jins)
+            np.testing.assert_allclose(np.asarray(out["s7"]), ref["s7"],
+                                       rtol=1e-6)
+            mems[io] = jax.jit(fn).lower(jins).compile().memory_analysis()
+        rep, sh = mems["replicated"], mems["sharded"]
+        assert sh.argument_size_in_bytes * 7 <= rep.argument_size_in_bytes
+        assert sh.output_size_in_bytes * 7 <= rep.output_size_in_bytes
+        assert sh.temp_size_in_bytes < rep.temp_size_in_bytes
+
+    def test_pipeline_sharded_io_early_output_and_input_reuse(self):
+        """Sharded wavefront with an output produced before the last
+        segment (rides the cut stack to the last stage) and a primary
+        input read by a late segment (rides the input carry)."""
+        from stencilflow_tpu.parallel.pipeline import compile_pipeline_split
+        spec = {
+            "inputs": {"a": {"data": "random:-1,1",
+                             "data_type": "float32"}},
+            "outputs": ["early", "late"],
+            "dimensions": [8, 12, 12],
+            "program": {
+                "early": {"computation_string":
+                          "early = a[i,j,k] * 2.0 + a[i-1,j,k]",
+                          "boundary_conditions": {
+                              "a": {"type": "constant", "value": 0.0}},
+                          "data_type": "float32"},
+                "mid": {"computation_string":
+                        "mid = early[i,j-1,k] + a[i,j,k]",
+                        "boundary_conditions": {
+                            "early": {"type": "constant", "value": 0.0},
+                            "a": {"type": "constant", "value": 0.0}},
+                        "data_type": "float32"},
+                "late": {"computation_string":
+                         "late = mid[i+1,j,k] + early[i,j,k] "
+                         "+ a[i,j,k+1]",
+                         "boundary_conditions": {
+                             "mid": {"type": "constant", "value": 0.0},
+                             "early": {"type": "constant", "value": 0.0},
+                             "a": {"type": "constant", "value": 0.0}},
+                         "data_type": "float32"}}}
+        p = sft.parse_program(spec, name="pipeearly")
+        inputs = sft.load_input_arrays(p, seed=31)
+        ref = _oracle(p, inputs)
+        mesh2 = Mesh(np.array(jax.devices()[:2]), ("p",))
+        for split in (["early"], ["mid"]):
+            fn, _ = compile_pipeline_split(p, mesh2, "p", io="sharded",
+                                           split_at=split)
+            out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
+            for o in p.outputs:
+                np.testing.assert_allclose(np.asarray(out[o]), ref[o],
+                                           rtol=1e-6)
+
+    def test_pipeline_sharded_stream_segments(self):
+        """Sharded I/O composes with per-segment streaming Pallas
+        kernels (interpret mode)."""
+        from stencilflow_tpu.parallel.pipeline import compile_pipeline_split
+        p = _program_jacobi3d(size=16, iters=4)
+        inputs = sft.load_input_arrays(p, seed=32)
+        ref = _oracle(p, inputs)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("p",))
+        fn, _ = compile_pipeline_split(p, mesh, "p", io="sharded",
+                                       local_backend="stream",
+                                       interpret=True)
+        out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
+        np.testing.assert_allclose(np.asarray(out["s3"]), ref["s3"],
+                                   rtol=1e-6)
+
     def test_pipeline_split_stream_segments(self):
         """Per-segment streaming Pallas kernels over the widened chunk
         tiles (interpret mode), vs the oracle."""
