@@ -160,6 +160,83 @@ class StreamPlan:
         return total
 
 
+def fast_pad_fields(program: ir.Program, analysis: ChainAnalysis,
+                    plan: StreamPlan,
+                    spilled: Optional[Dict[str, Any]] = None
+                    ) -> Dict[str, Tuple[int, int, float]]:
+    """Fields whose ring planes can carry BC-value padding, making every
+    (j, k)-offset read a single static slice — no circular roll, no iota
+    mask, no select (the interior-read cost that capped shallow chains at
+    ~0.38 of the HBM roofline in round 1).
+
+    A field qualifies when every consumer sees the same constant-like
+    boundary fill (CONSTANT with one shared value, missing-BC zero, or
+    SHRINK junk): the ring plane is stored at (J + 2*pad_j, K + 2*pad_k)
+    with the pad region pre-filled with that value, so ``read[j, k] =
+    plane[pad_j + oj + j, pad_k + ok + k]`` IS the exact BC semantics
+    (per-dim OOB union, matching the reference's rule cpu.py:71-78) —
+    unlike fast_tile.py's zero-padded margins, no shell fixup is needed.
+    COPY-BC fields (center-value semantics, not expressible as padding)
+    and spilled rings keep the masked path.  Valid only for the
+    single-chip untiled lowering (planes span the whole domain at
+    origin 0); j-tiled/sharded planes keep origin-based masks.
+
+    Returns ``{field: (pad_j, pad_k, fill)}``.
+    """
+    spilled = spilled or {}
+    out: Dict[str, Tuple[int, int, float]] = {}
+    for f in plan.ring:
+        if f in spilled:
+            continue
+        if f in program.inputs and not all(program.inputs[f].dim_mask):
+            continue   # partial-rank planes broadcast on ingest
+        fill = None
+        pj = pk = 0
+        ok_field = True
+        for c in analysis.graph.consumers(f):
+            if c not in program.kernels:
+                continue
+            kspec = program.kernels[c]
+            accs = kspec.accesses().get(f)
+            if not accs:
+                continue
+            bc = kspec.boundary_conditions.get(f)
+            if bc is None:
+                this_fill = 0.0
+            elif bc.kind == ir.BCKind.CONSTANT:
+                this_fill = float(bc.value)
+            elif bc.kind == ir.BCKind.SHRINK:
+                this_fill = float(JUNK_VAL)
+            else:               # COPY: center-value semantics
+                ok_field = False
+                break
+            if fill is None:
+                fill = this_fill
+            elif fill != this_fill:
+                ok_field = False
+                break
+            for a in accs:
+                pj = max(pj, abs(a[1] or 0))
+                pk = max(pk, abs(a[2] or 0))
+        if ok_field:
+            out[f] = (pj, pk, fill if fill is not None else 0.0)
+    return out
+
+
+def fast_pad_extra_bytes(program: ir.Program, plan: StreamPlan,
+                         fast_fields, compute_dtype=None) -> int:
+    """Extra VMEM the padded ring planes cost over plan.vmem_bytes."""
+    J, K = plan.plane
+    total = 0
+    for f, (pj, pk, _fill) in fast_fields.items():
+        itemsize = (np.dtype(compute_dtype).itemsize
+                    if compute_dtype is not None
+                    else np.dtype(program.field_dtype(f)).itemsize)
+        total += plan.ring[f] * ((J + 2 * pj) * (K + 2 * pk)
+                                 - J * K) * itemsize
+    return total
+
+
 def jtile_splits(n: int, halo: int):
     """Legal j-tile configurations for a plane of ``n`` rows under the
     Mosaic block rules: the core tile divides ``n`` and is a multiple of 8
@@ -183,7 +260,8 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         plan: StreamPlan, input_names, input_kinds,
                         local_i, sharded, mxu_plans, pool_keys, pool_meta,
                         transform_keys, block, jtiled, emit_off,
-                        compute_dtype, interpret, spill_reads, *refs):
+                        compute_dtype, interpret, spill_reads, fast_fields,
+                        *refs):
     """One grid step: ingest ``block`` input planes, advance every stage
     ``block`` planes, emit ``block`` output planes (micro-steps amortize the
     per-grid-step pipeline overhead).  With ``sharded`` the first ref is a
@@ -242,6 +320,34 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     core_j = plan.plane[0] - 2 * hj  # local core block extents
     core_k = plan.plane[1] - 2 * hk
     lagB = plan.lag_max // block     # lag_max is padded to a block multiple
+
+    # BC-value-padded rings (fast_pad_fields): pad regions are written once
+    # at the first grid step and never touched again (plane writes store
+    # only the core window), so offset reads are pure static slices
+    if fast_fields:
+        @pl.when(gb == 0)
+        def _():
+            for f, (pj_f, pk_f, fill) in fast_fields.items():
+                if pj_f or pk_f:
+                    rings[f][...] = jnp.full(
+                        rings[f].shape, fill, rings[f].dtype)
+
+    def ring_store(field, slot, plane):
+        """Write a core-shaped plane into its (possibly padded) ring slot."""
+        if field in fast_fields:
+            pj_f, pk_f, _fill = fast_fields[field]
+            rings[field][pl.ds(slot, 1), pl.ds(pj_f, plan.plane[0]),
+                         pl.ds(pk_f, plan.plane[1])] = plane[None]
+        else:
+            rings[field][pl.ds(slot, 1)] = plane[None]
+
+    def ring_core(field, slot):
+        """Core-shaped plane from a (possibly padded) ring slot."""
+        if field in fast_fields:
+            pj_f, pk_f, _fill = fast_fields[field]
+            return rings[field][slot, pl.ds(pj_f, plan.plane[0]),
+                                pl.ds(pk_f, plan.plane[1])]
+        return rings[field][slot]
 
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
@@ -435,6 +541,21 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             target = q + jnp.int32(oi or 0)
             Wc = jnp.int32(W)
             slot = jax.lax.rem(jax.lax.rem(target, Wc) + Wc, Wc)
+            if field in fast_fields:
+                # BC-padded ring: the offset read is one static slice with
+                # exact boundary semantics (no roll / mask / select)
+                pj_f, pk_f, fill_f = fast_fields[field]
+                val = rings[field][slot,
+                                   pl.ds(pj_f + (oj or 0), plan.plane[0]),
+                                   pl.ds(pk_f + (ok or 0), plan.plane[1])]
+                if oi is not None and oi != 0:
+                    gtarget = origin[0] + target
+                    i_oob = (gtarget < 0) | (gtarget >= Ig)
+                    # fill_f IS this consumer's fill (eligibility enforces
+                    # one shared value across consumers)
+                    val = jnp.where(i_oob,
+                                    jnp.asarray(fill_f, val.dtype), val)
+                return val
             if field in spill_reads:
                 plane = spill_read(field,
                                    plan.lag[kname] - (oi or 0), slot, m)
@@ -490,7 +611,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             pln = plane_cache[field].reshape(pjj, pkk)
             return jnp.broadcast_to(pln, plan.plane), None
         slot, i_oob = ring_slot(field, oi, q)
-        return rings[field][slot], i_oob
+        return ring_core(field, slot), i_oob
 
     # transformed-plane cache for non-streamed (broadcast) fields
     static_transform_cache: Dict[Any, Any] = {}
@@ -580,7 +701,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 if name in spill_reads:
                     spill_write(name, slot, plane)
                 else:
-                    rings[name][pl.ds(slot, 1)] = plane[None]
+                    ring_store(name, slot, plane)
                 write_transforms(name, slot, plane)
 
         # 2. advance every stage one plane
@@ -606,7 +727,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                     if kname in spill_reads:
                         spill_write(kname, slot, result)
                     else:
-                        rings[kname][pl.ds(slot, 1)] = result[None]
+                        ring_store(kname, slot, result)
                     write_transforms(kname, slot, result)
 
             if kname in direct_set:
@@ -636,7 +757,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 + jnp.int32(m)
             for out_name, ref in ring_outs:
                 oslot = jax.lax.rem(p_out, jnp.int32(plan.ring[out_name]))
-                plane = rings[out_name][oslot]
+                plane = ring_core(out_name, oslot)
                 core = jax.lax.slice(plane, (hj, hk),
                                      (hj + core_j, hk + core_k))
                 ref[pl.ds(m, 1)] = core.reshape(1, core_j, core_k).astype(
@@ -701,6 +822,7 @@ def compile_chain_stream(program: ir.Program,
                          mxu_precision: str = "split",
                          block: int = 0,
                          spill: str = "auto",
+                         fast: str = "auto",
                          compute_dtype=None):
     """Build a jitted ``fn(inputs) -> outputs`` around the streaming kernel.
 
@@ -810,13 +932,6 @@ def compile_chain_stream(program: ir.Program,
             "lowering")
     jtiles, tile_jk, halo_jk, assets = chosen
     mxu_plans, pool_keys, pool_arrays, pool_meta, transform_keys, _ = assets
-    # chosen-configuration introspection (tests, report --verbose)
-    compile_chain_stream.last_config = {
-        "jtiles": jtiles, "tile_jk": tile_jk, "halo_jk": halo_jk,
-        "mxu_stages": sorted(mxu_plans),
-        "spilled": sorted(spilled_reads),
-        "vmem_bytes": trial_bytes,
-    }
 
     if block <= 0:
         if interpret:
@@ -835,19 +950,50 @@ def compile_chain_stream(program: ir.Program,
             block = max(1, min(block, I))
     plan = StreamPlan.build(analysis, local_jk=tile_jk, halo_jk=halo_jk,
                             block=block)
+    # BC-value-padded fast slice reads: single-chip untiled planes only
+    # (tiled/sharded planes need origin-based masks), and not under spill
+    # budget pressure
+    use_fast = (fast != "off" and jtiles == 1 and halo_jk == (0, 0)
+                and not spilled_reads)
+
+    def plan_fast(plan_):
+        return (fast_pad_fields(program, analysis, plan_, spilled_reads)
+                if use_fast else {})
+
     # the search sized plans at block=1; a larger block changes ring
     # depths (direct-emit alignment, lag padding) — re-audit the budget at
     # the final block and step down until it holds
+    fast_fields = plan_fast(plan)
     while block > 1 and not spilled_reads:
         total = plan.vmem_bytes(program, compute_dtype) + \
             plan.io_window_bytes(program, block,
                                  compute_dtype=compute_dtype) + \
-            assets_extra_vmem(plan, transform_keys, pool_keys, pool_arrays)
+            assets_extra_vmem(plan, transform_keys, pool_keys,
+                              pool_arrays) + \
+            fast_pad_extra_bytes(program, plan, fast_fields, compute_dtype)
         if total <= budget:
             break
         block = block // 2
         plan = StreamPlan.build(analysis, local_jk=tile_jk,
                                 halo_jk=halo_jk, block=block)
+        fast_fields = plan_fast(plan)
+    # pads that still overflow at block=1: drop the fast path, keep masks
+    if fast_fields and plan.vmem_bytes(program, compute_dtype) + \
+            plan.io_window_bytes(program, block,
+                                 compute_dtype=compute_dtype) + \
+            assets_extra_vmem(plan, transform_keys, pool_keys,
+                              pool_arrays) + \
+            fast_pad_extra_bytes(program, plan, fast_fields,
+                                 compute_dtype) > budget:
+        fast_fields = {}
+    # chosen-configuration introspection (tests, report --verbose)
+    compile_chain_stream.last_config = {
+        "jtiles": jtiles, "tile_jk": tile_jk, "halo_jk": halo_jk,
+        "mxu_stages": sorted(mxu_plans),
+        "spilled": sorted(spilled_reads),
+        "fast_fields": sorted(fast_fields),
+        "vmem_bytes": trial_bytes,
+    }
     hj, hk = plan.halo_jk
     pj, pk = plan.plane
     core_j = pj - 2 * hj
@@ -938,8 +1084,14 @@ def compile_chain_stream(program: ir.Program,
         out_shapes.append(jax.ShapeDtypeStruct(
             (plan.ring[f], pj, pk), ring_dtype(f)))
 
+    def ring_plane_shape(f):
+        if f in fast_fields:
+            fpj, fpk, _ = fast_fields[f]
+            return (pj + 2 * fpj, pk + 2 * fpk)
+        return (pj, pk)
+
     scratch_shapes = [
-        pltpu.VMEM((plan.ring[f], pj, pk), ring_dtype(f))
+        pltpu.VMEM((plan.ring[f],) + ring_plane_shape(f), ring_dtype(f))
         for f in plan.ring if f not in spilled_reads
     ]
     # derived rings of (L @ P @ R)-transformed planes, one per transform key
@@ -978,7 +1130,8 @@ def compile_chain_stream(program: ir.Program,
                                input_names, input_kinds, I, False,
                                mxu_plans, tuple(pool_keys), pool_meta,
                                tuple(transform_keys), block, jtiles > 1, 0,
-                               compute_dtype, interpret, spilled_reads)
+                               compute_dtype, interpret, spilled_reads,
+                               fast_fields)
 
     grid = (-(-I // block) + lagB,)
     semantics = ("arbitrary",)
@@ -1202,7 +1355,7 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
                                input_names, input_kinds, Ii, True,
                                mxu_plans, pool_keys, pool_meta,
                                transform_keys, 1, jtiles > 1, halo_i, None,
-                               interpret, spill_reads)
+                               interpret, spill_reads, {})
 
     assert plan.lag_max >= halo_i, \
         "sharded-i plans must be built with min_lag_max=halo_i"

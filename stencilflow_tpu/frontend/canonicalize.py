@@ -112,6 +112,82 @@ def version_program(ops: Sequence[Tuple[str, ir.KernelSpec]],
     return result
 
 
+def program_from_op_list(ops: Sequence, dimensions: Sequence[int],
+                         inputs: Dict, outputs: Sequence[str],
+                         name: str = "oplist",
+                         constants: Optional[Dict[str, float]] = None,
+                         vectorization: int = 1) -> ir.Program:
+    """Ordered-op-list frontend: the importer entry that DRIVES
+    :func:`version_program` (the reference's iterative-rebinding ingestion,
+    sdfg_to_stencilflow.py:590-632 — COSMO programs write the same field
+    repeatedly; the SDFG walk produced exactly such an op list).
+
+    ``ops`` is a sequence of ``(target, computation_string)`` or
+    ``(target, computation_string, boundary_conditions)`` or
+    ``(target, computation_string, boundary_conditions, data_type)``
+    tuples where targets MAY repeat (``b = f(a); b = f(b)``) and may read
+    their own previous version with offsets.  Reads resolve to the version
+    live at that point; the last write of each name keeps the bare name.
+    ``inputs``/``outputs``/``dimensions`` use the program-JSON dialect.
+    Returns a normal single-assignment :class:`~stencilflow_tpu.ir.Program`
+    (round-trips through ``cli canonicalize`` / ``program_to_json``).
+    """
+    from .parser import (_pad_computation_string, parse_computation,
+                         parse_program)
+    raw = tuple(int(d) for d in dimensions)
+    # reuse the JSON parser for input-spec normalization (dtype map,
+    # input_dims masks) by parsing a no-op probe program
+    targets = {op[0] for op in ops}
+    clash = targets & set(inputs)
+    if clash:
+        raise ValueError(
+            f"op target(s) {sorted(clash)} collide with input names; "
+            "rename the inputs (the final write keeps the bare name)")
+    probe = {
+        "inputs": inputs, "outputs": ["__probe__"],
+        "dimensions": list(raw),
+        "program": {"__probe__": {
+            "computation_string": "__probe__ = 0.0",
+            "boundary_conditions": {},
+            "data_type": "float32"}},
+    }
+    base = parse_program(probe, name="__probe__")
+    input_specs = base.inputs
+    masks = {n: sp.dim_mask for n, sp in input_specs.items()}
+    input_dims = {n: [it for it, m in zip(("i", "j", "k"), sp.dim_mask)
+                      if m]
+                  for n, sp in input_specs.items() if not all(sp.dim_mask)}
+    constants = dict(constants or {})
+
+    op_specs = []
+    for op in ops:
+        target, computation = op[0], op[1]
+        bcs_json = op[2] if len(op) > 2 and op[2] is not None else {}
+        dtype = np.dtype(op[3]) if len(op) > 3 and op[3] is not None \
+            else np.dtype(np.float32)
+        field_masks = dict(masks)
+        for t, _c in [(o[0], None) for o in ops]:
+            field_masks.setdefault(t, (True, True, True))
+        stmts = parse_computation(
+            target, _pad_computation_string(computation, len(raw)),
+            field_masks, input_dims, constants)
+        if stmts[-1].lhs != target:
+            raise ValueError(
+                f"op for {target!r} must end with an assignment to it")
+        bcs = {f: ir.BoundaryCondition.from_json(bc)
+               for f, bc in bcs_json.items()}
+        op_specs.append((target, ir.KernelSpec(
+            target, stmts, dtype, bcs, source=computation)))
+
+    kernels = version_program(op_specs, list(outputs))
+    dims3 = (1,) * (3 - len(raw)) + raw
+    return ir.Program(
+        name=name, dimensions=dims3, raw_dimensions=raw,
+        inputs=input_specs, outputs=list(outputs), kernels=kernels,
+        vectorization=vectorization,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Predication (reference: _MinMaxPredicator, _Predicator)
 # ---------------------------------------------------------------------------

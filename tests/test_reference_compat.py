@@ -83,3 +83,58 @@ def test_reference_program(path):
                              halo)
             got = prune_halo(res.outputs[o], program.raw_dimensions, halo)
             assert arrays_are_equal(exp, got), f"simulator mismatch on {o}"
+
+
+def test_vectorization_analysis_matches_reference_model():
+    """W drives the ANALYSIS exactly as in the reference — per-kernel
+    latency = ceil(tree_latency / W) (compute_graph.py:461-474), internal
+    buffer extents +W-1 in the fastest dim (compute_graph.py:146-161),
+    runtime lower bound = (N + critical_path) / W
+    (kernel_chain_graph.py:770-774) — while the TPU LOWERING is
+    W-neutral by design: the streamed plane IS the vector (8x128 VPU
+    lanes), so W changes no generated code (measured neutral on chip,
+    see RESULTS.md)."""
+    import copy
+    import json
+    import math
+
+    from stencilflow_tpu.config import OP_LATENCY
+
+    path = os.path.join(REF_STENCILS, "jacobi3d_32x32x32_8itr_8vec.json")
+    spec = json.load(open(path))
+    W = spec["vectorization"]
+    assert W > 1
+    p_vec = sft.parse_program(path)
+    spec1 = copy.deepcopy(spec)
+    spec1.pop("vectorization")
+    p_one = sft.parse_program(spec1, name="jacobi3d_unvec")
+
+    an_vec = ChainAnalysis.run(p_vec)
+    an_one = ChainAnalysis.run(p_one)
+
+    # reference latency of the 7-point star: 5 chained adds + 1 mult
+    # (left-assoc parse), +1 for the output node
+    tree = 5 * OP_LATENCY["add"] + OP_LATENCY["mult"] + 1
+    for k in p_vec.kernels:
+        assert an_one.kernel_latencies[k] == tree
+        assert an_vec.kernel_latencies[k] == math.ceil(tree / W)
+
+    # internal buffer extent: max-min per dim, +W-1 in the fastest dim
+    info1 = an_one.kernel_accesses["b0"]["a"]
+    infoW = an_vec.kernel_accesses["b0"]["a"]
+    assert info1.buffer_extent == (2, 2, 2)
+    assert infoW.buffer_extent == (2, 2, 2 + W - 1)
+
+    # runtime lower bound divides by W
+    N = p_vec.total_elements
+    assert an_vec.runtime_lower_bound() == \
+        (N + an_vec.critical_path_cycles) // W
+
+    # and the TPU lowering is W-neutral: identical bits from the
+    # streaming backend with and without W
+    from stencilflow_tpu.backend.stream import run_chain_stream
+    inputs = load_input_arrays(p_vec, seed=0)
+    out_vec = run_chain_stream(p_vec, inputs, interpret=True)
+    out_one = run_chain_stream(p_one, inputs, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_vec["b7"]),
+                                  np.asarray(out_one["b7"]))
