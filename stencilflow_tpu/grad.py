@@ -146,13 +146,20 @@ def fast_value_and_grad(program: ir.Program,
         fwd, _b = compile_chain_best(program, interpret=interpret)
         bwd, _b2 = compile_chain_best(adj, interpret=interpret)
 
+    # copy-BC transposes add embedded 1-D OOB-indicator inputs; load them
+    # once (they are compile-time constants of the adjoint program)
+    from .data import load_input_arrays
+    cot_names = set(cot.values())
+    extra_adj = {n: jnp.asarray(v) for n, v in
+                 load_input_arrays(adj).items() if n not in cot_names}
+
     @jax.jit
     def f(inputs: Dict[str, Any]):
         outputs = fwd(inputs)
         val, ct = jax.value_and_grad(loss)(outputs)
         adj_in = {cot[o]: ct[o].reshape(tuple(adj.dimensions))
                   for o in program.outputs}
-        adj_out = bwd(adj_in)
+        adj_out = bwd({**adj_in, **extra_adj})
         grads = {n: adj_out[f"adj_{n}"].reshape(jnp.shape(inputs[n]))
                  for n in wrt}
         return val, grads
@@ -210,11 +217,10 @@ def adjoint_program(program: ir.Program,
                 f"kernel {kname!r} is not affine with constant "
                 "coefficients; use value_and_grad for the general path")
         for bc in kspec.boundary_conditions.values():
-            if bc.kind != ir.BCKind.CONSTANT:
+            if bc.kind == ir.BCKind.SHRINK:
                 raise ValueError(
-                    f"kernel {kname!r} has a non-constant boundary "
-                    "condition; the stencil transpose requires constant "
-                    "BCs")
+                    f"kernel {kname!r} has a shrink boundary condition; "
+                    "its junk halo has no meaningful adjoint")
         coeffs[kname] = c
 
     analysis = ChainAnalysis.run(program)
@@ -243,6 +249,35 @@ def adjoint_program(program: ir.Program,
                          (f"{it}+{o}" if o > 0 else f"{it}-{-o}"))
         return "[" + ", ".join(parts) + "]"
 
+    # 1-D out-of-bounds indicator inputs for copy-BC boundary terms,
+    # registered on demand: ind[x_d] = 1 iff x_d + o leaves dim d.  The
+    # union over dims factorizes through these per-dim masks, so the
+    # position-dependent transpose of an edge-clamp read stays inside the
+    # dialect (lower-rank inputs with input_dims).
+    mask_inputs: Dict[str, Dict] = {}
+    mask_dtype = dtype_to_str(max(
+        (np.dtype(k.dtype) for k in program.kernels.values()),
+        key=lambda d: d.itemsize))
+
+    def oob_mask_name(d: int, o: int) -> str:
+        name = f"oob_{'ijk'[d]}_{'m' if o < 0 else 'p'}{abs(o)}"
+        if name not in mask_inputs:
+            D = program.dimensions[d]
+            data = [1.0 if (x + o < 0 or x + o >= D) else 0.0
+                    for x in range(D)]
+            mask_inputs[name] = {"data": data, "data_type": mask_dtype,
+                                 "input_dims": ["ijk"[d]]}
+        return name
+
+    def oob_expr(offsets) -> str:
+        """Indicator that the forward read at +offsets left the domain."""
+        factors = [f"{oob_mask_name(d, o)}[{'ijk'[d]}]"
+                   for d, o in enumerate(offsets) if o]
+        if len(factors) == 1:
+            return factors[0]
+        return "(1.0 - " + " * ".join(f"(1.0 - {m})"
+                                      for m in factors) + ")"
+
     # per field: terms contributed by each consumer's adjoint
     def consumer_terms(f: str):
         terms = []
@@ -255,11 +290,20 @@ def adjoint_program(program: ir.Program,
                                       for k in
                                       analysis.graph.consumers(c)))
                    else adj_name(c))
+            bc = program.kernels[c].boundary_conditions.get(f)
             for key, w in coeffs[c].items():
                 if key == ("const",) or key[0] != f or w == 0.0:
                     continue
                 terms.append(f"{w!r} * {src}{idx(key[1])}")
                 reads.add(src)
+                # transpose of a copy-BC (edge-clamp-to-center) read: the
+                # OOB positions scattered their weight onto their own
+                # center, so the adjoint adds w * oob_o(x) * cot[x]
+                if bc is not None and bc.kind == ir.BCKind.COPY and \
+                        any(o for o in key[1] if o):
+                    offs = tuple(o or 0 for o in key[1])
+                    terms.append(
+                        f"{w!r} * {oob_expr(offs)} * {src}[i, j, k]")
         return terms, reads
 
     kernels: Dict[str, Dict] = {}
@@ -299,10 +343,11 @@ def adjoint_program(program: ir.Program,
 
     spec = {
         "inputs": {
-            cot[o]: {"data": "constant:1.0",
-                     "data_type": dtype_to_str(
-                         program.kernels[o].dtype)}
-            for o in program.outputs
+            **{cot[o]: {"data": "constant:1.0",
+                        "data_type": dtype_to_str(
+                            program.kernels[o].dtype)}
+               for o in program.outputs},
+            **mask_inputs,
         },
         "outputs": [adj_name(n) for n in wrt],
         # padded 3-D dims: the adjoint strings use full [i, j, k] indices
