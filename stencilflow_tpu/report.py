@@ -138,7 +138,11 @@ class Report:
 
         # cumulative-halo exchange: per sharded dim, both directions, for
         # every full-domain input field (domain.py exchanges inputs once
-        # per evaluation with the chain-cumulative halo)
+        # per evaluation with the chain-cumulative halo).  Exchanges run
+        # dim-by-dim, so later dims' slabs span the already-widened
+        # earlier dims (corner traffic) — validated EXACTLY against the
+        # collective-permute bytes of the compiled sharded HLO
+        # (tests/test_mesh_model.py).
         ici_bytes = 0
         for name, spec in self.program.inputs.items():
             if spec.is_scalar:
@@ -149,8 +153,14 @@ class Report:
                     continue
                 cross = 1
                 for o in range(3):
-                    if o != d and spec.dim_mask[o]:
-                        cross *= local[o]
+                    if o == d or not spec.dim_mask[o]:
+                        continue
+                    w = local[o]
+                    if o < d and shards[o] > 1 and halo[o]:
+                        # earlier-exchanged dim: the slab spans its
+                        # widened extent (corner traffic)
+                        w += 2 * halo[o]
+                    cross *= w
                 ici_bytes += 2 * halo[d] * cross * isz
         t_ici = ici_bytes / ici_bandwidth
         t_step = t_comp + t_ici          # no compute/comm overlap assumed
