@@ -162,8 +162,8 @@ class StreamPlan:
 
 def fast_pad_fields(program: ir.Program, analysis: ChainAnalysis,
                     plan: StreamPlan,
-                    spilled: Optional[Dict[str, Any]] = None
-                    ) -> Dict[str, Tuple[int, int, float]]:
+                    spilled: Optional[Dict[str, Any]] = None,
+                    mode: str = "j") -> Dict[str, Tuple[int, int, float]]:
     """Fields whose ring planes can carry BC-value padding, making every
     (j, k)-offset read a single static slice — no circular roll, no iota
     mask, no select (the interior-read cost that capped shallow chains at
@@ -218,6 +218,12 @@ def fast_pad_fields(program: ir.Program, analysis: ChainAnalysis,
             for a in accs:
                 pj = max(pj, abs(a[1] or 0))
                 pk = max(pk, abs(a[2] or 0))
+        if mode == "j":
+            # sublane-only padding: k stays at the exact lane width (a
+            # k-pad adds a whole extra 128-lane tile to every ring op —
+            # measured 18-40% slower than roll+mask); k-offset reads
+            # keep the roll+mask path on the j-sliced plane
+            pk = 0
         if ok_field:
             out[f] = (pj, pk, fill if fill is not None else 0.0)
     return out
@@ -262,6 +268,12 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         transform_keys, block, jtiled, emit_off,
                         compute_dtype, interpret, spill_reads, fast_fields,
                         *refs):
+    # fast_fields: {} (masked reads), a padding dict (fast_pad_fields),
+    # or the string "shift" (shift-in-fill concat reads, no ring changes)
+    shift_mode = fast_fields == "shift"
+    if shift_mode:
+        fast_fields = {}
+    fast_shift = (shift_mode and not sharded and not jtiled)
     """One grid step: ingest ``block`` input planes, advance every stage
     ``block`` planes, emit ``block`` output planes (micro-steps amortize the
     per-grid-step pipeline overhead).  With ``sharded`` the first ref is a
@@ -517,6 +529,29 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         dma.start()
         dma.wait()
 
+    def _shift_fill(x, o, axis, fill):
+        """result[p] = x[p + o] along ``axis``, fill shifted in at the
+        border — one slice + one concat, replacing roll (2 slices +
+        concat) + iota-mask select.  Exact constant/shrink BC semantics
+        on an unwidened domain-spanning plane at origin 0."""
+        n0, n1 = x.shape
+        fillv = jnp.asarray(fill, x.dtype)
+        if axis == 0:
+            if o > 0:
+                parts = [jax.lax.slice(x, (o, 0), (n0, n1)),
+                         jnp.full((o, n1), fillv, x.dtype)]
+            else:
+                parts = [jnp.full((-o, n1), fillv, x.dtype),
+                         jax.lax.slice(x, (0, 0), (n0 + o, n1))]
+        else:
+            if o > 0:
+                parts = [jax.lax.slice(x, (0, o), (n0, n1)),
+                         jnp.full((n0, o), fillv, x.dtype)]
+            else:
+                parts = [jnp.full((n0, -o), fillv, x.dtype),
+                         jax.lax.slice(x, (0, 0), (n0, n1 + o))]
+        return jnp.concatenate(parts, axis=axis)
+
     def make_read(kname, q, m=0):
         bcs = program.kernels[kname].boundary_conditions
 
@@ -525,6 +560,12 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 return scalar_cache[field]
             oi, oj, ok = offsets
             bc = bcs.get(field)
+            use_shift = (fast_shift and
+                         (bc is None or bc.kind != ir.BCKind.COPY))
+            fillv = (bc.value if bc is not None and
+                     bc.kind == ir.BCKind.CONSTANT else
+                     JUNK_VAL if bc is not None and
+                     bc.kind == ir.BCKind.SHRINK else 0.0)
             if field in plane_cache:
                 plane = plane_cache[field]
                 spec = program.inputs[field]
@@ -533,6 +574,12 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 pk = plan.plane[1] if spec.dim_mask[2] else 1
                 plane = plane.reshape(pj, pk)
                 plane = jnp.broadcast_to(plane, plan.plane)
+                if use_shift:
+                    if oj:
+                        plane = _shift_fill(plane, oj, 0, fillv)
+                    if ok:
+                        plane = _shift_fill(plane, ok, 1, fillv)
+                    return plane
                 return read_access_tile(plane, (oj, ok), bc,
                                         (origin[1], origin[2]),
                                         plan.halo_jk, (J, K),
@@ -541,13 +588,39 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             target = q + jnp.int32(oi or 0)
             Wc = jnp.int32(W)
             slot = jax.lax.rem(jax.lax.rem(target, Wc) + Wc, Wc)
+            if use_shift and field not in spill_reads:
+                val = rings[field][slot]
+                if oj:
+                    val = _shift_fill(val, oj, 0, fillv)
+                if ok:
+                    val = _shift_fill(val, ok, 1, fillv)
+                if oi is not None and oi != 0:
+                    gtarget = origin[0] + target
+                    i_oob = (gtarget < 0) | (gtarget >= Ig)
+                    val = jnp.where(i_oob,
+                                    jnp.asarray(fillv, val.dtype), val)
+                return val
             if field in fast_fields:
-                # BC-padded ring: the offset read is one static slice with
-                # exact boundary semantics (no roll / mask / select)
+                # BC-padded ring: the j (and in "jk" mode k) offset read
+                # is one static slice with exact boundary semantics (no
+                # roll / mask / select in the padded dims)
                 pj_f, pk_f, fill_f = fast_fields[field]
-                val = rings[field][slot,
-                                   pl.ds(pj_f + (oj or 0), plan.plane[0]),
-                                   pl.ds(pk_f + (ok or 0), plan.plane[1])]
+                if pk_f == 0 and (ok or 0) != 0:
+                    base = rings[field][slot,
+                                        pl.ds(pj_f + (oj or 0),
+                                              plan.plane[0]), :]
+                    # k component: roll + k-only mask (the j-pad rows are
+                    # uniform fill, so the roll keeps them correct)
+                    val = read_access_tile(base, (0, ok), bc,
+                                           (origin[1], origin[2]),
+                                           plan.halo_jk, (J, K),
+                                           cache=mask_cache)
+                else:
+                    val = rings[field][slot,
+                                       pl.ds(pj_f + (oj or 0),
+                                             plan.plane[0]),
+                                       pl.ds(pk_f + (ok or 0),
+                                             plan.plane[1])]
                 if oi is not None and oi != 0:
                     gtarget = origin[0] + target
                     i_oob = (gtarget < 0) | (gtarget >= Ig)
@@ -952,12 +1025,17 @@ def compile_chain_stream(program: ir.Program,
                             block=block)
     # BC-value-padded fast slice reads: single-chip untiled planes only
     # (tiled/sharded planes need origin-based masks), and not under spill
-    # budget pressure
-    use_fast = (fast != "off" and jtiles == 1 and halo_jk == (0, 0)
-                and not spilled_reads)
+    # budget pressure.  "auto" = "j" (sublane-only padding; the full "jk"
+    # variant measured 18-40% SLOWER on chip — extra lane tiles + RMW
+    # stores — and stays available for explicit experiments)
+    use_fast = (fast not in ("off", "shift") and jtiles == 1
+                and halo_jk == (0, 0) and not spilled_reads)
+    use_shift = (fast == "shift" and jtiles == 1 and halo_jk == (0, 0))
+    fast_mode = "jk" if fast == "jk" else "j"
 
     def plan_fast(plan_):
-        return (fast_pad_fields(program, analysis, plan_, spilled_reads)
+        return (fast_pad_fields(program, analysis, plan_, spilled_reads,
+                                mode=fast_mode)
                 if use_fast else {})
 
     # the search sized plans at block=1; a larger block changes ring
@@ -992,6 +1070,8 @@ def compile_chain_stream(program: ir.Program,
         "mxu_stages": sorted(mxu_plans),
         "spilled": sorted(spilled_reads),
         "fast_fields": sorted(fast_fields),
+        "fast_mode": ("shift" if use_shift else
+                      fast_mode if fast_fields else "off"),
         "vmem_bytes": trial_bytes,
     }
     hj, hk = plan.halo_jk
@@ -1131,7 +1211,7 @@ def compile_chain_stream(program: ir.Program,
                                mxu_plans, tuple(pool_keys), pool_meta,
                                tuple(transform_keys), block, jtiles > 1, 0,
                                compute_dtype, interpret, spilled_reads,
-                               fast_fields)
+                               "shift" if use_shift else fast_fields)
 
     grid = (-(-I // block) + lagB,)
     semantics = ("arbitrary",)

@@ -335,8 +335,11 @@ class TestReport:
         assert s2["halo"] == [8, 8, 8]
         assert 0 < s4["parallel_efficiency"] < s2["parallel_efficiency"] <= 1
         assert s4["scaled_gcell_s"] > s2["scaled_gcell_s"]
-        # exchange volume: 2 sharded dims x (2 dirs x halo 8 x 64x32 cross)
-        assert s2["ici_bytes_per_device"] == 2 * (2 * 8 * 64 * 32 * 4)
+        # exchange volume: j slabs (2 dirs x halo 8 x 64x32 cross), then
+        # k slabs across the j-WIDENED extent (corner traffic, validated
+        # against compiled HLO in tests/test_mesh_model.py)
+        assert s2["ici_bytes_per_device"] == \
+            (2 * 8 * 64 * 32 + 2 * 8 * 64 * (32 + 16)) * 4
         with pytest.raises(ValueError):
             r.mesh_scaling({"x": 3}, (None, "x", None))
 

@@ -329,6 +329,8 @@ class TestOpListFrontend:
             [sys.executable, "-m", "stencilflow_tpu.cli", "canonicalize",
              str(src), "-o", str(dst)],
             capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(
+                __file__))),
             env={**os.environ, "JAX_PLATFORMS": "cpu"})
         assert r.returncode == 0, r.stderr
         p3 = sft.parse_program(str(dst))
