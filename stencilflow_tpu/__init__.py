@@ -20,8 +20,8 @@ from .ir import (Access, Assign, BCKind, BinOp, BoolOp, BoundaryCondition,
 from .frontend.parser import parse_program, StencilSyntaxError
 from .frontend.chain import ChainGraph, CycleError
 from .frontend.analysis import ChainAnalysis, flatten_index
-from .frontend.canonicalize import (canonicalize, program_from_op_list,
-                                    version_program)
+from .frontend.canonicalize import (canonicalize, nest_dimension,
+                                    program_from_op_list, version_program)
 from .frontend.trace import trace_program
 from .frontend.export import program_to_json
 from .grad import (adjoint_program, fast_value_and_grad, grad,
@@ -41,7 +41,8 @@ __all__ = [
     "parse_program", "StencilSyntaxError",
     "ChainGraph", "CycleError",
     "ChainAnalysis", "flatten_index",
-    "canonicalize", "program_from_op_list", "version_program",
+    "canonicalize", "nest_dimension", "program_from_op_list",
+    "version_program",
     "trace_program", "program_to_json",
     "compose_iterations", "iterate", "make_step",
     "adjoint_program", "fast_value_and_grad", "grad", "value_and_grad",

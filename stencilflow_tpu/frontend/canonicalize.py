@@ -188,6 +188,56 @@ def program_from_op_list(ops: Sequence, dimensions: Sequence[int],
     )
 
 
+def nest_dimension(program: ir.Program, extent: int,
+                   inputs_spanning: Optional[Sequence[str]] = None
+                   ) -> ir.Program:
+    """Collapse an outer loop into the stencil domain (the reference's
+    ``NestK`` transformation, stencil/nestk.py:41-176): a 2-D program
+    applied independently across ``extent`` vertical levels becomes one
+    3-D program whose padded leading dim spans the levels.
+
+    ``inputs_spanning`` names the inputs that gain the new dim (their
+    data then has one 2-D slice per level, the loop's indexed array);
+    default: every non-scalar input.  Inputs left out stay lower-rank
+    (broadcast across levels — the loop-invariant arrays).  Kernel code
+    is unchanged — accesses keep a zero offset in the new dim, exactly
+    DimensionAdder's access/shape update.
+    """
+    if program.dimensions[0] != 1 or len(program.raw_dimensions) != 2:
+        raise ValueError(
+            "nest_dimension lifts a 2-D program into the padded leading "
+            f"dim; program spans {program.raw_dimensions}")
+    if extent < 1:
+        raise ValueError("extent must be >= 1")
+    if inputs_spanning is None:
+        inputs_spanning = [n for n, sp in program.inputs.items()
+                           if not sp.is_scalar]
+    unknown = [n for n in inputs_spanning if n not in program.inputs]
+    if unknown:
+        raise ValueError(f"unknown input(s) {unknown}")
+
+    program = copy.deepcopy(program)
+    spanning = set(inputs_spanning)
+    for name, spec in program.inputs.items():
+        if name in spanning and not spec.is_scalar:
+            spec.dim_mask = (True,) + tuple(spec.dim_mask[1:])
+    # accesses of newly spanning inputs: the None (unspanned) entry in the
+    # lifted dim becomes offset 0
+    def lift(e: ir.Expr) -> ir.Expr:
+        if isinstance(e, ir.Access) and e.field in spanning and \
+                e.offsets[0] is None:
+            return ir.Access(e.field, (0,) + tuple(e.offsets[1:]))
+        return e
+
+    for kspec in program.kernels.values():
+        kspec.statements[:] = [ir.Assign(s.lhs, rewrite_expr(s.rhs, lift))
+                               for s in kspec.statements]
+    program.dimensions = (extent,) + tuple(program.dimensions[1:])
+    program.raw_dimensions = (extent,) + tuple(program.raw_dimensions)
+    program.name = f"{program.name}_nested{extent}"
+    return program
+
+
 # ---------------------------------------------------------------------------
 # Predication (reference: _MinMaxPredicator, _Predicator)
 # ---------------------------------------------------------------------------

@@ -360,3 +360,56 @@ class TestOpListFrontend:
         with pytest.raises(ValueError, match="never written"):
             sft.program_from_op_list(self.OPS, (4, 8, 8), self.INPUTS,
                                      outputs=["zzz"])
+
+
+class TestNestDimension:
+    """nest_dimension = the reference's NestK (stencil/nestk.py:41-176):
+    collapse a vertical loop of 2-D stencils into the 3-D domain."""
+
+    def test_per_level_equivalence(self):
+        from stencilflow_tpu.synthesize import jacobi
+        p2 = sft.parse_program(jacobi(2, 16, iterations=2), name="nk")
+        p3 = sft.nest_dimension(p2, extent=6)
+        assert p3.dimensions == (6, 16, 16)
+        assert p3.raw_dimensions == (6, 16, 16)
+        rng = np.random.default_rng(0)
+        stack = rng.random((6, 16, 16)).astype(np.float32)
+        out3 = sft.run_interpreter(p3, {"a": stack})
+        o = p3.outputs[0]
+        per = np.stack([
+            np.asarray(sft.run_interpreter(p2, {"a": stack[i]})[o])
+            for i in range(6)])
+        np.testing.assert_array_equal(per, np.asarray(out3[o]))
+
+    def test_loop_invariant_inputs_stay_broadcast(self):
+        p2 = sft.parse_program({
+            "inputs": {"a": {"data": "random:0,1", "data_type": "float32"},
+                       "w": {"data": "random:0,1",
+                             "data_type": "float32"}},
+            "outputs": ["b"], "dimensions": [12, 12],
+            "program": {"b": {
+                "computation_string": "b = a[j-1,k]*w[j,k] + a[j,k+1]",
+                "boundary_conditions": {
+                    "a": {"type": "constant", "value": 0.5},
+                    "w": {"type": "constant", "value": 0.0}},
+                "data_type": "float32"}}}, name="nk2")
+        p3 = sft.nest_dimension(p2, 4, inputs_spanning=["a"])
+        assert p3.inputs["a"].dim_mask == (True, True, True)
+        assert p3.inputs["w"].dim_mask == (False, True, True)
+        rng = np.random.default_rng(1)
+        a4 = rng.random((4, 12, 12)).astype(np.float32)
+        w = rng.random((12, 12)).astype(np.float32)
+        out = sft.run_interpreter(p3, {"a": a4, "w": w})
+        per = np.stack([
+            np.asarray(sft.run_interpreter(p2, {"a": a4[i], "w": w})["b"])
+            for i in range(4)])
+        np.testing.assert_array_equal(per, np.asarray(out["b"]))
+
+    def test_rejections(self):
+        from stencilflow_tpu.synthesize import jacobi
+        p3 = sft.parse_program(jacobi(3, 8, iterations=1), name="nk3")
+        with pytest.raises(ValueError, match="2-D program"):
+            sft.nest_dimension(p3, 4)
+        p2 = sft.parse_program(jacobi(2, 8, iterations=1), name="nk4")
+        with pytest.raises(ValueError, match="unknown input"):
+            sft.nest_dimension(p2, 4, inputs_spanning=["zzz"])
