@@ -262,6 +262,13 @@ def _blocked_rows(full: np.ndarray, T: int = BLOCK_T):
     twin = -(-twin // _BLOCK_ALIGN) * _BLOCK_ALIGN
     if twin > (3 * n) // 4:   # band too wide vs the plane: keep full
         return None
+    # MXU contraction granularity is 128 lanes: blocking only cuts real
+    # flops when the window spans fewer 128-chunks than the plane.  At
+    # n=256 a radius-2 window (twin ~136) still fills 2 chunks == the
+    # full plane — measured neutral on chip (RESULTS.md), so keep the
+    # simpler full matmul there and block only from n >= 384.
+    if -(-twin // 128) >= -(-n // 128):
+        return None
     starts = [max(0, min(s, n - twin)) for s in starts]
     blocks = np.stack([full[t * T:(t + 1) * T, s:s + twin]
                        for t, s in enumerate(starts)])
