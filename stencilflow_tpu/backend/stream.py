@@ -1023,11 +1023,21 @@ def compile_chain_stream(program: ir.Program,
             block = max(1, min(block, I))
     plan = StreamPlan.build(analysis, local_jk=tile_jk, halo_jk=halo_jk,
                             block=block)
-    # BC-value-padded fast slice reads: single-chip untiled planes only
-    # (tiled/sharded planes need origin-based masks), and not under spill
-    # budget pressure.  "auto" = "j" (sublane-only padding; the full "jk"
-    # variant measured 18-40% SLOWER on chip — extra lane tiles + RMW
-    # stores — and stays available for explicit experiments)
+    # Fast-read policy, measured on chip (same-day A/B, 256^3/128^3
+    # jacobi chains — see RESULTS.md):
+    #   * "shift" (shift-in-fill concat: one slice + one concat replacing
+    #     roll + iota mask + select) wins at K >= 256 where a roll spans
+    #     multiple 128-lane tiles anyway (+6% deep, parity shallow);
+    #   * at K <= 128 a roll is a single-vreg lane rotate and beats the
+    #     cross-boundary concat (-17%), so the masked path stays;
+    #   * BC-value ring padding loses everywhere it adds lane tiles
+    #     ("jk": -18..-40%) or RMW stores on shallow chains ("j": -12%
+    #     shallow, +6% deep) — both remain selectable for experiments.
+    # All variants are single-chip untiled only (tiled/sharded planes
+    # need origin-based masks).
+    if fast == "auto":
+        eff_k = (tile_jk[1] if tile_jk else K)
+        fast = "shift" if (jtiles == 1 and eff_k >= 256) else "off"
     use_fast = (fast not in ("off", "shift") and jtiles == 1
                 and halo_jk == (0, 0) and not spilled_reads)
     use_shift = (fast == "shift" and jtiles == 1 and halo_jk == (0, 0))
