@@ -1,0 +1,492 @@
+"""Panel-mode streaming backend: B stacked planes per grid step.
+
+The plane-streaming kernel (backend/stream.py) issues every VPU op at
+(J, K) plane granularity and unrolls ``block`` micro-steps in Python —
+at small planes (128^2 = one lane tile x 16 sublane groups) the per-op
+issue overhead and the per-grid-step pipeline overhead dominate
+(measured: 128^3 x8 runs at 0.57 of its roofline vs 0.81 at 256^3).
+
+Panel mode stores each field's ring as (depth, B*J, K) *panels* — B
+consecutive i-planes stacked along the sublane dimension — and computes
+whole panels per stage step:
+
+* an i-offset read is pure ROW ARITHMETIC: rows [base + oi*J + oj, ...)
+  of two consecutive ring panels concatenated — i-offsets and j-offsets
+  share one slice, so the per-access cost collapses to ~(2 slices +
+  concat + 1 seam select), and the warmup/drain i-selects disappear into
+  the same seam mask;
+* ops are B× larger and B× fewer, amortizing Mosaic issue overhead and
+  eliminating the Python unroll (compile time drops with it);
+* stage lags round up to whole panels (the alignment algebra of
+  stream.py in panel units): lagP(c) = max_f(lagP(f) + ceil(max_oi/B)).
+
+The j-plane seams between stacked planes coincide with the j boundary
+of every plane, so ONE periodic iota mask per (j-offset) both fixes the
+seams and applies the global j BC.  k reads follow the measured policy
+of stream.py (shift-in-fill concat at K >= 256, roll + mask below).
+
+Scope (callers fall back to stream.py otherwise): single chip, untiled
+planes, VPU stages only (no MXU banded lowering), no HBM spill.  All
+BC kinds (constant / copy / shrink) and input ranks are supported.
+
+Reference lineage: same dataflow as the plane streamer — the FPGA
+shift-register pipeline of /root/reference/stencilflow/stencil/
+intel_fpga.py:367-440 with panels as the vectorization unit (the W-lane
+concept of intel_fpga.py:84-137 realized along the sublane axis).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import config, ir
+from ..config import JUNK_VAL
+from ..frontend.analysis import ChainAnalysis
+from .tile_eval import eval_kernel_statements
+
+
+def _access_geometry(oi: int, oj: int, B: int, J: int):
+    """Row geometry of a panel-pair read.
+
+    A read at (oi, oj) of field f by a stage computing panel qp takes
+    rows [start, start + B*J) of the two consecutive ring panels
+    (qp + h - 1, qp + h) stacked; rows outside the pair's valid planes
+    are seam/boundary rows that the j/i masks overwrite.  Returns
+    ``(h, start)`` with ``0 <= start <= B*J`` guaranteed.
+    """
+    BJ = B * J
+    h = -(-oi // B) if oi > 0 else 0
+    start = BJ + (oi - h * B) * J + oj
+    if start > BJ:
+        h += 1
+        start -= BJ
+    elif start < 0:
+        h -= 1
+        start += BJ
+    assert 0 <= start <= BJ, (oi, oj, B, J, start)
+    return h, start
+
+
+@dataclasses.dataclass
+class PanelPlan:
+    B: int                       # planes per panel
+    lagp: Dict[str, int]         # per field: panel lag
+    ring: Dict[str, int]         # per field: ring depth in panels
+    lagp_max: int
+
+    @classmethod
+    def build(cls, analysis: ChainAnalysis, B: int) -> "PanelPlan":
+        program = analysis.program
+
+        def i_range(kname, field):
+            accs = program.kernels[kname].accesses()[field]
+            offs = [a[0] or 0 for a in accs]
+            bc = program.kernels[kname].boundary_conditions.get(field)
+            if bc is not None and bc.kind == ir.BCKind.COPY:
+                offs.append(0)   # copy center
+            if not offs:
+                return (0, 0)
+            return (min(0, min(offs)), max(0, max(offs)))
+
+        lagp: Dict[str, int] = {
+            n: 0 for n, sp in program.inputs.items()
+            if not sp.is_scalar and sp.dim_mask[0]}
+        for kname in analysis.graph.kernel_order:
+            lag = 0
+            for f in analysis.graph.producers(kname):
+                if f not in lagp and f in program.inputs:
+                    continue   # static / scalar input
+                hi = i_range(kname, f)[1]
+                lag = max(lag, lagp[f] + -(-hi // B))
+            lagp[kname] = lag
+        lagp_max = max(lagp[o] for o in program.outputs)
+
+        ring: Dict[str, int] = {}
+        dims = program.dimensions
+        for f in lagp:
+            depth = 2    # minimum: a (previous, current) pair
+            for c in analysis.graph.consumers(f):
+                if c not in program.kernels:
+                    continue
+                kspec = program.kernels[c]
+                accs = list(kspec.accesses().get(f, ()))
+                bc = kspec.boundary_conditions.get(f)
+                if bc is not None and bc.kind == ir.BCKind.COPY:
+                    accs.append((0, 0, 0))
+                for a in accs:
+                    h, _start = _access_geometry(a[0] or 0, a[1] or 0,
+                                                 B, dims[1])
+                    # oldest panel touched: qp + h - 1 = g - lagp[c]
+                    # + h - 1; newest retained: g - lagp[f]
+                    depth = max(depth,
+                                (lagp[c] - lagp[f]) - h + 1 + 1)
+            ring[f] = depth
+        return cls(B, lagp, ring, lagp_max)
+
+    def vmem_bytes(self, program: ir.Program, J: int, K: int) -> int:
+        total = 0
+        for f, depth in self.ring.items():
+            isz = np.dtype(program.field_dtype(f)).itemsize
+            total += depth * self.B * J * K * isz
+        return total
+
+
+def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
+                      plan: PanelPlan, input_names, input_kinds,
+                      shiftk: bool, interpret: bool, *refs):
+    B = plan.B
+    dims = program.dimensions
+    I, J, K = dims
+    BJ = B * J
+    n_in = len(input_names)
+    n_out = len(program.outputs)
+    in_refs = refs[:n_in]
+    out_refs = refs[n_in:n_in + n_out]
+    rings = dict(zip(plan.ring, refs[n_in + n_out:]))
+    g = pl.program_id(0)
+
+    # row -> in-plane j and panel-local plane index (static iotas, shared)
+    row_j = jax.lax.broadcasted_iota(jnp.int32, (BJ, K), 0) % J
+    row_p = jax.lax.broadcasted_iota(jnp.int32, (BJ, K), 0) // J
+
+    scalar_cache: Dict[str, Any] = {}
+    plane_cache: Dict[str, Any] = {}
+    for name, kind, ref in zip(input_names, input_kinds, in_refs):
+        if kind == "scalar":
+            scalar_cache[name] = ref[0, 0]
+        elif kind == "static":
+            spec = program.inputs[name]
+            pj = J if spec.dim_mask[1] else 1
+            pk = K if spec.dim_mask[2] else 1
+            plane = jnp.broadcast_to(ref[...].reshape(pj, pk), (J, K))
+            plane_cache[name] = jnp.concatenate([plane] * B, axis=0) \
+                if B > 1 else plane
+
+    pair_cache: Dict[Any, Any] = {}
+    jmask_cache: Dict[Any, Any] = {}
+    kmask_cache: Dict[Any, Any] = {}
+    imask_cache: Dict[Any, Any] = {}
+
+    def ring_pair(field, behind):
+        """(2*BJ, K) stack of ``field``'s panels (g-behind-1, g-behind);
+        ``behind`` is static, so the stack is cached per (field, behind)
+        and shared across all reads of this grid step."""
+        key = (field, behind)
+        if key in pair_cache:
+            return pair_cache[key]
+        pidx = g - jnp.int32(behind)
+        D = jnp.int32(plan.ring[field])
+        s1 = jax.lax.rem(jax.lax.rem(pidx, D) + D, D)
+        s0 = jax.lax.rem(jax.lax.rem(pidx - 1, D) + D, D)
+        stack = jnp.concatenate([rings[field][s0], rings[field][s1]],
+                                axis=0)
+        pair_cache[key] = stack
+        return stack
+
+    def _shift_fill_k(x, o, fill):
+        n0, n1 = x.shape
+        fv = jnp.asarray(fill, x.dtype)
+        if o > 0:
+            return jnp.concatenate(
+                [jax.lax.slice(x, (0, o), (n0, n1)),
+                 jnp.full((n0, o), fv, x.dtype)], axis=1)
+        return jnp.concatenate(
+            [jnp.full((n0, -o), fv, x.dtype),
+             jax.lax.slice(x, (0, 0), (n0, n1 + o))], axis=1)
+
+    def _roll_k(x, o):
+        return jnp.roll(x, -o, axis=1)
+
+    def make_read(kname, qp):
+        """Read fn for stage ``kname`` computing output panel ``qp``
+        (panel index; planes [qp*B, qp*B + B))."""
+        kspec = program.kernels[kname]
+        bcs = kspec.boundary_conditions
+
+        def read(field, offsets):
+            if field in scalar_cache:
+                return scalar_cache[field]
+            oi, oj, ok = (offsets[0] or 0, offsets[1] or 0,
+                          offsets[2] or 0)
+            bc = bcs.get(field)
+            fillv = (bc.value if bc is not None and
+                     bc.kind == ir.BCKind.CONSTANT else
+                     JUNK_VAL if bc is not None and
+                     bc.kind == ir.BCKind.SHRINK else 0.0)
+            is_copy = bc is not None and bc.kind == ir.BCKind.COPY
+
+            if field in plane_cache:
+                val = plane_cache[field]
+                center = val
+                # static planes are i-invariant: oi needs no shift, only
+                # its boundary mask (handled in the union below for copy)
+                if oj:
+                    val = jnp.roll(val, -oj, axis=0)
+                if ok:
+                    val = _roll_k(val, ok)
+                rows = val.shape[0]
+                masks = []
+                if oj:
+                    masks.append(_jmask(oj) if rows == BJ else None)
+                    if rows != BJ:
+                        t = jax.lax.broadcasted_iota(
+                            jnp.int32, (rows, K), 0) + oj
+                        masks[-1] = (t < 0) | (t >= J)
+                if oi:
+                    tgt = row_p + qp * B + oi
+                    masks.append((tgt < 0) | (tgt >= I))
+                if ok:
+                    masks.append(_kmask(ok, rows))
+                m = None
+                for mm in masks:
+                    m = mm if m is None else (m | mm)
+                if m is None:
+                    return val
+                return jnp.where(m, center if is_copy else
+                                 jnp.asarray(fillv, val.dtype), val)
+
+            h, start = _access_geometry(oi, oj, B, J)
+            behind = plan.lagp[kname] - h   # pair top = g - behind
+            stack = ring_pair(field, behind)
+            val = jax.lax.slice(stack, (start, 0), (start + BJ, K))
+
+            def imask():
+                mkey = (plan.lagp[kname], oi)
+                if mkey not in imask_cache:
+                    tgt = row_p + qp * B + oi
+                    imask_cache[mkey] = (tgt < 0) | (tgt >= I)
+                return imask_cache[mkey]
+
+            if is_copy:
+                # copy BC: shift every dim first, then ONE union mask
+                # selecting the unshifted center (per-dim masking would
+                # re-shift already-masked center values)
+                cstack = ring_pair(field, plan.lagp[kname])
+                center = jax.lax.slice(cstack, (BJ, 0), (2 * BJ, K))
+                if ok:
+                    val = _roll_k(val, ok)
+                m = None
+                for mm in ((_jmask(oj) if oj else None),
+                           (imask() if oi else None),
+                           (_kmask(ok, BJ) if ok else None)):
+                    if mm is not None:
+                        m = mm if m is None else (m | mm)
+                return jnp.where(m, center, val) if m is not None else val
+
+            # constant / shrink: the fill is uniform, so per-dim masking
+            # and shift-fill commute
+            if oj:
+                val = jnp.where(_jmask(oj),
+                                jnp.asarray(fillv, val.dtype), val)
+            if oi:
+                val = jnp.where(imask(),
+                                jnp.asarray(fillv, val.dtype), val)
+            if ok:
+                if shiftk:
+                    val = _shift_fill_k(val, ok, fillv)
+                else:
+                    val = jnp.where(_kmask(ok, BJ),
+                                    jnp.asarray(fillv, val.dtype),
+                                    _roll_k(val, ok))
+            return val
+
+        return read
+
+    def _jmask(oj):
+        if oj in jmask_cache:
+            return jmask_cache[oj]
+        t = row_j + oj
+        m = (t < 0) | (t >= J)
+        jmask_cache[oj] = m
+        return m
+
+    def _kmask(ok, rows):
+        key = (ok, rows)
+        if key not in kmask_cache:
+            t = jax.lax.broadcasted_iota(jnp.int32, (rows, K), 1) + ok
+            kmask_cache[key] = (t < 0) | (t >= K)
+        return kmask_cache[key]
+
+    # 1. ingest this step's input panel
+    n_panels = I // B
+    for name, kind, ref in zip(input_names, input_kinds, in_refs):
+        if kind not in ("stream", "stream_partial"):
+            continue
+
+        @pl.when(g < n_panels)
+        def _(name=name, kind=kind, ref=ref):
+            slot = jax.lax.rem(g, jnp.int32(plan.ring[name]))
+            if kind == "stream":
+                panel = ref[...].reshape(BJ, K)
+            else:
+                spec = program.inputs[name]
+                pj = J if spec.dim_mask[1] else 1
+                pk = K if spec.dim_mask[2] else 1
+                plane = jnp.broadcast_to(ref[...].reshape(B, pj, pk),
+                                         (B, J, K))
+                panel = plane.reshape(BJ, K)
+            rings[name][pl.ds(slot, 1)] = panel[None]
+
+    # 2. advance every stage one panel
+    out_ref_of = dict(zip(program.outputs, out_refs))
+    for kname in analysis.graph.kernel_order:
+        kspec = program.kernels[kname]
+        qp = g - jnp.int32(plan.lagp[kname])
+        result = eval_kernel_statements(kspec, make_read(kname, qp))
+        result = jnp.asarray(result)
+        if result.shape != (BJ, K):
+            result = jnp.broadcast_to(result, (BJ, K))
+        result = result.astype(
+            jax.dtypes.canonicalize_dtype(kspec.dtype))
+
+        # this stage's panel was just produced: drop any cached pair of
+        # it so later same-step consumers see the fresh slot
+        for key in [k for k in pair_cache if k[0] == kname]:
+            del pair_cache[key]
+
+        @pl.when(qp >= 0)
+        def _(kname=kname, result=result, qp=qp):
+            slot = jax.lax.rem(qp, jnp.int32(plan.ring[kname]))
+            rings[kname][pl.ds(slot, 1)] = result[None]
+
+        if kname in out_ref_of:
+            oref = out_ref_of[kname]
+
+            @pl.when((qp >= 0) & (qp < n_panels))
+            def _(oref=oref, result=result):
+                oref[...] = result.reshape(B, J, K).astype(oref.dtype)
+
+
+def compile_chain_panel(program: ir.Program,
+                        analysis: Optional[ChainAnalysis] = None,
+                        panel: int = 0,
+                        interpret: bool = False,
+                        vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET):
+    """Panel-mode streaming compile; raises ValueError when the program
+    shape doesn't fit this lowering (callers fall back to stream.py)."""
+    analysis = analysis or ChainAnalysis.run(program)
+    dims = program.dimensions
+    I, J, K = dims
+    if panel <= 0:
+        # target ~64-128 sublane rows per op; at least 2 panels of work
+        panel = max(1, min(512 // J if J <= 512 else 1, I // 2)) or 1
+        while panel > 1 and I % panel:
+            panel -= 1
+    if I % panel or panel < 1:
+        raise ValueError(f"panel {panel} must divide I={I}")
+    B = panel
+    # every i-offset must fit within one neighboring panel
+    for kname, kspec in program.kernels.items():
+        for f, accs in kspec.accesses().items():
+            for a in accs:
+                if abs(a[0] or 0) > B:
+                    raise ValueError(
+                        f"i-offset {a[0]} exceeds panel size {B}")
+    plan = PanelPlan.build(analysis, B)
+    budget = 0.7 * vmem_budget
+    if plan.vmem_bytes(program, J, K) > budget:
+        raise ValueError("panel rings exceed the VMEM budget")
+    shiftk = K >= 256
+
+    input_names = list(program.inputs)
+    input_kinds = []
+    in_specs = []
+    n_panels = I // B
+    for name in input_names:
+        spec = program.inputs[name]
+        if spec.is_scalar:
+            input_kinds.append("scalar")
+            in_specs.append(pl.BlockSpec((1, 1), lambda g: (0, 0),
+                                         memory_space=pltpu.SMEM))
+        elif spec.dim_mask[0]:
+            full = spec.dim_mask[1] and spec.dim_mask[2]
+            input_kinds.append("stream" if full else "stream_partial")
+            jk = [d for d in (1, 2) if spec.dim_mask[d]]
+            sizes = [B] + [(J, K)[d - 1] for d in jk]
+            in_specs.append(pl.BlockSpec(
+                tuple(sizes),
+                lambda g, n=len(jk), np_=n_panels:
+                    (jnp.minimum(g, np_ - 1),) + (0,) * n,
+                memory_space=pltpu.VMEM))
+        else:
+            input_kinds.append("static")
+            spanned = [d for d in (1, 2) if spec.dim_mask[d]]
+            in_specs.append(pl.BlockSpec(
+                tuple((J, K)[d - 1] for d in spanned),
+                lambda g, n=len(spanned): (0,) * n,
+                memory_space=pltpu.VMEM))
+
+    out_specs = []
+    out_shapes = []
+    for out in program.outputs:
+        c = plan.lagp[out]
+        out_specs.append(pl.BlockSpec(
+            (B, J, K),
+            lambda g, c=c, np_=n_panels: (jnp.clip(g - c, 0, np_ - 1),
+                                          0, 0),
+            memory_space=pltpu.VMEM))
+        out_dtype = jax.dtypes.canonicalize_dtype(
+            program.kernels[out].dtype)
+        out_shapes.append(jax.ShapeDtypeStruct((I, J, K), out_dtype))
+
+    scratch_shapes = [
+        pltpu.VMEM((plan.ring[f], B * J, K),
+                   jax.dtypes.canonicalize_dtype(program.field_dtype(f)))
+        for f in plan.ring
+    ]
+
+    kernel = functools.partial(_panel_kernel_body, program, analysis,
+                               plan, input_names, input_kinds, shiftk,
+                               interpret)
+    grid = (n_panels + plan.lagp_max,)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs[0] if len(out_specs) == 1 else out_specs,
+        out_shape=out_shapes[0] if len(out_shapes) == 1 else out_shapes,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=min(vmem_budget + 16 * 2**20,
+                                 config.TPU_VMEM_PHYSICAL)),
+    )
+    compile_chain_panel.last_config = {"panel": B, "lagp": dict(plan.lagp),
+                                       "ring": dict(plan.ring)}
+
+    raw = program.raw_dimensions
+
+    def forward(inputs: Dict[str, Any]) -> Dict[str, Any]:
+        args = []
+        for name in input_names:
+            spec = program.inputs[name]
+            arr = jnp.asarray(inputs[name])
+            if spec.is_scalar:
+                args.append(arr.reshape(1, 1))
+                continue
+            spanned = [d for d in range(3) if spec.dim_mask[d]]
+            args.append(arr.reshape(tuple(dims[d] for d in spanned)))
+        res = call(*args)
+        if len(out_shapes) == 1:
+            res = (res,)
+        return {o: r.reshape(raw)
+                for o, r in zip(program.outputs, res)}
+
+    return jax.jit(forward)
+
+
+def run_chain_panel(program: ir.Program, inputs: Dict[str, Any],
+                    interpret: bool = False, panel: int = 0
+                    ) -> Dict[str, np.ndarray]:
+    fn = compile_chain_panel(program, interpret=interpret, panel=panel)
+    out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
+    return {k: np.asarray(v) for k, v in out.items()}

@@ -575,3 +575,72 @@ class TestMultiChip:
         from stencilflow_tpu.parallel.domain import DomainDecomposition
         with pytest.raises(ValueError):
             DomainDecomposition.plan(p, mesh, (None, "x", None))
+
+
+class TestPanelBackend:
+    """Panel-mode streaming kernel (backend/panel.py): B stacked planes
+    per grid step; i/j offsets collapse to row arithmetic."""
+
+    @pytest.mark.parametrize("boundary", ["constant", "copy", "shrink"])
+    @pytest.mark.parametrize("B", [2, 4])
+    def test_jacobi3d_boundaries(self, boundary, B):
+        from stencilflow_tpu.backend.panel import run_chain_panel
+        p = _program_jacobi3d(size=16, iters=3, boundary=boundary)
+        inputs = sft.load_input_arrays(p, seed=60)
+        ref = _oracle(p, inputs)["s2"]
+        got = run_chain_panel(p, inputs, interpret=True, panel=B)["s2"]
+        np.testing.assert_array_equal(got, ref)
+
+    def test_mixed_rank_inputs_and_multi_axis_copy(self):
+        from stencilflow_tpu.backend.panel import run_chain_panel
+        p = sft.parse_program(synthesize_stencil(
+            num_stages=2, dimensions=(8, 16, 16), shape="hotspot"),
+            name="pnl_hot")
+        inputs = sft.load_input_arrays(p, seed=61)
+        ref = _oracle(p, inputs)
+        got = run_chain_panel(p, inputs, interpret=True, panel=4)
+        for o in p.outputs:
+            np.testing.assert_allclose(got[o], ref[o], rtol=3e-5,
+                                       atol=1e-6)
+        # multi-axis offsets with copy BC (union-mask regression)
+        spec = {
+            "inputs": {"a": {"data": "random:-1,1",
+                             "data_type": "float32"}},
+            "outputs": ["y"], "dimensions": [8, 12, 12],
+            "program": {
+                "m": {"computation_string":
+                      "m = 0.5*a[i-2,j+2,k+2] + a[i+1,j-1,k-1]",
+                      "boundary_conditions": {
+                          "a": {"type": "copy", "value": 0.0}},
+                      "data_type": "float32"},
+                "y": {"computation_string": "y = m[i,j,k] + m[i,j+1,k-1]",
+                      "boundary_conditions": {
+                          "m": {"type": "copy", "value": 0.0}},
+                      "data_type": "float32"}}}
+        p2 = sft.parse_program(spec, name="pnl_diag_copy")
+        inputs2 = sft.load_input_arrays(p2, seed=62)
+        ref2 = _oracle(p2, inputs2)["y"]
+        got2 = run_chain_panel(p2, inputs2, interpret=True, panel=4)["y"]
+        np.testing.assert_array_equal(got2, ref2)
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_fuzz_matches_oracle(self, seed):
+        import os as _os
+        import sys as _sys
+        _sys.path.insert(0, _os.path.dirname(__file__))
+        from test_fuzz import make_random_program
+        from stencilflow_tpu.backend.panel import run_chain_panel
+        rng = np.random.default_rng(700 + seed)
+        p = sft.parse_program(make_random_program(rng, seed),
+                              name=f"pnlf{seed}")
+        B = (4 if p.dimensions[0] % 4 == 0 else
+             2 if p.dimensions[0] % 2 == 0 else 1)
+        inputs = sft.load_input_arrays(p, seed=2)
+        ref = _oracle(p, inputs)
+        try:
+            got = run_chain_panel(p, inputs, interpret=True, panel=B)
+        except ValueError:
+            pytest.skip("shape outside panel-mode scope")
+        for o in p.outputs:
+            np.testing.assert_allclose(got[o], ref[o], rtol=3e-5,
+                                       atol=1e-6)
