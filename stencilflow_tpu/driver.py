@@ -137,6 +137,11 @@ def run_program(stencil_file, mode: str = "emulation",
                                               mxu_precision=mxu_precision,
                                               spill=spill),
                          "stream")
+        elif backend == "panel":
+            from .backend.panel import compile_chain_panel
+            fn, bname = (compile_chain_panel(program, analysis,
+                                             interpret=interpret),
+                         "panel")
         elif backend == "pallas":
             from .backend.pallas import compile_chain_pallas
             fn, bname = (compile_chain_pallas(program, analysis,
