@@ -34,7 +34,7 @@ def main():
                          " ~0.94 of the VPU roofline vs ~0.79 at 256^3)")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--backend", default="auto",
-                    choices=["auto", "stream", "pallas", "xla"])
+                    choices=["auto", "stream", "panel", "pallas", "xla"])
     ap.add_argument("--workload", default="jacobi",
                     choices=["jacobi", "jacobi2d", "box", "hotspot",
                              "hdiff"],
@@ -95,6 +95,9 @@ def main():
     elif args.backend == "stream":
         from stencilflow_tpu.backend.stream import compile_chain_stream
         fn, backend = compile_chain_stream(program), "stream"
+    elif args.backend == "panel":
+        from stencilflow_tpu.backend.panel import compile_chain_panel
+        fn, backend = compile_chain_panel(program), "panel"
     elif args.backend == "pallas":
         from stencilflow_tpu.backend.pallas import compile_chain_pallas
         fn, backend = compile_chain_pallas(program), "pallas"
