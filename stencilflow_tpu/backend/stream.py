@@ -269,11 +269,17 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         compute_dtype, interpret, spill_reads, fast_fields,
                         *refs):
     # fast_fields: {} (masked reads), a padding dict (fast_pad_fields),
-    # or the string "shift" (shift-in-fill concat reads, no ring changes)
+    # or the string "shift" (shift-in-fill concat reads, no ring changes).
+    # The j component needs the plane to span the whole j domain at
+    # origin 0 (untiled, unsharded); the k component only needs the same
+    # in k — which j-tiling preserves (tiles cut j, never k), so large
+    # j-tiled 2-D planes still get shift-fill k reads.
     shift_mode = fast_fields == "shift"
     if shift_mode:
         fast_fields = {}
     fast_shift = (shift_mode and not sharded and not jtiled)
+    fast_shift_k = (shift_mode and not sharded
+                    and plan.halo_jk[1] == 0)
     """One grid step: ingest ``block`` input planes, advance every stage
     ``block`` planes, emit ``block`` output planes (micro-steps amortize the
     per-grid-step pipeline overhead).  With ``sharded`` the first ref is a
@@ -574,9 +580,18 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 pk = plan.plane[1] if spec.dim_mask[2] else 1
                 plane = plane.reshape(pj, pk)
                 plane = jnp.broadcast_to(plane, plan.plane)
-                if use_shift:
+                use_shift_k = (fast_shift_k and
+                               (bc is None or
+                                bc.kind != ir.BCKind.COPY))
+                if use_shift or use_shift_k:
                     if oj:
-                        plane = _shift_fill(plane, oj, 0, fillv)
+                        if use_shift:
+                            plane = _shift_fill(plane, oj, 0, fillv)
+                        else:
+                            plane = read_access_tile(
+                                plane, (oj, 0), bc,
+                                (origin[1], origin[2]),
+                                plan.halo_jk, (J, K), cache=mask_cache)
                     if ok:
                         plane = _shift_fill(plane, ok, 1, fillv)
                     return plane
@@ -588,10 +603,18 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             target = q + jnp.int32(oi or 0)
             Wc = jnp.int32(W)
             slot = jax.lax.rem(jax.lax.rem(target, Wc) + Wc, Wc)
-            if use_shift and field not in spill_reads:
+            use_shift_k = (fast_shift_k and
+                           (bc is None or bc.kind != ir.BCKind.COPY))
+            if (use_shift or use_shift_k) and field not in spill_reads:
                 val = rings[field][slot]
                 if oj:
-                    val = _shift_fill(val, oj, 0, fillv)
+                    if use_shift:
+                        val = _shift_fill(val, oj, 0, fillv)
+                    else:
+                        # j-tiled: j keeps the origin-based mask
+                        val = read_access_tile(
+                            val, (oj, 0), bc, (origin[1], origin[2]),
+                            plan.halo_jk, (J, K), cache=mask_cache)
                 if ok:
                     val = _shift_fill(val, ok, 1, fillv)
                 if oi is not None and oi != 0:
@@ -1037,10 +1060,12 @@ def compile_chain_stream(program: ir.Program,
     # need origin-based masks).
     if fast == "auto":
         eff_k = (tile_jk[1] if tile_jk else K)
-        fast = "shift" if (jtiles == 1 and eff_k >= 256) else "off"
+        fast = "shift" if eff_k >= 256 else "off"
     use_fast = (fast not in ("off", "shift") and jtiles == 1
                 and halo_jk == (0, 0) and not spilled_reads)
-    use_shift = (fast == "shift" and jtiles == 1 and halo_jk == (0, 0))
+    # shift applies fully untiled; under j-tiling only the k component
+    # is shift-filled (kernel body decides per dim)
+    use_shift = fast == "shift"
     fast_mode = "jk" if fast == "jk" else "j"
 
     def plan_fast(plan_):
