@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "stream", "panel", "pallas", "xla"])
+    ap.add_argument("--panel", type=int, default=0,
+                    help="panel size B for --backend panel (0 = auto)")
+    ap.add_argument("--fast", default="auto",
+                    help="interior-read mode for --backend stream"
+                         " (auto/off/shift/j/jk — see backend/stream.py)")
     ap.add_argument("--workload", default="jacobi",
                     choices=["jacobi", "jacobi2d", "box", "hotspot",
                              "hdiff"],
@@ -94,10 +99,10 @@ def main():
         fn, backend = compile_chain_best(program)
     elif args.backend == "stream":
         from stencilflow_tpu.backend.stream import compile_chain_stream
-        fn, backend = compile_chain_stream(program), "stream"
+        fn, backend = compile_chain_stream(program, fast=args.fast), "stream"
     elif args.backend == "panel":
         from stencilflow_tpu.backend.panel import compile_chain_panel
-        fn, backend = compile_chain_panel(program), "panel"
+        fn, backend = compile_chain_panel(program, panel=args.panel), "panel"
     elif args.backend == "pallas":
         from stencilflow_tpu.backend.pallas import compile_chain_pallas
         fn, backend = compile_chain_pallas(program), "pallas"
@@ -127,11 +132,18 @@ def main():
         return best
 
     # the device tunnel adds noisy per-dispatch latency: difference two
-    # loop lengths, best-of-N trials each
-    small, big, trials = (2, 10, 3) if not on_tpu else (6, 30, 5)
-    dt = (timed(big, trials) - timed(small, trials)) / (big - small)
-
+    # loop lengths, best-of-N trials each.  Loop lengths scale inversely
+    # with domain size so the differenced on-device time stays >> tunnel
+    # jitter (at 128^3 the old fixed (6, 30) differenced only ~2.5 ms of
+    # work against ~35 ms of tunnel overhead — pure noise, measured
+    # "throughputs" up to 39x the roofline).
     cells = float(np.prod(program.dimensions))
+    if not on_tpu:
+        small, big, trials = 2, 10, 3
+    else:
+        big = int(min(3840, max(30, round(30 * (512**3 / cells)))))
+        small, trials = max(6, big // 5), 5
+    dt = (timed(big, trials) - timed(small, trials)) / (big - small)
     gcell_s = cells / dt / 1e9
 
     report = Report.build(program)

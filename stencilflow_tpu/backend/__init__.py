@@ -28,10 +28,25 @@ def compile_chain_best(program, analysis=None, interpret: bool = False,
         return compile_chain(program, analysis), "xla"
     try:
         from .stream import compile_chain_stream
-        return (compile_chain_stream(program, analysis,
-                                     interpret=interpret, mxu=mxu,
-                                     mxu_precision=mxu_precision,
-                                     spill=spill), "stream")
+        fn = compile_chain_stream(program, analysis,
+                                  interpret=interpret, mxu=mxu,
+                                  mxu_precision=mxu_precision,
+                                  spill=spill)
+        cfg = compile_chain_stream.last_config
+        I, J, _K = program.dimensions
+        if (J < 256 and I >= 16 and cfg["jtiles"] == 1
+                and not cfg["mxu_stages"] and not cfg["spilled"]):
+            # measured policy (RESULTS.md round-2 table): panel mode wins
+            # at small planes (128^3 x8: 13.4 vs 11.0 GCell/s) and ties at
+            # 256^3; MXU-eligible, j-tiled, and spilled chains stay on the
+            # plane streamer.
+            try:
+                from .panel import compile_chain_panel
+                return (compile_chain_panel(program, analysis,
+                                            interpret=interpret), "panel")
+            except (ValueError, NotImplementedError):
+                pass
+        return fn, "stream"
     except (ValueError, NotImplementedError):
         pass
     try:

@@ -1046,16 +1046,18 @@ def compile_chain_stream(program: ir.Program,
             block = max(1, min(block, I))
     plan = StreamPlan.build(analysis, local_jk=tile_jk, halo_jk=halo_jk,
                             block=block)
-    # Fast-read policy, measured on chip (same-day A/B, 256^3/128^3
-    # jacobi chains — see RESULTS.md):
+    # Fast-read policy, measured on chip (same-day A/B with scaled loop
+    # lengths, 512^3/256^3/128^3 jacobi chains — see RESULTS.md round-2
+    # corrected table):
     #   * "shift" (shift-in-fill concat: one slice + one concat replacing
     #     roll + iota mask + select) wins at K >= 256 where a roll spans
-    #     multiple 128-lane tiles anyway (+6% deep, parity shallow);
-    #   * at K <= 128 a roll is a single-vreg lane rotate and beats the
-    #     cross-boundary concat (-17%), so the masked path stays;
+    #     multiple 128-lane tiles anyway (+3-5% deep incl. the 512^3
+    #     headline, parity shallow);
+    #   * at K <= 128 a roll is a single-vreg lane rotate and shift is
+    #     measured neutral (11.05 vs 11.09), so the masked path stays;
     #   * BC-value ring padding loses everywhere it adds lane tiles
-    #     ("jk": -18..-40%) or RMW stores on shallow chains ("j": -12%
-    #     shallow, +6% deep) — both remain selectable for experiments.
+    #     ("jk": -18..-40%) or RMW stores on shallow chains ("j") —
+    #     both remain selectable for experiments.
     # All variants are single-chip untiled only (tiled/sharded planes
     # need origin-based masks).
     if fast == "auto":
