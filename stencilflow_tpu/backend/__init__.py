@@ -33,13 +33,13 @@ def compile_chain_best(program, analysis=None, interpret: bool = False,
                                   mxu_precision=mxu_precision,
                                   spill=spill)
         cfg = compile_chain_stream.last_config
-        I, J, _K = program.dimensions
-        if (J < 256 and I >= 16 and cfg["jtiles"] == 1
-                and not cfg["mxu_stages"] and not cfg["spilled"]):
-            # measured policy (RESULTS.md round-2 table): panel mode wins
-            # at small planes (128^3 x8: 13.4 vs 11.0 GCell/s) and ties at
-            # 256^3; MXU-eligible, j-tiled, and spilled chains stay on the
-            # plane streamer.
+        if (cfg["jtiles"] == 1 and not cfg["mxu_stages"]
+                and not cfg["spilled"]):
+            # measured policy (RESULTS.md round-2 table): gated panel mode
+            # beats the plane streamer on every untiled VPU chain measured
+            # (jacobi 128^3 +56%, 256^3 +19%, 512^3 +8%, hotspot +25%) and
+            # ties shallow HBM-bound chains; MXU-eligible, j-tiled, and
+            # spilled chains stay on the plane streamer.
             try:
                 from .panel import compile_chain_panel
                 return (compile_chain_panel(program, analysis,

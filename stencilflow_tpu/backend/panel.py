@@ -335,33 +335,38 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 panel = plane.reshape(BJ, K)
             rings[name][pl.ds(slot, 1)] = panel[None]
 
-    # 2. advance every stage one panel
+    # 2. advance every stage one panel.  The whole stage — reads,
+    # compute, ring + output stores — is gated on the stage being live
+    # (0 <= qp < n_panels): during pipeline fill/drain inactive stages
+    # cost nothing.  (Ungated compute with gated stores measured exactly
+    # the structural-waste prediction at 128^3 B=4: 0.668 = 0.840 x
+    # 256 live panel-stages / 320 grid-stage slots.)  Panels >= n_panels
+    # are never stored; every read of them is i-masked (tgt >= I), so
+    # stale ring slots are unobservable.  Read caches are cleared at
+    # region entry: a tracer cached inside one pl.when region must not
+    # leak into a sibling region, and same-step consumers must re-read
+    # the ring slot their producer stored this step.
     out_ref_of = dict(zip(program.outputs, out_refs))
     for kname in analysis.graph.kernel_order:
         kspec = program.kernels[kname]
         qp = g - jnp.int32(plan.lagp[kname])
-        result = eval_kernel_statements(kspec, make_read(kname, qp))
-        result = jnp.asarray(result)
-        if result.shape != (BJ, K):
-            result = jnp.broadcast_to(result, (BJ, K))
-        result = result.astype(
-            jax.dtypes.canonicalize_dtype(kspec.dtype))
 
-        # this stage's panel was just produced: drop any cached pair of
-        # it so later same-step consumers see the fresh slot
-        for key in [k for k in pair_cache if k[0] == kname]:
-            del pair_cache[key]
-
-        @pl.when(qp >= 0)
-        def _(kname=kname, result=result, qp=qp):
+        @pl.when((qp >= 0) & (qp < n_panels))
+        def _(kname=kname, kspec=kspec, qp=qp):
+            pair_cache.clear()
+            jmask_cache.clear()
+            kmask_cache.clear()
+            imask_cache.clear()
+            result = eval_kernel_statements(kspec, make_read(kname, qp))
+            result = jnp.asarray(result)
+            if result.shape != (BJ, K):
+                result = jnp.broadcast_to(result, (BJ, K))
+            result = result.astype(
+                jax.dtypes.canonicalize_dtype(kspec.dtype))
             slot = jax.lax.rem(qp, jnp.int32(plan.ring[kname]))
             rings[kname][pl.ds(slot, 1)] = result[None]
-
-        if kname in out_ref_of:
-            oref = out_ref_of[kname]
-
-            @pl.when((qp >= 0) & (qp < n_panels))
-            def _(oref=oref, result=result):
+            if kname in out_ref_of:
+                oref = out_ref_of[kname]
                 oref[...] = result.reshape(B, J, K).astype(oref.dtype)
 
 
@@ -376,8 +381,11 @@ def compile_chain_panel(program: ir.Program,
     dims = program.dimensions
     I, J, K = dims
     if panel <= 0:
-        # target ~64-128 sublane rows per op; at least 2 panels of work
-        panel = max(1, min(512 // J if J <= 512 else 1, I // 2)) or 1
+        # target ~1024 sublane rows per op (measured plateau: 128^3 B=4/8/16
+        # all 17.3-17.4, 256^3 B=4/8 both ~20, 384^3 B=2 > B=1); J >= 512
+        # stays at B=1 — single planes already saturate (1.05 roofline) and
+        # B=2 rings at (1024, 512) push Mosaic compile past 5 minutes
+        panel = max(1, min(1024 // J if J < 512 else 1, I // 2)) or 1
         while panel > 1 and I % panel:
             panel -= 1
     if I % panel or panel < 1:
