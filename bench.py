@@ -34,7 +34,7 @@ def main():
                          " ~0.94 of the VPU roofline vs ~0.79 at 256^3)")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--backend", default="auto",
-                    choices=["auto", "stream", "panel", "pallas", "xla"])
+                    choices=["auto", "stream", "panel", "overlap", "pallas", "xla"])
     ap.add_argument("--panel", type=int, default=0,
                     help="panel size B for --backend panel (0 = auto)")
     ap.add_argument("--fast", default="auto",
@@ -103,6 +103,10 @@ def main():
     elif args.backend == "panel":
         from stencilflow_tpu.backend.panel import compile_chain_panel
         fn, backend = compile_chain_panel(program, panel=args.panel), "panel"
+    elif args.backend == "overlap":
+        from stencilflow_tpu.backend.overlap import compile_chain_overlap
+        fn = compile_chain_overlap(program, panel=args.panel)
+        backend = "overlap"
     elif args.backend == "pallas":
         from stencilflow_tpu.backend.pallas import compile_chain_pallas
         fn, backend = compile_chain_pallas(program), "pallas"

@@ -644,3 +644,79 @@ class TestPanelBackend:
         for o in p.outputs:
             np.testing.assert_allclose(got[o], ref[o], rtol=3e-5,
                                        atol=1e-6)
+
+
+class TestOverlapBackend:
+    """Overlap-mode shallow-chain kernel (backend/overlap.py): rings only
+    for inputs; stages recomputed over i-overlapped blocks with static
+    slice reads."""
+
+    @pytest.mark.parametrize("boundary", ["constant", "copy", "shrink"])
+    @pytest.mark.parametrize("B", [4, 8])
+    def test_jacobi3d_boundaries(self, boundary, B):
+        from stencilflow_tpu.backend.overlap import run_chain_overlap
+        p = _program_jacobi3d(size=16, iters=3, boundary=boundary)
+        inputs = sft.load_input_arrays(p, seed=70)
+        ref = _oracle(p, inputs)["s2"]
+        got = run_chain_overlap(p, inputs, interpret=True, panel=B)["s2"]
+        np.testing.assert_array_equal(got, ref)
+
+    def test_single_panel_whole_domain(self):
+        # B == I: one panel, neighbors fully masked
+        from stencilflow_tpu.backend.overlap import run_chain_overlap
+        p = _program_jacobi3d(size=16, iters=2)
+        inputs = sft.load_input_arrays(p, seed=71)
+        ref = _oracle(p, inputs)["s1"]
+        got = run_chain_overlap(p, inputs, interpret=True, panel=16)["s1"]
+        np.testing.assert_array_equal(got, ref)
+
+    def test_mixed_rank_inputs_and_multi_axis_copy(self):
+        from stencilflow_tpu.backend.overlap import run_chain_overlap
+        p = sft.parse_program(synthesize_stencil(
+            num_stages=2, dimensions=(8, 16, 16), shape="hotspot"),
+            name="ovl_hot")
+        inputs = sft.load_input_arrays(p, seed=72)
+        ref = _oracle(p, inputs)
+        got = run_chain_overlap(p, inputs, interpret=True, panel=4)
+        for o in p.outputs:
+            np.testing.assert_allclose(got[o], ref[o], rtol=3e-5,
+                                       atol=1e-6)
+        spec = {
+            "inputs": {"a": {"data": "random:-1,1",
+                             "data_type": "float32"}},
+            "outputs": ["y"], "dimensions": [8, 12, 12],
+            "program": {
+                "m": {"computation_string":
+                      "m = 0.5*a[i-2,j+2,k+2] + a[i+1,j-1,k-1]",
+                      "boundary_conditions": {
+                          "a": {"type": "copy", "value": 0.0}},
+                      "data_type": "float32"},
+                "y": {"computation_string": "y = m[i,j,k] + m[i,j+1,k-1]",
+                      "boundary_conditions": {
+                          "m": {"type": "copy", "value": 0.0}},
+                      "data_type": "float32"}}}
+        p2 = sft.parse_program(spec, name="ovl_diag_copy")
+        inputs2 = sft.load_input_arrays(p2, seed=73)
+        ref2 = _oracle(p2, inputs2)["y"]
+        got2 = run_chain_overlap(p2, inputs2, interpret=True, panel=4)["y"]
+        np.testing.assert_array_equal(got2, ref2)
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_fuzz_matches_oracle(self, seed):
+        import os as _os
+        import sys as _sys
+        _sys.path.insert(0, _os.path.dirname(__file__))
+        from test_fuzz import make_random_program
+        from stencilflow_tpu.backend.overlap import run_chain_overlap
+        rng = np.random.default_rng(730 + seed)
+        p = sft.parse_program(make_random_program(rng, seed),
+                              name=f"ovlf{seed}")
+        inputs = sft.load_input_arrays(p, seed=2)
+        ref = _oracle(p, inputs)
+        try:
+            got = run_chain_overlap(p, inputs, interpret=True)
+        except ValueError:
+            pytest.skip("shape outside overlap-mode scope")
+        for o in p.outputs:
+            np.testing.assert_allclose(got[o], ref[o], rtol=3e-5,
+                                       atol=1e-6)
