@@ -41,6 +41,36 @@ def _is_stencil_node(node: dict) -> bool:
             and "code" in attrs)
 
 
+def _has_state_loop(sdfg: dict) -> bool:
+    """Detect a control-flow back edge in the serialized state machine
+    (recursing nested SDFGs).  The reference rejects any remaining loop
+    after canonicalization (RemoveLoop, then error at
+    /root/reference/stencilflow/sdfg_to_stencilflow.py:281-284)."""
+    adj: Dict[str, List[str]] = {}
+    for e in sdfg.get("edges", []):
+        adj.setdefault(str(e.get("src")), []).append(str(e.get("dst")))
+    color: Dict[str, int] = {}
+
+    def dfs(u: str) -> bool:
+        color[u] = 1
+        for v in adj.get(u, ()):
+            c = color.get(v, 0)
+            if c == 1 or (c == 0 and dfs(v)):
+                return True
+        color[u] = 2
+        return False
+
+    if any(color.get(u, 0) == 0 and dfs(u) for u in list(adj)):
+        return True
+    for state in sdfg.get("nodes", []):
+        for node in state.get("nodes", []):
+            if node.get("type") == "NestedSDFG":
+                inner = node.get("attributes", {}).get("sdfg")
+                if inner and _has_state_loop(inner):
+                    return True
+    return False
+
+
 def _walk_stencil_nodes(sdfg: dict) -> List[dict]:
     """All Stencil library nodes in state order, recursing nested SDFGs
     (reference: the topological order walk, :555-588)."""
@@ -153,6 +183,11 @@ def sdfg_to_program(source, name: Optional[str] = None,
         sdfg = source
         name = name or sdfg.get("attributes", {}).get("name", "sdfg")
 
+    if _has_state_loop(sdfg):
+        raise ValueError(
+            "SDFG contains a control-flow loop; unroll or canonicalize "
+            "it first (the reference rejects loops the same way, "
+            "sdfg_to_stencilflow.py:281-284)")
     nodes = _walk_stencil_nodes(sdfg)
     if not nodes:
         raise ValueError("no Stencil library nodes found in the SDFG")

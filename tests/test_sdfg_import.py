@@ -162,3 +162,19 @@ def test_no_stencil_nodes_raises(tmp_path):
                                 "nodes": []}))
     with pytest.raises(ValueError, match="no Stencil"):
         sdfg_to_program(str(path))
+
+
+def test_control_flow_loop_rejected(tmp_path):
+    """A state-machine back edge is rejected, matching the reference
+    (RemoveLoop then error, sdfg_to_stencilflow.py:281-284)."""
+    sdfg = _cosmoish_sdfg()
+    sdfg["edges"] = [{"src": "0", "dst": "1"}, {"src": "1", "dst": "2"},
+                     {"src": "2", "dst": "1"}]   # back edge 2 -> 1
+    path = tmp_path / "loop.sdfg"
+    path.write_text(json.dumps(sdfg))
+    with pytest.raises(ValueError, match="control-flow loop"):
+        sdfg_to_program(str(path))
+    # forward-only edges still import
+    sdfg["edges"] = [{"src": "0", "dst": "1"}, {"src": "1", "dst": "2"}]
+    path.write_text(json.dumps(sdfg))
+    assert sdfg_to_program(str(path)).name == "cosmoish_sdfg"
