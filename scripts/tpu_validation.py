@@ -53,8 +53,13 @@ def main() -> int:
         inputs = sft.load_input_arrays(program, prefix=args.stencils,
                                        seed=0)
         ref = sft.run_interpreter(program, inputs)
-        fn, backend = compile_chain_best(program)
-        out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
+        try:
+            fn, backend = compile_chain_best(program)
+            out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:120]}")
+            failures += 1
+            continue
         analysis = ChainAnalysis.run(program)
         shrink = any(bc.kind == BCKind.SHRINK
                      for k in program.kernels.values()

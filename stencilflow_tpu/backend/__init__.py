@@ -35,11 +35,25 @@ def compile_chain_best(program, analysis=None, interpret: bool = False,
         cfg = compile_chain_stream.last_config
         if (cfg["jtiles"] == 1 and not cfg["mxu_stages"]
                 and not cfg["spilled"]):
-            # measured policy (RESULTS.md round-2 table): gated panel mode
-            # beats the plane streamer on every untiled VPU chain measured
-            # (jacobi 128^3 +56%, 256^3 +19%, 512^3 +8%, hotspot +25%) and
-            # ties shallow HBM-bound chains; MXU-eligible, j-tiled, and
+            # measured policy (RESULTS.md round 2): for SHALLOW chains
+            # (cumulative i-extent <= 2) the overlap backend wins big
+            # (256^3 x2: 58.6 vs panel ~40 GCell/s, 0.73 of the HBM
+            # roofline) and ties at 512^3; deeper untiled VPU chains go
+            # to gated panel mode (beats the plane streamer everywhere:
+            # 128^3 1.12x, 256^3 1.14x, 512^3 1.05x of the roofline,
+            # hotspot +49%, hdiff +73%).  MXU-eligible, j-tiled, and
             # spilled chains stay on the plane streamer.
+            try:
+                from .overlap import _chain_needs, compile_chain_overlap
+                needs = _chain_needs(program, analysis)
+                H = max((max(lo, hi) for f, (lo, hi) in needs.items()
+                         if f in program.inputs), default=0)
+                if H <= 2:
+                    return (compile_chain_overlap(
+                        program, analysis, interpret=interpret),
+                        "overlap")
+            except (ValueError, NotImplementedError):
+                pass
             try:
                 from .panel import compile_chain_panel
                 return (compile_chain_panel(program, analysis,

@@ -29,15 +29,17 @@ intel_fpga.py:367-440) with the delay alignment transposed into spatial
 overlap (cf. the overlapped-tile backend, backend/tile_eval.py, which
 does the same across (j, k) tiles).
 
-Measured outcome (RESULTS.md round-2 shallow-chain study): overlap mode
-TIES gated panel mode on chip (jacobi3d 256^3 x2: 40.5 vs 40.5 GCell/s,
-~0.50 of the HBM roofline) — eliminating the per-stage ring machinery
-moves nothing, because a 1-access identity chain through either harness
-already runs at the same ~41 GCell/s while a bare Pallas passthrough
-with the same grid runs at ~82.  The shallow plateau is a property of
-the lagged-grid harness structure, not of the per-stage reads; panel
-mode stays the default and this module documents the experiment and
-serves as a second independently-derived lowering for validation.
+Measured outcome (RESULTS.md round 2): before the vmem-limit fix this
+backend tied gated panel mode at ~40 GCell/s on jacobi3d 256^3 x2 —
+the plateau was the crippled DMA pipeline (vmem_limit_bytes > 64 MiB
+halves block-DMA throughput on v5e), not the per-stage reads.  With
+``config.vmem_limit_for`` sizing the limit to the kernel's real state,
+overlap reaches **58.6 GCell/s (0.73 of the HBM roofline)** at
+256^3 x2 vs ~40 for panel (whose per-stage rings push its VMEM state
+past the fast-limit threshold at the panel sizes shallow chains want),
+and ties stream at 512^3 x2 (~0.52; the pure-DMA ceiling of the same
+grid structure measures 0.80).  compile_chain_best selects overlap for
+untiled VPU chains with cumulative i-extent <= 2.
 
 Scope (callers fall back otherwise): single chip, untiled planes, VPU
 stages only, no spill, B | I, and every cumulative extent <= B.  All BC
@@ -134,8 +136,9 @@ def _overlap_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 spec = program.inputs[name]
                 pj = J if spec.dim_mask[1] else 1
                 pk = K if spec.dim_mask[2] else 1
+                rows = ref[pl.ds(g * B, B)]
                 panel = jnp.broadcast_to(
-                    ref[...].reshape(B, pj, pk), (B, J, K)).reshape(BJ, K)
+                    rows.reshape(B, pj, pk), (B, J, K)).reshape(BJ, K)
             rings[name][pl.ds(slot, 1)] = panel[None]
 
     # 2. compute every stage over its overlapped block, store output
@@ -343,14 +346,24 @@ def compile_chain_overlap(program: ir.Program,
                                          memory_space=pltpu.SMEM))
         elif spec.dim_mask[0]:
             full = spec.dim_mask[1] and spec.dim_mask[2]
-            input_kinds.append("stream" if full else "stream_partial")
-            jk = [d for d in (1, 2) if spec.dim_mask[d]]
-            sizes = [B] + [(J, K)[d - 1] for d in jk]
-            in_specs.append(pl.BlockSpec(
-                tuple(sizes),
-                lambda g, n=len(jk), np_=n_panels:
-                    (jnp.minimum(g, np_ - 1),) + (0,) * n,
-                memory_space=pltpu.VMEM))
+            if full:
+                input_kinds.append("stream")
+                in_specs.append(pl.BlockSpec(
+                    (B, J, K),
+                    lambda g, np_=n_panels:
+                        (jnp.minimum(g, np_ - 1), 0, 0),
+                    memory_space=pltpu.VMEM))
+            else:
+                # partial-rank i-spanning input: ship whole, slice rows
+                # in-kernel (a (B, jk) block violates Mosaic's last-two-
+                # dims divisibility when B % 8 != 0)
+                input_kinds.append("stream_partial")
+                jk = [d for d in (1, 2) if spec.dim_mask[d]]
+                sizes = [I] + [(J, K)[d - 1] for d in jk]
+                in_specs.append(pl.BlockSpec(
+                    tuple(sizes),
+                    lambda g, n=len(jk): (0,) * (n + 1),
+                    memory_space=pltpu.VMEM))
         else:
             input_kinds.append("static")
             spanned = [d for d in (1, 2) if spec.dim_mask[d]]
@@ -387,6 +400,10 @@ def compile_chain_overlap(program: ir.Program,
                 program.field_dtype(f)).itemsize
     if est > 0.7 * vmem_budget:
         raise ValueError("overlap blocks exceed the VMEM budget")
+    # double-buffered io blocks for the vmem-limit estimate
+    est += sum(2 * B * J * K *
+               np.dtype(program.field_dtype(f)).itemsize
+               for f in list(streamed) + list(program.outputs))
 
     kernel = functools.partial(_overlap_kernel_body, program, analysis,
                                needs, B, input_names, input_kinds,
@@ -401,8 +418,7 @@ def compile_chain_overlap(program: ir.Program,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=min(vmem_budget + 16 * 2**20,
-                                 config.TPU_VMEM_PHYSICAL)),
+            vmem_limit_bytes=config.vmem_limit_for(est)),
     )
     compile_chain_overlap.last_config = {"panel": B,
                                          "needs": dict(needs)}

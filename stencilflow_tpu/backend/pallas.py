@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .. import ir
+from .. import config, ir
 from ..config import TPU_VMEM_BYTES, VMEM_PLANNER_FRACTION
 from ..frontend.analysis import ChainAnalysis
 from ..frontend.chain import ChainGraph
@@ -244,6 +244,13 @@ def compile_chain_pallas(program: ir.Program,
         kernel = functools.partial(_kernel_body, program, graph, halo, tile,
                                    input_names, input_masks)
 
+    # widened input tiles + output tile, double-buffered, + per-stage
+    # eval temporaries (one widened tile per live stage, conservatively
+    # all stages); limits above 64 MiB halve DMA throughput
+    # (config.vmem_limit_for)
+    wtile = int(np.prod([tile[d] + 2 * halo[d] for d in range(3)])) * 4
+    est = (2 * (len(input_names) + len(program.outputs)) * wtile +
+           len(program.kernels) * wtile)
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -253,7 +260,7 @@ def compile_chain_pallas(program: ir.Program,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 2**20),
+            vmem_limit_bytes=config.vmem_limit_for(est)),
     )
 
     raw = program.raw_dimensions

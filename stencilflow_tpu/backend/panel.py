@@ -330,7 +330,8 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 spec = program.inputs[name]
                 pj = J if spec.dim_mask[1] else 1
                 pk = K if spec.dim_mask[2] else 1
-                plane = jnp.broadcast_to(ref[...].reshape(B, pj, pk),
+                rows = ref[pl.ds(g * B, B)]
+                plane = jnp.broadcast_to(rows.reshape(B, pj, pk),
                                          (B, J, K))
                 panel = plane.reshape(BJ, K)
             rings[name][pl.ds(slot, 1)] = panel[None]
@@ -416,14 +417,24 @@ def compile_chain_panel(program: ir.Program,
                                          memory_space=pltpu.SMEM))
         elif spec.dim_mask[0]:
             full = spec.dim_mask[1] and spec.dim_mask[2]
-            input_kinds.append("stream" if full else "stream_partial")
-            jk = [d for d in (1, 2) if spec.dim_mask[d]]
-            sizes = [B] + [(J, K)[d - 1] for d in jk]
-            in_specs.append(pl.BlockSpec(
-                tuple(sizes),
-                lambda g, n=len(jk), np_=n_panels:
-                    (jnp.minimum(g, np_ - 1),) + (0,) * n,
-                memory_space=pltpu.VMEM))
+            if full:
+                input_kinds.append("stream")
+                in_specs.append(pl.BlockSpec(
+                    (B, J, K),
+                    lambda g, np_=n_panels:
+                        (jnp.minimum(g, np_ - 1), 0, 0),
+                    memory_space=pltpu.VMEM))
+            else:
+                # partial-rank i-spanning input: a (B, jk) block violates
+                # Mosaic's last-two-dims divisibility when B % 8 != 0, so
+                # ship the (small) whole array and slice rows in-kernel
+                input_kinds.append("stream_partial")
+                jk = [d for d in (1, 2) if spec.dim_mask[d]]
+                sizes = [I] + [(J, K)[d - 1] for d in jk]
+                in_specs.append(pl.BlockSpec(
+                    tuple(sizes),
+                    lambda g, n=len(jk): (0,) * (n + 1),
+                    memory_space=pltpu.VMEM))
         else:
             input_kinds.append("static")
             spanned = [d for d in (1, 2) if spec.dim_mask[d]]
@@ -455,6 +466,18 @@ def compile_chain_panel(program: ir.Program,
                                plan, input_names, input_kinds, shiftk,
                                interpret)
     grid = (n_panels + plan.lagp_max,)
+    # state estimate for the vmem limit: rings + double-buffered io
+    # blocks + pair-stack/eval temporaries (~8 panels); limits above
+    # 64 MiB measurably halve DMA throughput (config.vmem_limit_for)
+    panel_b = B * J * K * 4
+    io_est = sum(2 * B * J * K *
+                 np.dtype(program.field_dtype(n)).itemsize
+                 for n, k in zip(input_names, input_kinds)
+                 if k in ("stream", "stream_partial"))
+    io_est += sum(2 * B * J * K * np.dtype(
+        jax.dtypes.canonicalize_dtype(program.kernels[o].dtype)).itemsize
+        for o in program.outputs)
+    est = plan.vmem_bytes(program, J, K) + io_est + 8 * panel_b
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -465,8 +488,7 @@ def compile_chain_panel(program: ir.Program,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=min(vmem_budget + 16 * 2**20,
-                                 config.TPU_VMEM_PHYSICAL)),
+            vmem_limit_bytes=config.vmem_limit_for(est)),
     )
     compile_chain_panel.last_config = {"panel": B, "lagp": dict(plan.lagp),
                                        "ring": dict(plan.ring)}

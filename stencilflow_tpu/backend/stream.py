@@ -243,6 +243,21 @@ def fast_pad_extra_bytes(program: ir.Program, plan: StreamPlan,
     return total
 
 
+def scratch_vmem_bytes(scratch_shapes) -> int:
+    """Total bytes of the VMEM scratch allocations (semaphores ~0)."""
+    total = 0
+    for s in scratch_shapes:
+        shape = getattr(s, "shape", None)
+        dtype = getattr(s, "dtype", None)
+        if shape is None or dtype is None:
+            continue
+        try:
+            total += int(np.prod(shape)) * np.dtype(dtype).itemsize
+        except TypeError:
+            continue   # semaphore dtypes have no numpy equivalent
+    return total
+
+
 def jtile_splits(n: int, halo: int):
     """Legal j-tile configurations for a plane of ``n`` rows under the
     Mosaic block rules: the core tile divides ``n`` and is a multiple of 8
@@ -1255,6 +1270,18 @@ def compile_chain_stream(program: ir.Program,
     if jtiles > 1:
         grid = (jtiles,) + grid
         semantics = ("arbitrary", "arbitrary")
+    # vmem limit from the planner's own audit total (rings + pipeline
+    # windows + MXU assets + fast pads) plus spill staging; limits above
+    # 64 MiB measurably halve DMA throughput (config.vmem_limit_for)
+    est = (plan.vmem_bytes(program, compute_dtype) +
+           plan.io_window_bytes(program, block,
+                                compute_dtype=compute_dtype) +
+           assets_extra_vmem(plan, transform_keys, pool_keys,
+                             pool_arrays) +
+           fast_pad_extra_bytes(program, plan, fast_fields,
+                                compute_dtype))
+    for f, dl in spilled_reads.items():
+        est += (len(dl) + 1) * pj * pk * np.dtype(ring_dtype(f)).itemsize
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1265,8 +1292,7 @@ def compile_chain_stream(program: ir.Program,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=semantics,
-            vmem_limit_bytes=min(vmem_budget + 16 * 2**20,
-                                 config.TPU_VMEM_PHYSICAL)),
+            vmem_limit_bytes=config.vmem_limit_for(est)),
     )
 
     raw = program.raw_dimensions
@@ -1481,6 +1507,13 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
     if jtiles > 1:
         grid = (jtiles,) + grid
         semantics = ("arbitrary", "arbitrary")
+    # rings/staging + double-buffered io blocks + pool assets + eval
+    # temporaries (~8 planes); see config.vmem_limit_for
+    est = (scratch_vmem_bytes(scratch_shapes) +
+           2 * (len(input_names) + len(program.outputs) + 4) *
+           pj * pk * 4 +
+           2 * sum(int(np.prod(assets["local_shapes"][key])) * 4
+                   for key in pool_keys))
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1491,8 +1524,7 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=semantics,
-            vmem_limit_bytes=min(vmem_budget + 16 * 2**20,
-                                 config.TPU_VMEM_PHYSICAL)),
+            vmem_limit_bytes=config.vmem_limit_for(est)),
     )
 
     def fn(origin, widened_inputs, pool_locals=None):

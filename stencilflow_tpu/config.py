@@ -65,6 +65,26 @@ TPU_MXU_BF16_FLOPS = 197e12     # v5e peak bf16
 # Physical per-core VMEM (v5e: 128 MiB) — the hard cap for Mosaic's
 # compile-time vmem_limit_bytes guard.
 TPU_VMEM_PHYSICAL = 128 * 2**20
+# Largest vmem_limit_bytes that keeps the DMA pipeline at full speed.
+# Measured on chip (v5e, RESULTS.md round 2): a passthrough Pallas
+# kernel with the streaming grid runs 84-88 GCell/s at limits <= 64 MiB
+# (and at the default) but 40-41 GCell/s at limits >= 96 MiB — raising
+# the limit evidently takes buffer space away from Mosaic's block DMA
+# pipelining.  Kernels whose own state fits should therefore pass
+# 64 MiB, not the physical maximum.
+TPU_VMEM_FAST_LIMIT = 64 * 2**20
+
+
+def vmem_limit_for(est_state_bytes: int) -> int:
+    """Mosaic ``vmem_limit_bytes`` for a kernel whose rings + pipeline
+    windows + temporaries are estimated at ``est_state_bytes``: the
+    fast 64 MiB limit when the state fits under it (with 8 MiB slack),
+    else the estimate plus 16 MiB headroom, capped at physical VMEM —
+    accepting the measured ~2x DMA-throughput penalty only when the
+    state genuinely needs the space."""
+    if est_state_bytes + 8 * 2**20 <= TPU_VMEM_FAST_LIMIT:
+        return TPU_VMEM_FAST_LIMIT
+    return min(int(est_state_bytes) + 16 * 2**20, TPU_VMEM_PHYSICAL)
 # Streaming-backend VMEM budget: the chip's real VMEM (v5e: 128 MiB)
 # minus 8 MiB explicit slack for what io_window_bytes does not model
 # (semaphores, compiler scratch, >2-level buffering); the planner spends

@@ -720,3 +720,33 @@ class TestOverlapBackend:
         for o in p.outputs:
             np.testing.assert_allclose(got[o], ref[o], rtol=3e-5,
                                        atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["panel", "overlap"])
+def test_partial_rank_i_spanning_input(mode):
+    """(i, k)- and (i, j)-spanning inputs with B < 8: the whole-array
+    ingest path (Mosaic forbids (B, jk) blocks when B % 8 != 0)."""
+    spec = {
+        "inputs": {
+            "a": {"data": "random:-1,1", "data_type": "float32"},
+            "cik": {"data": "random:0,1", "data_type": "float32",
+                    "input_dims": ["i", "k"]},
+            "cij": {"data": "random:0,1", "data_type": "float32",
+                    "input_dims": ["i", "j"]}},
+        "outputs": ["y"], "dimensions": [8, 16, 32],
+        "program": {
+            "y": {"computation_string":
+                  "y = a[i,j,k] + cik[i,k] * a[i-1,j,k]"
+                  " + cij[i,j] * a[i,j+1,k]",
+                  "boundary_conditions": {
+                      "a": {"type": "constant", "value": 0.5}},
+                  "data_type": "float32"}}}
+    p = sft.parse_program(spec, name=f"partial_{mode}")
+    inputs = sft.load_input_arrays(p, seed=80)
+    ref = _oracle(p, inputs)["y"]
+    if mode == "panel":
+        from stencilflow_tpu.backend.panel import run_chain_panel as run
+    else:
+        from stencilflow_tpu.backend.overlap import run_chain_overlap as run
+    got = run(p, inputs, interpret=True, panel=4)["y"]
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
