@@ -38,11 +38,13 @@ def compile_chain_best(program, analysis=None, interpret: bool = False,
             # measured policy (RESULTS.md round 2): for SHALLOW chains
             # (cumulative i-extent <= 2) the overlap backend wins big
             # (256^3 x2: 58.6 vs panel ~40 GCell/s, 0.73 of the HBM
-            # roofline) and ties at 512^3; deeper untiled VPU chains go
-            # to gated panel mode (beats the plane streamer everywhere:
-            # 128^3 1.12x, 256^3 1.14x, 512^3 1.05x of the roofline,
-            # hotspot +49%, hdiff +73%).  MXU-eligible, j-tiled, and
-            # spilled chains stay on the plane streamer.
+            # roofline) and ties at 512^3; at extent 4 panel already
+            # wins back (256^3 x4: 38.3/0.955 vs overlap 35.6/0.888 —
+            # halo recompute grows with depth), so deeper untiled VPU
+            # chains go to gated panel mode (128^3 1.12x, 256^3 1.14x,
+            # 512^3 1.05x of the roofline, hotspot +49%, hdiff +73%).
+            # MXU-eligible, j-tiled, and spilled chains stay on the
+            # plane streamer.
             try:
                 from .overlap import _chain_needs, compile_chain_overlap
                 needs = _chain_needs(program, analysis)
