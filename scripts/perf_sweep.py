@@ -99,7 +99,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="tiny sizes for a CPU smoke run")
-    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "stream", "panel", "overlap"])
     ap.add_argument("--only", nargs="*", default=None,
                     help="subset of config names")
     ap.add_argument("-o", "--output", default=None,

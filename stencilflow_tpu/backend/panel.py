@@ -50,6 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import config, ir
 from ..config import JUNK_VAL
 from ..frontend.analysis import ChainAnalysis
+from .stacked_io import (build_input_specs, ingest_panel, make_forward,
+                         shift_fill_k)
 from .tile_eval import eval_kernel_statements
 
 
@@ -191,16 +193,7 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         pair_cache[key] = stack
         return stack
 
-    def _shift_fill_k(x, o, fill):
-        n0, n1 = x.shape
-        fv = jnp.asarray(fill, x.dtype)
-        if o > 0:
-            return jnp.concatenate(
-                [jax.lax.slice(x, (0, o), (n0, n1)),
-                 jnp.full((n0, o), fv, x.dtype)], axis=1)
-        return jnp.concatenate(
-            [jnp.full((n0, -o), fv, x.dtype),
-             jax.lax.slice(x, (0, 0), (n0, n1 + o))], axis=1)
+    _shift_fill_k = shift_fill_k
 
     def _roll_k(x, o):
         return jnp.roll(x, -o, axis=1)
@@ -324,16 +317,8 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         @pl.when(g < n_panels)
         def _(name=name, kind=kind, ref=ref):
             slot = jax.lax.rem(g, jnp.int32(plan.ring[name]))
-            if kind == "stream":
-                panel = ref[...].reshape(BJ, K)
-            else:
-                spec = program.inputs[name]
-                pj = J if spec.dim_mask[1] else 1
-                pk = K if spec.dim_mask[2] else 1
-                rows = ref[pl.ds(g * B, B)]
-                plane = jnp.broadcast_to(rows.reshape(B, pj, pk),
-                                         (B, J, K))
-                panel = plane.reshape(BJ, K)
+            panel = ingest_panel(program.inputs[name], kind, ref, g, B,
+                                 dims)
             rings[name][pl.ds(slot, 1)] = panel[None]
 
     # 2. advance every stage one panel.  The whole stage — reads,
@@ -406,42 +391,9 @@ def compile_chain_panel(program: ir.Program,
     shiftk = K >= 256
 
     input_names = list(program.inputs)
-    input_kinds = []
-    in_specs = []
     n_panels = I // B
-    for name in input_names:
-        spec = program.inputs[name]
-        if spec.is_scalar:
-            input_kinds.append("scalar")
-            in_specs.append(pl.BlockSpec((1, 1), lambda g: (0, 0),
-                                         memory_space=pltpu.SMEM))
-        elif spec.dim_mask[0]:
-            full = spec.dim_mask[1] and spec.dim_mask[2]
-            if full:
-                input_kinds.append("stream")
-                in_specs.append(pl.BlockSpec(
-                    (B, J, K),
-                    lambda g, np_=n_panels:
-                        (jnp.minimum(g, np_ - 1), 0, 0),
-                    memory_space=pltpu.VMEM))
-            else:
-                # partial-rank i-spanning input: a (B, jk) block violates
-                # Mosaic's last-two-dims divisibility when B % 8 != 0, so
-                # ship the (small) whole array and slice rows in-kernel
-                input_kinds.append("stream_partial")
-                jk = [d for d in (1, 2) if spec.dim_mask[d]]
-                sizes = [I] + [(J, K)[d - 1] for d in jk]
-                in_specs.append(pl.BlockSpec(
-                    tuple(sizes),
-                    lambda g, n=len(jk): (0,) * (n + 1),
-                    memory_space=pltpu.VMEM))
-        else:
-            input_kinds.append("static")
-            spanned = [d for d in (1, 2) if spec.dim_mask[d]]
-            in_specs.append(pl.BlockSpec(
-                tuple((J, K)[d - 1] for d in spanned),
-                lambda g, n=len(spanned): (0,) * n,
-                memory_space=pltpu.VMEM))
+    input_kinds, in_specs = build_input_specs(program, input_names, B,
+                                              dims, n_panels)
 
     out_specs = []
     out_shapes = []
@@ -492,26 +444,8 @@ def compile_chain_panel(program: ir.Program,
     )
     compile_chain_panel.last_config = {"panel": B, "lagp": dict(plan.lagp),
                                        "ring": dict(plan.ring)}
-
-    raw = program.raw_dimensions
-
-    def forward(inputs: Dict[str, Any]) -> Dict[str, Any]:
-        args = []
-        for name in input_names:
-            spec = program.inputs[name]
-            arr = jnp.asarray(inputs[name])
-            if spec.is_scalar:
-                args.append(arr.reshape(1, 1))
-                continue
-            spanned = [d for d in range(3) if spec.dim_mask[d]]
-            args.append(arr.reshape(tuple(dims[d] for d in spanned)))
-        res = call(*args)
-        if len(out_shapes) == 1:
-            res = (res,)
-        return {o: r.reshape(raw)
-                for o, r in zip(program.outputs, res)}
-
-    return jax.jit(forward)
+    return make_forward(program, input_names, dims, call,
+                        len(out_shapes))
 
 
 def run_chain_panel(program: ir.Program, inputs: Dict[str, Any],

@@ -1,0 +1,117 @@
+"""Shared io plumbing for the stacked-plane backends (panel, overlap).
+
+Both backends stack B consecutive i-planes along the sublane axis and
+stream one panel per grid step; everything about how program inputs
+enter the kernel and how results leave it is identical:
+
+* input classification (scalar / full stream / partial-rank stream /
+  static) and the matching BlockSpecs — including the Mosaic workaround
+  for partial-rank i-spanning inputs, whose (B, jk) block violates the
+  last-two-dims divisibility rule when B % 8 != 0, so the (small) whole
+  array ships instead and rows are sliced in-kernel with ``pl.ds``;
+* panel materialization on ingest (reshape full blocks, row-slice +
+  broadcast partial ones);
+* the k-axis shift-in-fill read (one slice + one concat with exact
+  constant/shrink fill semantics, the measured winner over roll+mask at
+  K >= 256, RESULTS.md);
+* the dict-in/dict-out ``forward`` wrapper around the pallas_call.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import ir
+
+
+def build_input_specs(program: ir.Program, input_names, B: int,
+                      dims, n_panels: int
+                      ) -> Tuple[List[str], List[Any]]:
+    """(input_kinds, in_specs) for one-panel-per-step streaming."""
+    I, J, K = dims
+    input_kinds: List[str] = []
+    in_specs: List[Any] = []
+    for name in input_names:
+        spec = program.inputs[name]
+        if spec.is_scalar:
+            input_kinds.append("scalar")
+            in_specs.append(pl.BlockSpec((1, 1), lambda g: (0, 0),
+                                         memory_space=pltpu.SMEM))
+        elif spec.dim_mask[0]:
+            if spec.dim_mask[1] and spec.dim_mask[2]:
+                input_kinds.append("stream")
+                in_specs.append(pl.BlockSpec(
+                    (B, J, K),
+                    lambda g, np_=n_panels:
+                        (jnp.minimum(g, np_ - 1), 0, 0),
+                    memory_space=pltpu.VMEM))
+            else:
+                input_kinds.append("stream_partial")
+                jk = [d for d in (1, 2) if spec.dim_mask[d]]
+                sizes = [I] + [(J, K)[d - 1] for d in jk]
+                in_specs.append(pl.BlockSpec(
+                    tuple(sizes),
+                    lambda g, n=len(jk): (0,) * (n + 1),
+                    memory_space=pltpu.VMEM))
+        else:
+            input_kinds.append("static")
+            spanned = [d for d in (1, 2) if spec.dim_mask[d]]
+            in_specs.append(pl.BlockSpec(
+                tuple((J, K)[d - 1] for d in spanned),
+                lambda g, n=len(spanned): (0,) * n,
+                memory_space=pltpu.VMEM))
+    return input_kinds, in_specs
+
+
+def ingest_panel(spec: ir.InputSpec, kind: str, ref, g, B: int, dims):
+    """The (B*J, K) panel of planes [g*B, g*B + B) from an input ref."""
+    I, J, K = dims
+    if kind == "stream":
+        return ref[...].reshape(B * J, K)
+    pj = J if spec.dim_mask[1] else 1
+    pk = K if spec.dim_mask[2] else 1
+    rows = ref[pl.ds(g * B, B)]
+    return jnp.broadcast_to(rows.reshape(B, pj, pk),
+                            (B, J, K)).reshape(B * J, K)
+
+
+def shift_fill_k(x, o: int, fill):
+    """result[:, k] = x[:, k + o], out-of-range filled with ``fill``."""
+    n0, n1 = x.shape
+    fv = jnp.asarray(fill, x.dtype)
+    if o > 0:
+        return jnp.concatenate(
+            [jax.lax.slice(x, (0, o), (n0, n1)),
+             jnp.full((n0, o), fv, x.dtype)], axis=1)
+    return jnp.concatenate(
+        [jnp.full((n0, -o), fv, x.dtype),
+         jax.lax.slice(x, (0, 0), (n0, n1 + o))], axis=1)
+
+
+def make_forward(program: ir.Program, input_names, dims, call,
+                 n_outputs: int):
+    """Dict-in/dict-out wrapper: reshape inputs to spanned dims, call,
+    reshape outputs to the program's raw rank."""
+    raw = program.raw_dimensions
+
+    def forward(inputs: Dict[str, Any]) -> Dict[str, Any]:
+        args = []
+        for name in input_names:
+            spec = program.inputs[name]
+            arr = jnp.asarray(inputs[name])
+            if spec.is_scalar:
+                args.append(arr.reshape(1, 1))
+                continue
+            spanned = [d for d in range(3) if spec.dim_mask[d]]
+            args.append(arr.reshape(tuple(dims[d] for d in spanned)))
+        res = call(*args)
+        if n_outputs == 1:
+            res = (res,)
+        return {o: r.reshape(raw)
+                for o, r in zip(program.outputs, res)}
+
+    return jax.jit(forward)

@@ -1279,7 +1279,8 @@ def compile_chain_stream(program: ir.Program,
            assets_extra_vmem(plan, transform_keys, pool_keys,
                              pool_arrays) +
            fast_pad_extra_bytes(program, plan, fast_fields,
-                                compute_dtype))
+                                compute_dtype) +
+           8 * block * pj * pk * 4)   # eval/compute temporaries
     for f, dl in spilled_reads.items():
         est += (len(dl) + 1) * pj * pk * np.dtype(ring_dtype(f)).itemsize
     call = pl.pallas_call(

@@ -497,8 +497,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--halo", type=int, default=0)
     p.add_argument("--repetitions", type=int, default=1)
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "stream", "panel", "pallas", "xla",
-                            "interpreter"])
+                   choices=["auto", "stream", "panel", "overlap",
+                            "pallas", "xla", "interpreter"])
     p.add_argument("--no-mxu", action="store_true",
                    help="disable banded-matmul lowering of wide stages")
     p.add_argument("--no-spill", action="store_true",

@@ -142,6 +142,11 @@ def run_program(stencil_file, mode: str = "emulation",
             fn, bname = (compile_chain_panel(program, analysis,
                                              interpret=interpret),
                          "panel")
+        elif backend == "overlap":
+            from .backend.overlap import compile_chain_overlap
+            fn, bname = (compile_chain_overlap(program, analysis,
+                                               interpret=interpret),
+                         "overlap")
         elif backend == "pallas":
             from .backend.pallas import compile_chain_pallas
             fn, bname = (compile_chain_pallas(program, analysis,

@@ -50,18 +50,28 @@ def _has_state_loop(sdfg: dict) -> bool:
     for e in sdfg.get("edges", []):
         adj.setdefault(str(e.get("src")), []).append(str(e.get("dst")))
     color: Dict[str, int] = {}
-
-    def dfs(u: str) -> bool:
-        color[u] = 1
-        for v in adj.get(u, ()):
-            c = color.get(v, 0)
-            if c == 1 or (c == 0 and dfs(v)):
-                return True
-        color[u] = 2
-        return False
-
-    if any(color.get(u, 0) == 0 and dfs(u) for u in list(adj)):
-        return True
+    for root in list(adj):
+        if color.get(root, 0):
+            continue
+        # iterative DFS: unrolled time loops produce thousands of
+        # states in a linear chain — recursion would overflow
+        stack = [(root, iter(adj.get(root, ())))]
+        color[root] = 1
+        while stack:
+            u, it = stack[-1]
+            advanced = False
+            for v in it:
+                c = color.get(v, 0)
+                if c == 1:
+                    return True
+                if c == 0:
+                    color[v] = 1
+                    stack.append((v, iter(adj.get(v, ()))))
+                    advanced = True
+                    break
+            if not advanced:
+                color[u] = 2
+                stack.pop()
     for state in sdfg.get("nodes", []):
         for node in state.get("nodes", []):
             if node.get("type") == "NestedSDFG":

@@ -44,6 +44,13 @@ class TestDriver:
         assert res.backend == "panel"
         assert res.verified_against_reference
 
+    def test_overlap_backend_through_driver(self):
+        spec = jacobi(3, 8, iterations=2)
+        res = run_program(spec, "emulation", backend="overlap",
+                          compare_to_reference=True, save_results=False)
+        assert res.backend == "overlap"
+        assert res.verified_against_reference
+
     def test_skip_execution_returns_sim(self):
         spec = jacobi(2, 8, iterations=1)
         res = run_program(spec, run_simulation=True, skip_execution=True,
