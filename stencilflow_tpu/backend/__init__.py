@@ -10,6 +10,56 @@ kernel, the performance backend), with multi-chip execution layered in
 from .xla import chain_halo, compile_chain, run_chain
 
 
+def _any_mxu_candidate(program, min_footprint: int = 12) -> bool:
+    """Cheap pre-check mirroring plan_linear_stage's gate: is any stage
+    affine with a wide-enough footprint and MXU-compatible BCs?  Lets
+    compile_chain_best skip the stream planner for pure-VPU chains."""
+    from .. import ir
+    from .linear import extract_linear
+    for kspec in program.kernels.values():
+        coeffs = extract_linear(kspec)
+        if coeffs is None:
+            continue
+        if any(bc.kind == ir.BCKind.COPY
+               for bc in kspec.boundary_conditions.values()):
+            continue
+        if sum(1 for key in coeffs if key != ("const",)) >= min_footprint:
+            return True
+    return False
+
+
+def _try_stacked(program, analysis, interpret):
+    """overlap (shallow) or panel (deep) for an untiled VPU chain, or
+    None when neither fits (caller falls back to the plane streamer)."""
+    # measured policy (RESULTS.md round 2): for SHALLOW chains
+    # (cumulative i-extent <= 2) the overlap backend wins big
+    # (256^3 x2: 58.6 vs panel ~40 GCell/s, 0.73 of the HBM
+    # roofline) and ties at 512^3; at extent 4 panel already
+    # wins back (256^3 x4: 38.3/0.955 vs overlap 35.6/0.888 —
+    # halo recompute grows with depth), so deeper untiled VPU
+    # chains go to gated panel mode (128^3 1.12x, 256^3 1.14x,
+    # 512^3 1.05x of the roofline, hotspot +49%, hdiff +73%).
+    # MXU-eligible, j-tiled, and spilled chains stay on the
+    # plane streamer.
+    try:
+        from .overlap import _chain_needs, compile_chain_overlap
+        needs = _chain_needs(program, analysis)
+        H = max((max(lo, hi) for f, (lo, hi) in needs.items()
+                 if f in program.inputs), default=0)
+        if H <= 2:
+            return (compile_chain_overlap(program, analysis,
+                                          interpret=interpret),
+                    "overlap")
+    except (ValueError, NotImplementedError):
+        pass
+    try:
+        from .panel import compile_chain_panel
+        return (compile_chain_panel(program, analysis,
+                                    interpret=interpret), "panel")
+    except (ValueError, NotImplementedError):
+        return None
+
+
 def compile_chain_best(program, analysis=None, interpret: bool = False,
                        mxu: str = "auto", mxu_precision: str = "split",
                        spill: str = "auto"):
@@ -26,6 +76,13 @@ def compile_chain_best(program, analysis=None, interpret: bool = False,
         # emulation (or CPU host, where compiled Mosaic is unavailable):
         # the fused-XLA path is fast everywhere and equally correct
         return compile_chain(program, analysis), "xla"
+    if mxu == "off" or not _any_mxu_candidate(program):
+        # pure-VPU chain: go straight to the stacked backends (their own
+        # VMEM/scope checks reject what needs j-tiling or spill, falling
+        # through to the plane streamer) — no stream planning needed
+        got = _try_stacked(program, analysis, interpret)
+        if got is not None:
+            return got
     try:
         from .stream import compile_chain_stream
         fn = compile_chain_stream(program, analysis,
@@ -35,33 +92,11 @@ def compile_chain_best(program, analysis=None, interpret: bool = False,
         cfg = compile_chain_stream.last_config
         if (cfg["jtiles"] == 1 and not cfg["mxu_stages"]
                 and not cfg["spilled"]):
-            # measured policy (RESULTS.md round 2): for SHALLOW chains
-            # (cumulative i-extent <= 2) the overlap backend wins big
-            # (256^3 x2: 58.6 vs panel ~40 GCell/s, 0.73 of the HBM
-            # roofline) and ties at 512^3; at extent 4 panel already
-            # wins back (256^3 x4: 38.3/0.955 vs overlap 35.6/0.888 —
-            # halo recompute grows with depth), so deeper untiled VPU
-            # chains go to gated panel mode (128^3 1.12x, 256^3 1.14x,
-            # 512^3 1.05x of the roofline, hotspot +49%, hdiff +73%).
-            # MXU-eligible, j-tiled, and spilled chains stay on the
-            # plane streamer.
-            try:
-                from .overlap import _chain_needs, compile_chain_overlap
-                needs = _chain_needs(program, analysis)
-                H = max((max(lo, hi) for f, (lo, hi) in needs.items()
-                         if f in program.inputs), default=0)
-                if H <= 2:
-                    return (compile_chain_overlap(
-                        program, analysis, interpret=interpret),
-                        "overlap")
-            except (ValueError, NotImplementedError):
-                pass
-            try:
-                from .panel import compile_chain_panel
-                return (compile_chain_panel(program, analysis,
-                                            interpret=interpret), "panel")
-            except (ValueError, NotImplementedError):
-                pass
+            # an MXU candidate existed but the planner declined it:
+            # the stacked backends still win for untiled VPU chains
+            got = _try_stacked(program, analysis, interpret)
+            if got is not None:
+                return got
         return fn, "stream"
     except (ValueError, NotImplementedError):
         pass
