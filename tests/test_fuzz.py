@@ -287,3 +287,17 @@ def test_random_program_all_engines(seed):
     got_sim = NativeSimulator(p).run(inputs).outputs[out]
     np.testing.assert_allclose(got_sim, ref, rtol=2e-5, atol=1e-6,
                                err_msg="native simulator")
+
+    # stacked lowerings (panel is the default untiled-VPU backend);
+    # random draws outside their scope (i-offset > B, budget) fall back
+    # to stream in production — here they just skip the comparison
+    from stencilflow_tpu.backend.overlap import run_chain_overlap
+    from stencilflow_tpu.backend.panel import run_chain_panel
+    for name, engine in [("panel", run_chain_panel),
+                         ("overlap", run_chain_overlap)]:
+        try:
+            got = engine(p, inputs, interpret=True)[out]
+        except ValueError:
+            continue
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6,
+                                   err_msg=f"{name} backend")
