@@ -1,0 +1,300 @@
+"""Measured backend selection: time every applicable lowering on-device.
+
+``--backend auto`` (backend.compile_chain_best) applies a measured
+*policy* — shape-class rules derived from the chip studies in RESULTS.md.
+``autotune`` instead measures THIS program on THIS device and caches the
+winner, the framework-level analogue of XLA's own gemm/conv autotuning.
+The reference has no equivalent: its backend is a static vendor flag
+(/root/reference/stencilflow/run_program.py:95-109).
+
+Timing uses bench.py's tunnel-safe methodology — a data-dependent
+on-device ``lax.fori_loop`` (the output feeds the next iteration's input
+when shapes allow, otherwise a scalar carry perturbs one input so XLA
+cannot hoist the chain), two loop lengths differenced to cancel dispatch
+and readback overheads, best-of-N trials.
+
+The cache key hashes the program *structure* (shapes, dtypes, kernels,
+BCs — not data values) plus the device kind, so a tuned choice is reused
+across runs and input files: ``compile_chain_autotuned`` returns
+instantly on a hit.
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import ir
+from .frontend.analysis import ChainAnalysis
+
+DEFAULT_CACHE = os.environ.get("SFT_AUTOTUNE_CACHE") or os.path.join(
+    os.path.expanduser(os.environ.get("XDG_CACHE_HOME", "~/.cache")),
+    "stencilflow_tpu", "autotune.json")
+
+
+@dataclasses.dataclass
+class Candidate:
+    label: str
+    build: Callable[[], Any]  # () -> fn; may raise ValueError (scope)
+
+
+def _builders(program: ir.Program, analysis: ChainAnalysis,
+              interpret: bool) -> Dict[str, Callable[[], Any]]:
+    """label -> builder for every lowering that might apply.
+
+    Labels are stable and parseable so a cached winner can be rebuilt
+    without re-measuring (``build_from_label``).
+    """
+    from .backend import _any_mxu_candidate, compile_chain
+    from .backend.overlap import compile_chain_overlap
+    from .backend.panel import compile_chain_panel
+    from .backend.pallas import compile_chain_pallas
+    from .backend.stream import compile_chain_stream
+
+    b: Dict[str, Callable[[], Any]] = {}
+    b["stream"] = lambda: compile_chain_stream(
+        program, analysis, interpret=interpret)
+    if _any_mxu_candidate(program):
+        b["stream:mxu=off"] = lambda: compile_chain_stream(
+            program, analysis, interpret=interpret, mxu="off")
+    b["panel:B=auto"] = lambda: compile_chain_panel(
+        program, analysis, interpret=interpret)
+    for B in (2, 4, 8):
+        b[f"panel:B={B}"] = (lambda B=B: compile_chain_panel(
+            program, analysis, panel=B, interpret=interpret))
+    b["overlap:B=auto"] = lambda: compile_chain_overlap(
+        program, analysis, interpret=interpret)
+    for B in (4, 8):
+        b[f"overlap:B={B}"] = (lambda B=B: compile_chain_overlap(
+            program, analysis, panel=B, interpret=interpret))
+    b["pallas"] = lambda: compile_chain_pallas(
+        program, analysis, interpret=interpret)
+    b["xla"] = lambda: compile_chain(program, analysis)
+    return b
+
+
+DEFAULT_LABELS = ["stream", "stream:mxu=off", "panel:B=auto",
+                  "overlap:B=auto", "pallas", "xla"]
+
+
+def build_from_label(program: ir.Program, label: str,
+                     analysis: Optional[ChainAnalysis] = None,
+                     interpret: bool = False):
+    """Rebuild a candidate's compiled fn from its cached label."""
+    analysis = analysis or ChainAnalysis.run(program)
+    builders = _builders(program, analysis, interpret)
+    if label not in builders:
+        raise KeyError(f"unknown autotune label {label!r}")
+    return builders[label]()
+
+
+def _make_loop(fn, program: ir.Program, arrs: Dict[str, Any]):
+    """A jitted ``loop(r)`` applying ``fn`` r times with a data dependency
+    between iterations (so the device executes r sequential applications),
+    returning a cheap scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    outs = fn(arrs)  # also validates the candidate end-to-end
+    feed = None
+    for o_name, o in outs.items():
+        for i_name, a in arrs.items():
+            if a.shape == o.shape and a.dtype == o.dtype:
+                feed = (i_name, o_name)
+                break
+        if feed:
+            break
+
+    if feed is not None:
+        i_n, o_n = feed
+        rest = {k: v for k, v in arrs.items() if k != i_n}
+
+        @jax.jit
+        def loop(r):
+            def body(_, x):
+                return fn({i_n: x, **rest})[o_n]
+            return jax.lax.fori_loop(0, r, body, arrs[i_n]).sum()
+    else:
+        # no shape-compatible (input, output) pair: thread a scalar carry
+        # through one input at negligible weight — the data dependency
+        # blocks loop-invariant hoisting, the 1e-30 perturbation is far
+        # below the verification tolerance
+        i_n = max(arrs, key=lambda k: int(np.prod(arrs[k].shape)))
+        o_n = next(iter(outs))
+        base = arrs[i_n]
+
+        @jax.jit
+        def loop(r):
+            def body(_, c):
+                got = fn({**arrs, i_n: base + c * jnp.asarray(
+                    1e-30, base.dtype)})
+                return got[o_n].ravel()[0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, r, body, jnp.float32(0.0))
+
+    return loop
+
+
+def _time_fn(fn, program: ir.Program, arrs: Dict[str, Any],
+             trials: int, on_tpu: bool) -> float:
+    """Seconds per chain application (differenced on-device loop)."""
+    loop = _make_loop(fn, program, arrs)
+
+    def timed(reps: int) -> float:
+        np.asarray(loop(reps))  # warm up / force the remote compile
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            np.asarray(loop(reps))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    cells = float(program.total_elements)
+    if on_tpu:
+        big = int(min(3840, max(30, round(30 * (512**3 / cells)))))
+        small = max(6, big // 5)
+    else:
+        small, big = 2, 6
+    return (timed(big) - timed(small)) / (big - small)
+
+
+@dataclasses.dataclass
+class AutotuneResult:
+    label: str                      # winning candidate
+    seconds: float                  # per chain application
+    timings: Dict[str, float]       # label -> seconds (inf = failed)
+    skipped: Dict[str, str]         # label -> reason (out of scope)
+    fn: Any = None                  # the winner's compiled callable
+
+
+def autotune(program: ir.Program,
+             analysis: Optional[ChainAnalysis] = None,
+             labels: Optional[List[str]] = None,
+             sweep: bool = False,
+             trials: int = 3,
+             seed: int = 0,
+             interpret: bool = False,
+             verbose: bool = False) -> AutotuneResult:
+    """Measure every applicable lowering and return the winner.
+
+    ``sweep`` adds the panel/overlap block-size grid to the default
+    candidate set.  Candidates whose scope checks reject the program are
+    recorded in ``skipped``; a candidate that fails at runtime is
+    recorded with infinite time.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .data import load_input_arrays
+    analysis = analysis or ChainAnalysis.run(program)
+    on_tpu = jax.devices()[0].platform == "tpu" and not interpret
+    builders = _builders(program, analysis, interpret)
+    if labels is None:
+        labels = list(builders) if sweep else [
+            l for l in DEFAULT_LABELS if l in builders]
+
+    inputs = load_input_arrays(program, seed=seed)
+    arrs = {k: jnp.asarray(v) for k, v in inputs.items()}
+
+    timings: Dict[str, float] = {}
+    skipped: Dict[str, str] = {}
+    for label in labels:
+        try:
+            fn = builders[label]()
+        except (ValueError, NotImplementedError) as e:
+            skipped[label] = str(e)
+            continue
+        try:
+            dt = _time_fn(fn, program, arrs, trials, on_tpu)
+        except Exception as e:  # noqa: BLE001 — Mosaic/XLA compile errors
+            timings[label] = float("inf")
+            skipped[label] = f"failed: {type(e).__name__}: {e}"
+            continue
+        timings[label] = dt
+        if verbose:
+            gc = program.total_elements / dt / 1e9
+            print(f"  {label:16s} {dt * 1e3:9.3f} ms  {gc:8.2f} GCell/s")
+
+    finite = {l: t for l, t in timings.items() if np.isfinite(t)}
+    if not finite:
+        raise RuntimeError(
+            f"autotune: no candidate ran ({skipped or timings})")
+    best = min(finite, key=finite.get)
+    return AutotuneResult(label=best, seconds=finite[best],
+                          timings=timings, skipped=skipped,
+                          fn=builders[best]())
+
+
+def cache_key(program: ir.Program) -> str:
+    """Device- and structure-dependent key (data values excluded)."""
+    import jax
+
+    from .frontend.export import program_to_json
+    spec = program_to_json(program, embed_data=False)
+    dev = jax.devices()[0]
+    src = (json.dumps(spec, sort_keys=True, default=str)
+           + f"|{dev.platform}|{getattr(dev, 'device_kind', '')}")
+    return hashlib.sha256(src.encode()).hexdigest()[:16]
+
+
+def _load_cache(path: str) -> Dict[str, Any]:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_cache(path: str, cache: Dict[str, Any]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def save_result(program: ir.Program, res: AutotuneResult,
+                cache_path: Optional[str] = None) -> str:
+    """Record an AutotuneResult in the on-disk cache; returns the path."""
+    import jax
+    path = cache_path or DEFAULT_CACHE
+    cache = _load_cache(path)
+    dev = jax.devices()[0]
+    cache[cache_key(program)] = {
+        "label": res.label,
+        "seconds": res.seconds,
+        "timings": {l: (None if not np.isfinite(t) else t)
+                    for l, t in res.timings.items()},
+        "program": program.name,
+        "dimensions": list(program.raw_dimensions),
+        "device": f"{dev.platform}:{getattr(dev, 'device_kind', '')}",
+    }
+    _save_cache(path, cache)
+    return path
+
+
+def compile_chain_autotuned(program: ir.Program,
+                            analysis: Optional[ChainAnalysis] = None,
+                            cache_path: Optional[str] = None,
+                            force: bool = False,
+                            interpret: bool = False,
+                            **autotune_kw) -> Tuple[Any, str]:
+    """Return ``(fn, label)`` for the measured-best lowering, consulting
+    (and updating) the on-disk cache."""
+    path = cache_path or DEFAULT_CACHE
+    key = cache_key(program)
+    cache = _load_cache(path)
+    if not force and key in cache:
+        label = cache[key]["label"]
+        try:
+            return (build_from_label(program, label, analysis,
+                                     interpret=interpret), label)
+        except (ValueError, NotImplementedError, KeyError):
+            pass  # stale entry (e.g. tuned on different jax) — re-tune
+    res = autotune(program, analysis, interpret=interpret, **autotune_kw)
+    save_result(program, res, path)
+    return res.fn, res.label

@@ -197,6 +197,37 @@ def _cmd_compile(args) -> int:
     return 0
 
 
+def _cmd_autotune(args) -> int:
+    """Measure every applicable lowering on the attached device and cache
+    the winner (consumed by `run --backend autotuned`)."""
+    from .autotune import autotune
+    from .frontend.parser import parse_program
+    program = parse_program(args.stencil_file)
+    res = autotune(program, sweep=args.sweep, trials=args.trials,
+                   seed=args.seed, interpret=args.emulation,
+                   verbose=not args.json)
+    if args.json:
+        import numpy as _np
+        print(json.dumps({
+            "winner": res.label,
+            "seconds_per_run": res.seconds,
+            "gcell_s": program.total_elements / res.seconds / 1e9,
+            "timings": {l: (None if not _np.isfinite(t) else t)
+                        for l, t in res.timings.items()},
+            "skipped": res.skipped,
+        }))
+    else:
+        for label, why in res.skipped.items():
+            print(f"  {label:16s} skipped: {why.splitlines()[0][:60]}")
+        gc = program.total_elements / res.seconds / 1e9
+        print(f"winner: {res.label} ({res.seconds * 1e3:.3f} ms/run, "
+              f"{gc:.2f} GCell/s)")
+    if not args.no_cache:
+        from .autotune import save_result
+        print(f"cached -> {save_result(program, res, args.cache)}")
+    return 0
+
+
 def _parse_axes(text: str):
     """'none,x,y' -> (None, 'x', 'y'); exactly one entry per padded dim.
     Returns None (and prints to stderr) on malformed input."""
@@ -497,8 +528,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--halo", type=int, default=0)
     p.add_argument("--repetitions", type=int, default=1)
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "stream", "panel", "overlap",
-                            "pallas", "xla", "interpreter"])
+                   choices=["auto", "autotuned", "stream", "panel",
+                            "overlap", "pallas", "xla", "interpreter"])
     p.add_argument("--no-mxu", action="store_true",
                    help="disable banded-matmul lowering of wide stages")
     p.add_argument("--no-spill", action="store_true",
@@ -596,6 +627,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--emulation", action="store_true",
                    help="lower the emulation (interpret) path")
     p.set_defaults(fn=_cmd_compile)
+
+    p = sub.add_parser("autotune",
+                       help="measure every applicable lowering on this "
+                            "device and cache the winner for "
+                            "`run --backend autotuned`")
+    p.add_argument("stencil_file")
+    p.add_argument("--sweep", action="store_true",
+                   help="also sweep panel/overlap block sizes")
+    p.add_argument("--trials", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--emulation", action="store_true",
+                   help="tune the interpret path (CI/testing)")
+    p.add_argument("--cache", help="cache file (default: "
+                                   "~/.cache/stencilflow_tpu/autotune.json)")
+    p.add_argument("--no-cache", action="store_true")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=_cmd_autotune)
 
     p = sub.add_parser("report", help="analytic performance report")
     p.add_argument("stencil_file")

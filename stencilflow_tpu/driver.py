@@ -153,6 +153,11 @@ def run_program(stencil_file, mode: str = "emulation",
                                               interpret=interpret), "pallas")
         elif backend == "xla":
             fn, bname = compile_chain(program, analysis), "xla"
+        elif backend == "autotuned":
+            from .autotune import compile_chain_autotuned
+            fn, label = compile_chain_autotuned(program, analysis,
+                                                interpret=interpret)
+            bname = f"autotuned:{label}"
         elif backend == "interpreter":
             fn, bname = (lambda xs: run_interpreter(program, xs),
                          "interpreter")
