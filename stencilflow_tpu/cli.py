@@ -29,6 +29,7 @@ def _cmd_run(args) -> int:
             skip_execution=args.skip_execution,
             halo=args.halo, repetitions=args.repetitions,
             backend=args.backend, print_result=args.print_result,
+            host_chunks=args.host_chunks,
             mxu="off" if args.no_mxu else "auto",
             mxu_precision=args.mxu_precision,
             spill="off" if args.no_spill else "auto",
@@ -530,6 +531,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="auto",
                    choices=["auto", "autotuned", "stream", "panel",
                             "overlap", "pallas", "xla", "interpreter"])
+    p.add_argument("--host-chunks", type=int, default=0, metavar="N",
+                   help="out-of-core: stream the domain through the "
+                        "device in N i-chunks (for domains larger than "
+                        "device memory; inputs/outputs stay on host)")
     p.add_argument("--no-mxu", action="store_true",
                    help="disable banded-matmul lowering of wide stages")
     p.add_argument("--no-spill", action="store_true",

@@ -14,6 +14,7 @@ under the halo-pruned relative-tolerance discipline
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from typing import Any, Dict, Optional
@@ -55,6 +56,7 @@ def run_program(stencil_file, mode: str = "emulation",
                 halo: int = 0,
                 repetitions: int = 1,
                 backend: str = "auto",
+                host_chunks: int = 0,
                 mxu: str = "auto",
                 mxu_precision: str = "split",
                 spill: str = "auto",
@@ -124,7 +126,20 @@ def run_program(stencil_file, mode: str = "emulation",
                 pass
         interpret = mode == "emulation"
         from .backend import compile_chain, compile_chain_best
-        if backend == "auto":
+        if host_chunks and host_chunks > 1:
+            # out-of-core: inputs stay host-resident, i-chunks stream
+            # through one compiled kernel (outofcore.py); overrides
+            # --backend (the chunk kernel picks stream/xla itself)
+            from .outofcore import compile_chunked_chain, run_chunked
+            compiled = compile_chunked_chain(
+                program, host_chunks, analysis, interpret=interpret,
+                mxu=mxu, mxu_precision=mxu_precision, spill=spill)
+            fn = functools.partial(run_chunked, program,
+                                   chunks=host_chunks, analysis=analysis,
+                                   compiled=compiled)
+            bname = (f"outofcore[{compiled[1].backend}"
+                     f" x{host_chunks} chunks]")
+        elif backend == "auto":
             fn, bname = compile_chain_best(program, analysis,
                                            interpret=interpret, mxu=mxu,
                                            mxu_precision=mxu_precision,
@@ -164,9 +179,12 @@ def run_program(stencil_file, mode: str = "emulation",
         else:
             raise ValueError(f"unknown backend: {backend}")
 
-        dev_inputs = {k: jnp.asarray(v) if not np.isscalar(v) and
-                      getattr(v, "ndim", 0) > 0 else v
-                      for k, v in inputs.items()}
+        if host_chunks and host_chunks > 1:
+            dev_inputs = inputs   # host-resident by design
+        else:
+            dev_inputs = {k: jnp.asarray(v) if not np.isscalar(v) and
+                          getattr(v, "ndim", 0) > 0 else v
+                          for k, v in inputs.items()}
         out = fn(dev_inputs)  # warm up: compile outside the timed region
         # through the device tunnel block_until_ready returns before the
         # remote compile finishes — only a host readback truly waits, so

@@ -1,0 +1,221 @@
+"""Out-of-core execution: domains larger than device memory.
+
+The reference's defining property is that domains are *never resident
+on-chip* — one element per cycle flows from DRAM through the pipeline
+(/root/reference/stencilflow/sdfg_generator.py:248-467: read maps feed
+FIFOs, buffer state is only ``stencil extent x plane size``).  On TPU the
+fused streaming kernel already gives the VMEM level of that story (HBM is
+"DRAM", VMEM rings are the line buffers); this module adds the next level
+up: when the domain does not fit **HBM**, stream i-chunks from host memory
+through the same compiled kernel.
+
+Mechanics: the i axis is split into C chunks.  Each chunk's inputs are
+host-sliced with the chain's cumulative i-halo on both sides (zero-padded
+at global edges — the kernel's origin-based boundary masks treat those
+exactly like the globally-OOB reads of the sharded path), one jitted
+origin-parameterized kernel evaluates all chunks, and outputs are
+assembled on host.  Per-chunk device residency is O(N/C).  The device
+kernel is the same per-block streaming lowering as domain decomposition
+(parallel/domain.py:plan_local_stream — j-tiling, MXU banded matmuls,
+and HBM ring spill all apply), so out-of-core composes with every
+single-chip optimization.
+
+Inputs may be numpy arrays or ``np.memmap``s (so the working set never
+has to exist in host RAM either); outputs are written into caller-provided
+arrays/memmaps via ``out=`` or freshly allocated.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from . import config, ir
+from .frontend.analysis import ChainAnalysis
+from .backend.xla import chain_halo
+
+
+@dataclasses.dataclass
+class ChunkPlan:
+    """Geometry of an out-of-core run."""
+    chunks: int
+    block: int      # core i-planes per chunk
+    halo: int       # i-halo each side (the chain's cumulative i extent)
+    backend: str    # "stream" | "xla"
+    config: Dict[str, Any]
+
+    @property
+    def device_bytes_per_chunk(self) -> int:
+        return self.config.get("io_bytes", 0)
+
+
+def _fake_plan(program: ir.Program, block, halo):
+    """A single-block DomainDecomposition carrier (no mesh) so the
+    per-block stream chooser can be reused verbatim."""
+    from .parallel.domain import DomainDecomposition
+    return DomainDecomposition(program=program, mesh=None,
+                               dim_axes=(None, None, None),
+                               halo=halo, block=block)
+
+
+def compile_chunked_chain(program: ir.Program,
+                          chunks: int,
+                          analysis: Optional[ChainAnalysis] = None,
+                          backend: str = "auto",
+                          interpret: bool = False,
+                          mxu: str = "auto",
+                          mxu_precision: str = "split",
+                          spill: str = "auto",
+                          vmem_budget: int =
+                          config.TPU_STREAM_VMEM_BUDGET):
+    """Build ``(chunk_fn, plan)``: a jitted ``chunk_fn(origin_i, tiles)
+    -> outputs`` evaluating one i-chunk, compiled once for all chunks.
+
+    ``tiles`` are the chunk's host-sliced inputs: i-spanning fields carry
+    ``block + 2*halo`` planes (zero-padded at global edges); others pass
+    whole.  ``origin_i`` is the global i index of the chunk's first
+    *widened* plane (core start minus halo).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    analysis = analysis or ChainAnalysis.run(program)
+    dims = program.dimensions
+    I, J, K = dims
+    if len(program.raw_dimensions) < 2 or I <= 1:
+        raise ValueError("out-of-core chunking streams the i axis; "
+                         f"domain {program.raw_dimensions} has no i "
+                         "extent to chunk")
+    if chunks < 1 or I % chunks:
+        raise ValueError(f"chunks={chunks} must divide I={I}")
+    Ic = I // chunks
+    h = chain_halo(analysis)[0]
+    if chunks > 1 and h >= Ic:
+        raise ValueError(f"chain i-halo {h} >= chunk block {Ic}; "
+                         "use fewer chunks")
+    plan3 = _fake_plan(program, (Ic, J, K), (h if chunks > 1 else 0, 0, 0))
+    halo_i = plan3.halo[0]
+
+    if backend == "auto":
+        on_cpu = jax.devices()[0].platform == "cpu"
+        backend = "xla" if (interpret or on_cpu) else "stream"
+
+    raw = program.raw_dimensions
+    local_raw = (Ic,) + tuple(raw[1:])
+
+    if backend == "stream":
+        from .parallel.domain import plan_local_stream
+        got = plan_local_stream(program, analysis, plan3,
+                                interpret=interpret, mxu=mxu,
+                                mxu_precision=mxu_precision,
+                                spill=spill, vmem_budget=vmem_budget)
+        if got is not None:
+            stream_fn, extra_j_pad, pool_globals, _pspecs, cfg = got
+            # single block (n_j = n_k = 1): every pooled matrix IS the
+            # local slice; the kernel wrapper reshapes to local_shapes
+            pools = {k: jnp.asarray(v) for k, v in pool_globals.items()}
+
+            def body(origin_i, tiles):
+                if extra_j_pad:
+                    tiles = dict(tiles)
+                    for name, spec in program.inputs.items():
+                        if spec.is_scalar or not spec.dim_mask[1]:
+                            continue
+                        pos = sum(spec.dim_mask[:1])
+                        pad = [(0, 0)] * tiles[name].ndim
+                        pad[pos] = (extra_j_pad, extra_j_pad)
+                        tiles[name] = jnp.pad(tiles[name], pad)
+                origin = jnp.stack([jnp.int32(origin_i), jnp.int32(0),
+                                    jnp.int32(0)])
+                results = stream_fn(origin, tiles, pools)
+                return {n: arr.reshape(local_raw)
+                        for n, arr in results.items()}
+
+            plan = ChunkPlan(chunks=chunks, block=Ic, halo=halo_i,
+                             backend="stream", config=cfg)
+            return jax.jit(body), plan
+        backend = "xla"   # nothing fits: fall through
+
+    graph = analysis.graph
+    from .backend.tile_eval import evaluate_chain_tile
+
+    def body(origin_i, tiles):
+        # evaluate_chain_tile takes the *core* origin (the stream kernel
+        # takes the widened one, hence the +halo_i here only)
+        origin = [jnp.int32(origin_i) + halo_i, jnp.int32(0),
+                  jnp.int32(0)]
+        results = evaluate_chain_tile(program, graph, tiles, origin,
+                                      (halo_i, 0, 0))
+        core = (slice(halo_i, halo_i + Ic),)
+        return {n: arr[core].reshape(local_raw)
+                for n, arr in results.items()}
+
+    plan = ChunkPlan(chunks=chunks, block=Ic, halo=halo_i, backend="xla",
+                     config={})
+    return jax.jit(body), plan
+
+
+def _host_slab(arr: np.ndarray, lo: int, hi: int, extent: int):
+    """``arr[lo:hi]`` along axis 0 with zero padding outside
+    ``[0, extent)`` — the host-side equivalent of the sharded path's
+    boundary ppermute zeros (parallel/domain.py:_exchange_halo)."""
+    lo_pad, hi_pad = max(0, -lo), max(0, hi - extent)
+    sl = np.asarray(arr[max(0, lo):min(hi, extent)])
+    if lo_pad or hi_pad:
+        pad = [(lo_pad, hi_pad)] + [(0, 0)] * (sl.ndim - 1)
+        sl = np.pad(sl, pad)
+    return sl
+
+
+def run_chunked(program: ir.Program,
+                inputs: Dict[str, Any],
+                chunks: int,
+                out: Optional[Dict[str, np.ndarray]] = None,
+                analysis: Optional[ChainAnalysis] = None,
+                compiled=None,
+                **compile_kw) -> Dict[str, np.ndarray]:
+    """Evaluate the chain out-of-core: host-slice i-chunks (+halo),
+    stream each through the compiled kernel, assemble outputs on host.
+
+    ``inputs`` values may be numpy arrays or memmaps at raw rank;
+    ``out`` may supply preallocated (possibly memmapped) output arrays.
+    ``compiled`` reuses a prior ``compile_chunked_chain`` result.
+    """
+    analysis = analysis or ChainAnalysis.run(program)
+    fn, plan = compiled or compile_chunked_chain(program, chunks,
+                                                 analysis, **compile_kw)
+    if plan.chunks != chunks:
+        raise ValueError(f"compiled for {plan.chunks} chunks, got "
+                         f"{chunks}")
+    I = program.dimensions[0]
+    Ic, h = plan.block, plan.halo
+    raw = program.raw_dimensions
+
+    outputs: Dict[str, np.ndarray] = {}
+    for o in program.outputs:
+        dt = np.dtype(program.kernels[o].dtype)
+        if out is not None and o in out:
+            got = out[o]
+            if got.shape != tuple(raw) or got.dtype != dt:
+                raise ValueError(f"out[{o!r}] has shape {got.shape} "
+                                 f"dtype {got.dtype}; want {tuple(raw)} "
+                                 f"{dt}")
+            outputs[o] = got
+        else:
+            outputs[o] = np.empty(tuple(raw), dtype=dt)
+
+    for c in range(chunks):
+        lo = c * Ic - h
+        hi = (c + 1) * Ic + h
+        tiles: Dict[str, Any] = {}
+        for name, spec in program.inputs.items():
+            arr = inputs[name]
+            if spec.is_scalar or not spec.dim_mask[0]:
+                tiles[name] = np.asarray(arr)
+                continue
+            tiles[name] = _host_slab(arr, lo, hi, I)
+        got = fn(np.int32(lo), tiles)
+        for o in program.outputs:
+            outputs[o][c * Ic:(c + 1) * Ic] = np.asarray(got[o])
+    return outputs

@@ -272,6 +272,100 @@ def _sharded_mxu_assets(program: ir.Program, analysis: ChainAnalysis,
     return local_assets, global_arrays, pspecs, resident
 
 
+def plan_local_stream(program: ir.Program, analysis: ChainAnalysis,
+                      plan: DomainDecomposition,
+                      interpret: bool = False,
+                      mxu: str = "auto",
+                      mxu_min_footprint: int = 12,
+                      mxu_precision: str = "split",
+                      spill: str = "auto",
+                      vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET):
+    """Choose and compile the per-block streaming kernel for a local block
+    of ``plan.block`` with halo ``plan.halo``.
+
+    Candidate order: untiled (+MXU), j-tiled (+MXU), untiled VPU, j-tiled
+    VPU, HBM ring spill.  Returns ``(stream_fn, extra_j_pad, pool_globals,
+    pool_pspecs, config_dict)`` or None when nothing fits the VMEM budget
+    (callers fall back to the fused-XLA tile body).  Shared by the
+    mesh-sharded path (shard_map bodies) and the out-of-core host-chunk
+    path (``plan`` may then carry ``mesh=None`` with all dim_axes None).
+    """
+    from ..backend.stream import (StreamPlan, choose_spill,
+                                  compile_local_stream, jtile_splits)
+    halo_i = plan.halo[0]
+    hjt = chain_halo(analysis)[1]
+    budget = 0.7 * vmem_budget
+    Bj = plan.block[1]
+    # candidates: (jtiles, local_jk, halo_jk, extra_j_pad); j-tiles
+    # use overlapped windows widened by the chain's j-halo, padded
+    # locally if the mesh exchange did not already provide the margin
+    cands = [(1, (plan.block[1], plan.block[2]),
+              (plan.halo[1], plan.halo[2]), 0)]
+    hjt_pad, splits = jtile_splits(Bj, hjt)
+    cands += [(tiles, (tj, plan.block[2]), (hjt_pad, plan.halo[2]),
+               max(0, hjt_pad - plan.halo[1]))
+              for tiles, tj in splits]
+    chosen = None
+    for use_mxu in ([True, False] if mxu != "off" else [False]):
+        for nt, ljk, hjk, pad in cands:
+            trial = StreamPlan.build(analysis, local_jk=ljk,
+                                     halo_jk=hjk, min_lag_max=halo_i,
+                                     direct_emit=halo_i == 0)
+            tb = trial.vmem_bytes(program) + \
+                trial.io_window_bytes(program)
+            assets = None
+            if use_mxu:
+                a = _sharded_mxu_assets(program, analysis, trial, plan,
+                                        nt, mxu_min_footprint,
+                                        mxu_precision)
+                if a is None:
+                    break   # no eligible stage: same as the VPU pass
+                assets, globals_, pspecs_, extra = a
+                tb += extra
+            else:
+                globals_, pspecs_ = {}, {}
+            if tb <= budget:
+                chosen = (nt, hjk, pad, trial, assets, globals_,
+                          pspecs_, None)
+                break
+        if chosen is not None:
+            break
+    if chosen is None and spill != "off":
+        # spill rescue: keep untiled shard planes, move the deepest
+        # rings to HBM circular buffers (backend/stream.py).  Output
+        # rings must stay in VMEM when they emit through the ring
+        # (i-sharded, halo_i > 0).
+        trial = StreamPlan.build(
+            analysis, local_jk=(plan.block[1], plan.block[2]),
+            halo_jk=(plan.halo[1], plan.halo[2]),
+            min_lag_max=halo_i, direct_emit=halo_i == 0)
+        sel = choose_spill(program, analysis, trial,
+                           budget - trial.io_window_bytes(program),
+                           allow_outputs=halo_i == 0)
+        if sel is not None:
+            chosen = (1, (plan.halo[1], plan.halo[2]), 0, trial,
+                      None, {}, {}, sel[0])
+    if chosen is None:
+        return None
+    jtiles, _hjk, extra_j_pad, splan, assets, pool_globals, \
+        pool_pspecs, spill_sel = chosen
+    stream_fn = compile_local_stream(program, analysis, splan,
+                                     plan.block,
+                                     interpret=interpret,
+                                     vmem_budget=vmem_budget,
+                                     halo_i=halo_i,
+                                     jtiles=jtiles,
+                                     mxu_assets=assets,
+                                     spill_reads=spill_sel)
+    cfg = {
+        "backend": "stream",
+        "jtiles": jtiles,
+        "mxu_stages": sorted(assets["plans"]) if assets else [],
+        "spilled": sorted(spill_sel) if spill_sel else [],
+    }
+    return stream_fn, extra_j_pad, pool_globals, pool_pspecs, cfg
+
+
 def compile_sharded_chain(program: ir.Program, mesh: Mesh,
                           dim_axes: Sequence[Optional[str]],
                           analysis: Optional[ChainAnalysis] = None,
@@ -309,63 +403,12 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
     pool_globals: Dict[str, Any] = {}
     pool_pspecs: Dict[str, P] = {}
     if local_backend == "stream":
-        from ..backend.stream import StreamPlan, compile_local_stream
-        halo_i = plan.halo[0]
-        hjt = chain_halo(analysis)[1]
-        budget = 0.7 * vmem_budget
-        Bj = plan.block[1]
-        # candidates: (jtiles, local_jk, halo_jk, extra_j_pad); j-tiles
-        # use overlapped windows widened by the chain's j-halo, padded
-        # locally if the mesh exchange did not already provide the margin
-        cands = [(1, (plan.block[1], plan.block[2]),
-                  (plan.halo[1], plan.halo[2]), 0)]
-        from ..backend.stream import jtile_splits
-        hjt_pad, splits = jtile_splits(Bj, hjt)
-        cands += [(tiles, (tj, plan.block[2]), (hjt_pad, plan.halo[2]),
-                   max(0, hjt_pad - plan.halo[1]))
-                  for tiles, tj in splits]
-        chosen = None
-        for use_mxu in ([True, False] if mxu != "off" else [False]):
-            for nt, ljk, hjk, pad in cands:
-                trial = StreamPlan.build(analysis, local_jk=ljk,
-                                         halo_jk=hjk, min_lag_max=halo_i,
-                                         direct_emit=halo_i == 0)
-                tb = trial.vmem_bytes(program) + \
-                    trial.io_window_bytes(program)
-                assets = None
-                if use_mxu:
-                    a = _sharded_mxu_assets(program, analysis, trial, plan,
-                                            nt, mxu_min_footprint,
-                                            mxu_precision)
-                    if a is None:
-                        break   # no eligible stage: same as the VPU pass
-                    assets, globals_, pspecs_, extra = a
-                    tb += extra
-                else:
-                    globals_, pspecs_ = {}, {}
-                if tb <= budget:
-                    chosen = (nt, hjk, pad, trial, assets, globals_,
-                              pspecs_, None)
-                    break
-            if chosen is not None:
-                break
-        if chosen is None and spill != "off":
-            # spill rescue: keep untiled shard planes, move the deepest
-            # rings to HBM circular buffers (backend/stream.py).  Output
-            # rings must stay in VMEM when they emit through the ring
-            # (i-sharded, halo_i > 0).
-            from ..backend.stream import choose_spill
-            trial = StreamPlan.build(
-                analysis, local_jk=(plan.block[1], plan.block[2]),
-                halo_jk=(plan.halo[1], plan.halo[2]),
-                min_lag_max=halo_i, direct_emit=halo_i == 0)
-            sel = choose_spill(program, analysis, trial,
-                               budget - trial.io_window_bytes(program),
-                               allow_outputs=halo_i == 0)
-            if sel is not None:
-                chosen = (1, (plan.halo[1], plan.halo[2]), 0, trial,
-                          None, {}, {}, sel[0])
-        if chosen is None:
+        got = plan_local_stream(program, analysis, plan,
+                                interpret=interpret, mxu=mxu,
+                                mxu_min_footprint=mxu_min_footprint,
+                                mxu_precision=mxu_precision, spill=spill,
+                                vmem_budget=vmem_budget)
+        if got is None:
             # nothing fits: fused-XLA local body rather than failing deep
             # inside the Mosaic compiler
             body = functools.partial(_local_forward, plan, graph)
@@ -373,24 +416,10 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
             compile_sharded_chain.last_config = {
                 "backend": "xla", "jtiles": 0, "mxu_stages": []}
         else:
-            jtiles, _hjk, extra_j_pad, splan, assets, pool_globals, \
-                pool_pspecs, spill_sel = chosen
-            stream_fn = compile_local_stream(program, analysis, splan,
-                                             plan.block,
-                                             interpret=interpret,
-                                             vmem_budget=vmem_budget,
-                                             halo_i=halo_i,
-                                             jtiles=jtiles,
-                                             mxu_assets=assets,
-                                             spill_reads=spill_sel)
+            stream_fn, extra_j_pad, pool_globals, pool_pspecs, cfg = got
             body = functools.partial(_local_forward_stream, plan,
                                      stream_fn, extra_j_pad)
-            compile_sharded_chain.last_config = {
-                "backend": "stream",
-                "jtiles": jtiles,
-                "mxu_stages": sorted(assets["plans"]) if assets else [],
-                "spilled": sorted(spill_sel) if spill_sel else [],
-            }
+            compile_sharded_chain.last_config = cfg
     if local_backend != "stream":
         body = functools.partial(_local_forward, plan, graph)
         sm = shard_map(body, mesh=mesh, in_specs=(in_specs,),

@@ -1,0 +1,143 @@
+"""Out-of-core host-chunked execution (outofcore.py): i-chunks with the
+chain's cumulative halo stream through one origin-parameterized kernel;
+results must match the whole-domain oracle exactly.
+
+The chunk kernel reuses the per-block lowering of domain decomposition
+(parallel/domain.py:plan_local_stream), so these tests cover the stream
+(interpret) and fused-XLA chunk bodies, memmapped inputs/outputs, DAG
+programs with lower-dimensional inputs, and the error surface.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import stencilflow_tpu as sft
+from stencilflow_tpu.outofcore import compile_chunked_chain, run_chunked
+from stencilflow_tpu.synthesize import jacobi, synthesize_stencil
+
+
+def _oracle(p, inputs):
+    return {k: np.asarray(v, dtype=np.float64)
+            for k, v in sft.run_interpreter(p, inputs).items()}
+
+
+class TestChunkedMatchesOracle:
+    @pytest.mark.parametrize("chunks", [1, 2, 4])
+    def test_jacobi3d_xla_body(self, chunks):
+        p = sft.parse_program(jacobi(3, 16, iterations=3), name="oc3")
+        inputs = sft.load_input_arrays(p, seed=1)
+        ref = _oracle(p, inputs)
+        got = run_chunked(p, inputs, chunks)
+        for o in p.outputs:
+            np.testing.assert_allclose(got[o], ref[o], rtol=2e-5,
+                                       atol=1e-6)
+
+    @pytest.mark.parametrize("chunks", [2, 4])
+    def test_jacobi3d_stream_body_interpret(self, chunks):
+        p = sft.parse_program(jacobi(3, 16, iterations=2), name="ocs")
+        inputs = sft.load_input_arrays(p, seed=2)
+        ref = _oracle(p, inputs)
+        got = run_chunked(p, inputs, chunks, backend="stream",
+                          interpret=True)
+        for o in p.outputs:
+            np.testing.assert_allclose(got[o], ref[o], rtol=2e-5,
+                                       atol=1e-6)
+
+    def test_dag_with_lower_dim_inputs(self):
+        """hdiff-style DAG (forks/joins, multi-statement kernels) plus a
+        k-spanning and a scalar input exercise the host-slab logic for
+        non-i-spanning fields."""
+        spec = synthesize_stencil(num_stages=2, dimensions=(8, 12, 16),
+                                  shape="hdiff")
+        p = sft.parse_program(spec, name="ochd")
+        inputs = sft.load_input_arrays(p, seed=3)
+        ref = _oracle(p, inputs)
+        got = run_chunked(p, inputs, 4)
+        for o in p.outputs:
+            np.testing.assert_allclose(got[o], ref[o], rtol=2e-5,
+                                       atol=1e-6)
+
+    def test_copy_bc(self):
+        spec = jacobi(3, 8, iterations=2)
+        for k in spec["program"].values():
+            for bc in k["boundary_conditions"].values():
+                bc["type"] = "copy"
+        p = sft.parse_program(spec, name="occ")
+        inputs = sft.load_input_arrays(p, seed=4)
+        ref = _oracle(p, inputs)
+        got = run_chunked(p, inputs, 2)
+        np.testing.assert_allclose(got[p.outputs[0]], ref[p.outputs[0]],
+                                   rtol=2e-5, atol=1e-6)
+
+
+class TestMemmap:
+    def test_memmap_in_and_out(self, tmp_path):
+        """Inputs from np.memmap, outputs into caller-provided memmaps —
+        the working set never needs to exist in RAM."""
+        p = sft.parse_program(jacobi(3, 16, iterations=2), name="ocm")
+        inputs = sft.load_input_arrays(p, seed=5)
+        ref = _oracle(p, inputs)
+        name = next(iter(p.inputs))
+        mm_in = np.memmap(tmp_path / "in.dat", dtype=np.float32,
+                          mode="w+", shape=inputs[name].shape)
+        mm_in[:] = inputs[name]
+        mm_in.flush()
+        out_name = p.outputs[0]
+        mm_out = np.memmap(tmp_path / "out.dat", dtype=np.float32,
+                           mode="w+", shape=tuple(p.raw_dimensions))
+        got = run_chunked(p, {**inputs, name: mm_in}, 4,
+                          out={out_name: mm_out})
+        assert got[out_name] is mm_out
+        np.testing.assert_allclose(np.asarray(mm_out), ref[out_name],
+                                   rtol=2e-5, atol=1e-6)
+
+    def test_out_shape_mismatch_raises(self):
+        p = sft.parse_program(jacobi(3, 8, iterations=1), name="ocbad")
+        inputs = sft.load_input_arrays(p, seed=0)
+        with pytest.raises(ValueError, match="shape"):
+            run_chunked(p, inputs, 2,
+                        out={p.outputs[0]: np.empty((4, 4, 4),
+                                                    np.float32)})
+
+
+class TestErrors:
+    def test_chunks_must_divide(self):
+        p = sft.parse_program(jacobi(3, 8, iterations=1), name="ocd")
+        with pytest.raises(ValueError, match="divide"):
+            compile_chunked_chain(p, 3)
+
+    def test_halo_vs_block(self):
+        p = sft.parse_program(jacobi(3, 8, iterations=8), name="och")
+        with pytest.raises(ValueError, match="halo"):
+            compile_chunked_chain(p, 8)  # halo 8 >= block 1
+
+    def test_2d_program_rejected(self):
+        p = sft.parse_program(jacobi(2, 8, iterations=1), name="oc2")
+        with pytest.raises(ValueError, match="i axis|i extent"):
+            compile_chunked_chain(p, 2)
+
+    def test_compiled_chunk_mismatch(self):
+        p = sft.parse_program(jacobi(3, 8, iterations=1), name="occm")
+        inputs = sft.load_input_arrays(p, seed=0)
+        compiled = compile_chunked_chain(p, 2)
+        with pytest.raises(ValueError, match="chunks"):
+            run_chunked(p, inputs, 4, compiled=compiled)
+
+
+def test_cli_host_chunks(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    prog_path = tmp_path / "p.json"
+    prog_path.write_text(json.dumps(jacobi(3, 8, iterations=2)))
+    out = subprocess.run(
+        [sys.executable, "-m", "stencilflow_tpu.cli", "run",
+         str(prog_path), "emulation", "--host-chunks", "2",
+         "--compare-to-reference"],
+        capture_output=True, text=True, cwd=repo, env=env)
+    assert out.returncode == 0, out.stderr
+    assert "outofcore[" in out.stdout
+    assert "verified against reference: OK" in out.stdout
