@@ -97,6 +97,7 @@ def _cmd_iterate(args) -> int:
     state = iterate(program, inputs, args.steps,
                     chunk=args.chunk,
                     fuse=args.fuse_steps,
+                    host_chunks=args.host_chunks,
                     checkpoint_every=args.checkpoint_every,
                     checkpoint_dir=args.checkpoint_dir,
                     checkpoint_format=args.checkpoint_format,
@@ -579,6 +580,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compose this many time steps into one deeper "
                         "chain before compiling (multiplies arithmetic "
                         "intensity; steps must be a multiple)")
+    p.add_argument("--host-chunks", type=int, default=0, metavar="N",
+                   help="out-of-core time-stepping: state stays in host "
+                        "memory, each step streams the domain through "
+                        "the device in N i-chunks (combine with "
+                        "--fuse-steps to amortize host<->device traffic)")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--checkpoint-dir")
     p.add_argument("--checkpoint-format", default="npz",

@@ -114,11 +114,18 @@ def make_step(program: ir.Program,
               backend: str = "auto",
               interpret: bool = False,
               mesh=None, dim_axes: Optional[Sequence] = None,
-              analysis: Optional[ChainAnalysis] = None
+              analysis: Optional[ChainAnalysis] = None,
+              host_chunks: int = 0
               ) -> Tuple[Callable, Dict[str, str]]:
     """Compile one time step.  Returns ``(step, feed)`` where
     ``step(state_dict) -> state_dict`` carries every program input; fed
-    inputs are replaced by the designated outputs each call."""
+    inputs are replaced by the designated outputs each call.
+
+    ``host_chunks`` > 1 builds a *host-level* step: state stays in host
+    numpy/memmap arrays and each step streams the domain through the
+    device in i-chunks (outofcore.py) — time-stepping domains larger
+    than HBM.  Combine with ``fuse`` (via ``iterate``) to amortize the
+    host<->device traffic over several time steps per pass."""
     feed = feed or _default_feed(program)
     for iname, oname in feed.items():
         if iname not in program.inputs or oname not in program.outputs:
@@ -130,6 +137,22 @@ def make_step(program: ir.Program,
                 f"fed input {iname!r} must span the full domain")
 
     analysis = analysis or ChainAnalysis.run(program)
+    if host_chunks and host_chunks > 1:
+        if mesh is not None:
+            raise IterateError("host_chunks is incompatible with mesh")
+        from .outofcore import compile_chunked_chain, run_chunked
+        compiled = compile_chunked_chain(program, host_chunks, analysis,
+                                         interpret=interpret)
+
+        def step(state: Dict[str, Any]) -> Dict[str, Any]:
+            out = run_chunked(program, state, host_chunks,
+                              analysis=analysis, compiled=compiled)
+            new_state = dict(state)
+            for iname, oname in feed.items():
+                new_state[iname] = out[oname]
+            return new_state
+
+        return step, feed
     if mesh is not None:
         if dim_axes is None:
             raise IterateError("mesh requires dim_axes, e.g. "
@@ -180,6 +203,7 @@ def iterate(program: ir.Program, inputs: Dict[str, Any], steps: int,
             mesh=None, dim_axes: Optional[Sequence] = None,
             chunk: int = 16,
             fuse: int = 1,
+            host_chunks: int = 0,
             checkpoint_every: int = 0,
             checkpoint_dir: Optional[str] = None,
             checkpoint_format: str = "npz",
@@ -222,8 +246,9 @@ def iterate(program: ir.Program, inputs: Dict[str, Any], steps: int,
     ckpt_f = checkpoint_every // scale if checkpoint_every else 0
 
     analysis = ChainAnalysis.run(program)
+    host_mode = bool(host_chunks and host_chunks > 1)
     step, feed = make_step(program, feed, backend, interpret, mesh,
-                           dim_axes, analysis)
+                           dim_axes, analysis, host_chunks=host_chunks)
 
     start = 0
     shardings: Dict[str, Any] = {}
@@ -233,6 +258,8 @@ def iterate(program: ir.Program, inputs: Dict[str, Any], steps: int,
         shardings = dplan.input_shardings()
 
     def place(k, v):
+        if host_mode:
+            return np.asarray(v) if getattr(v, "ndim", 0) > 0 else v
         v = jnp.asarray(v)
         return jax.device_put(v, shardings[k]) if k in shardings else v
 
@@ -279,9 +306,17 @@ def iterate(program: ir.Program, inputs: Dict[str, Any], steps: int,
         # checkpoints must land on chunk boundaries
         chunk = min(chunk, ckpt_f)
 
-    @jax.jit
-    def run_chunk(state, n):
-        return lax.fori_loop(0, n, lambda _i, s: step(s), state)
+    if host_mode:
+        # state lives on host: plain Python loop, one chunked device
+        # sweep per (fused) step
+        def run_chunk(state, n):
+            for _ in range(int(n)):
+                state = step(state)
+            return state
+    else:
+        @jax.jit
+        def run_chunk(state, n):
+            return lax.fori_loop(0, n, lambda _i, s: step(s), state)
 
     done = start
     try:

@@ -141,3 +141,46 @@ def test_cli_host_chunks(tmp_path):
     assert out.returncode == 0, out.stderr
     assert "outofcore[" in out.stdout
     assert "verified against reference: OK" in out.stdout
+
+
+class TestIterateHostChunks:
+    def test_matches_unrolled_chain(self):
+        """4 out-of-core time steps == the 4-step unrolled chain."""
+        from stencilflow_tpu.iterate import iterate
+        p1 = sft.parse_program(jacobi(3, 8, iterations=1), name="oci1")
+        p4 = sft.parse_program(jacobi(3, 8, iterations=4), name="oci4")
+        inputs = sft.load_input_arrays(p1, seed=6)
+        ref = np.asarray(sft.run_interpreter(p4, inputs)[p4.outputs[0]])
+        state = iterate(p1, inputs, steps=4, host_chunks=2)
+        assert isinstance(state["a"], np.ndarray)
+        np.testing.assert_allclose(state["a"], ref, rtol=1e-5, atol=1e-7)
+
+    def test_fused_host_chunks(self):
+        """fuse=2 composes with out-of-core stepping (2 sweeps, each a
+        2-step-deep chain with the doubled halo)."""
+        from stencilflow_tpu.iterate import iterate
+        p1 = sft.parse_program(jacobi(3, 8, iterations=1), name="ocf1")
+        p4 = sft.parse_program(jacobi(3, 8, iterations=4), name="ocf4")
+        inputs = sft.load_input_arrays(p1, seed=7)
+        ref = np.asarray(sft.run_interpreter(p4, inputs)[p4.outputs[0]])
+        state = iterate(p1, inputs, steps=4, fuse=2, host_chunks=2)
+        np.testing.assert_allclose(state["a"], ref, rtol=1e-5, atol=1e-7)
+
+    def test_checkpoint_resume_host_mode(self, tmp_path):
+        from stencilflow_tpu.iterate import iterate
+        p1 = sft.parse_program(jacobi(3, 8, iterations=1), name="ocr1")
+        inputs = sft.load_input_arrays(p1, seed=8)
+        ckpt = str(tmp_path / "ck")
+        full = iterate(p1, inputs, steps=6, host_chunks=2,
+                       checkpoint_every=2, checkpoint_dir=ckpt)
+        os.remove(os.path.join(ckpt, "step_6.npz"))
+        resumed = iterate(p1, inputs, steps=6, host_chunks=2,
+                          checkpoint_every=2, checkpoint_dir=ckpt)
+        np.testing.assert_array_equal(full["a"], resumed["a"])
+
+    def test_mesh_conflict_raises(self):
+        from stencilflow_tpu.iterate import IterateError, make_step
+        p1 = sft.parse_program(jacobi(3, 8, iterations=1), name="ocx")
+        with pytest.raises(IterateError, match="incompatible"):
+            make_step(p1, mesh=object(), dim_axes=(None, "x", None),
+                      host_chunks=2)
