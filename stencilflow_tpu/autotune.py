@@ -44,11 +44,15 @@ class Candidate:
 
 
 def _builders(program: ir.Program, analysis: ChainAnalysis,
-              interpret: bool) -> Dict[str, Callable[[], Any]]:
+              interpret: bool, mxu: str = "auto",
+              mxu_precision: str = "split",
+              spill: str = "auto") -> Dict[str, Callable[[], Any]]:
     """label -> builder for every lowering that might apply.
 
     Labels are stable and parseable so a cached winner can be rebuilt
-    without re-measuring (``build_from_label``).
+    without re-measuring (``build_from_label``).  ``mxu`` /
+    ``mxu_precision`` / ``spill`` forward to the streaming candidates
+    (so ``run --no-mxu --backend autotuned`` is honored).
     """
     from .backend import _any_mxu_candidate, compile_chain
     from .backend.overlap import compile_chain_overlap
@@ -58,10 +62,12 @@ def _builders(program: ir.Program, analysis: ChainAnalysis,
 
     b: Dict[str, Callable[[], Any]] = {}
     b["stream"] = lambda: compile_chain_stream(
-        program, analysis, interpret=interpret)
-    if _any_mxu_candidate(program):
+        program, analysis, interpret=interpret, mxu=mxu,
+        mxu_precision=mxu_precision, spill=spill)
+    if mxu != "off" and _any_mxu_candidate(program):
         b["stream:mxu=off"] = lambda: compile_chain_stream(
-            program, analysis, interpret=interpret, mxu="off")
+            program, analysis, interpret=interpret, mxu="off",
+            spill=spill)
     b["panel:B=auto"] = lambda: compile_chain_panel(
         program, analysis, interpret=interpret)
     for B in (2, 4, 8):
@@ -84,10 +90,10 @@ DEFAULT_LABELS = ["stream", "stream:mxu=off", "panel:B=auto",
 
 def build_from_label(program: ir.Program, label: str,
                      analysis: Optional[ChainAnalysis] = None,
-                     interpret: bool = False):
+                     interpret: bool = False, **settings):
     """Rebuild a candidate's compiled fn from its cached label."""
     analysis = analysis or ChainAnalysis.run(program)
-    builders = _builders(program, analysis, interpret)
+    builders = _builders(program, analysis, interpret, **settings)
     if label not in builders:
         raise KeyError(f"unknown autotune label {label!r}")
     return builders[label]()
@@ -110,22 +116,34 @@ def _make_loop(fn, program: ir.Program, arrs: Dict[str, Any]):
         if feed:
             break
 
+    def all_outputs_scalar(got):
+        # every output contributes to the carry: transparent candidates
+        # (fused XLA) must not get their non-fed outputs dead-code
+        # eliminated while opaque pallas_call candidates do full work
+        return sum(got[o].ravel()[0].astype(jnp.float32)
+                   for o in sorted(got))
+
     if feed is not None:
         i_n, o_n = feed
         rest = {k: v for k, v in arrs.items() if k != i_n}
 
         @jax.jit
         def loop(r):
-            def body(_, x):
-                return fn({i_n: x, **rest})[o_n]
-            return jax.lax.fori_loop(0, r, body, arrs[i_n]).sum()
+            def body(carry, x):
+                got = fn({i_n: x, **rest})
+                return carry + all_outputs_scalar(got), got[o_n]
+            def step(_, c):
+                return body(*c)
+            out = jax.lax.fori_loop(0, r, step,
+                                    (jnp.float32(0.0), arrs[i_n]))
+            return out[0] + out[1].ravel()[0].astype(jnp.float32)
     else:
         # no shape-compatible (input, output) pair: thread a scalar carry
         # through one input at negligible weight — the data dependency
         # blocks loop-invariant hoisting, the 1e-30 perturbation is far
-        # below the verification tolerance
+        # below the verification tolerance (the dialect is float-typed,
+        # so the cast cannot flush the epsilon to an exact zero)
         i_n = max(arrs, key=lambda k: int(np.prod(arrs[k].shape)))
-        o_n = next(iter(outs))
         base = arrs[i_n]
 
         @jax.jit
@@ -133,7 +151,7 @@ def _make_loop(fn, program: ir.Program, arrs: Dict[str, Any]):
             def body(_, c):
                 got = fn({**arrs, i_n: base + c * jnp.asarray(
                     1e-30, base.dtype)})
-                return got[o_n].ravel()[0].astype(jnp.float32)
+                return all_outputs_scalar(got)
             return jax.lax.fori_loop(0, r, body, jnp.float32(0.0))
 
     return loop
@@ -159,7 +177,13 @@ def _time_fn(fn, program: ir.Program, arrs: Dict[str, Any],
         small = max(6, big // 5)
     else:
         small, big = 2, 6
-    return (timed(big) - timed(small)) / (big - small)
+    dt = (timed(big) - timed(small)) / (big - small)
+    if dt <= 0:
+        # differencing lost to timer jitter (tiny CPU/interpret runs):
+        # fall back to the per-application upper bound so a noise-negative
+        # candidate can never win (and never poisons the cache)
+        dt = timed(big) / big
+    return dt
 
 
 @dataclasses.dataclass
@@ -178,7 +202,10 @@ def autotune(program: ir.Program,
              trials: int = 3,
              seed: int = 0,
              interpret: bool = False,
-             verbose: bool = False) -> AutotuneResult:
+             verbose: bool = False,
+             mxu: str = "auto",
+             mxu_precision: str = "split",
+             spill: str = "auto") -> AutotuneResult:
     """Measure every applicable lowering and return the winner.
 
     ``sweep`` adds the panel/overlap block-size grid to the default
@@ -192,7 +219,8 @@ def autotune(program: ir.Program,
     from .data import load_input_arrays
     analysis = analysis or ChainAnalysis.run(program)
     on_tpu = jax.devices()[0].platform == "tpu" and not interpret
-    builders = _builders(program, analysis, interpret)
+    builders = _builders(program, analysis, interpret, mxu=mxu,
+                         mxu_precision=mxu_precision, spill=spill)
     if labels is None:
         labels = list(builders) if sweep else [
             l for l in DEFAULT_LABELS if l in builders]
@@ -202,6 +230,7 @@ def autotune(program: ir.Program,
 
     timings: Dict[str, float] = {}
     skipped: Dict[str, str] = {}
+    fns: Dict[str, Any] = {}
     for label in labels:
         try:
             fn = builders[label]()
@@ -215,6 +244,8 @@ def autotune(program: ir.Program,
             skipped[label] = f"failed: {type(e).__name__}: {e}"
             continue
         timings[label] = dt
+        fns[label] = fn   # keep the compiled+warmed fn (recompiling the
+        #                   winner would cost another cold Mosaic compile)
         if verbose:
             gc = program.total_elements / dt / 1e9
             print(f"  {label:16s} {dt * 1e3:9.3f} ms  {gc:8.2f} GCell/s")
@@ -226,18 +257,25 @@ def autotune(program: ir.Program,
     best = min(finite, key=finite.get)
     return AutotuneResult(label=best, seconds=finite[best],
                           timings=timings, skipped=skipped,
-                          fn=builders[best]())
+                          fn=fns[best])
 
 
-def cache_key(program: ir.Program) -> str:
-    """Device- and structure-dependent key (data values excluded)."""
+def cache_key(program: ir.Program, interpret: bool = False,
+              **settings) -> str:
+    """Device-, mode- and structure-dependent key (data values excluded).
+
+    ``interpret`` and the lowering settings (mxu/spill/...) are part of
+    the key: a winner measured under emulation or with MXU disabled must
+    never be served to a hardware / MXU-enabled run."""
     import jax
 
     from .frontend.export import program_to_json
     spec = program_to_json(program, embed_data=False)
     dev = jax.devices()[0]
+    ctx = "|".join(f"{k}={settings[k]}" for k in sorted(settings))
     src = (json.dumps(spec, sort_keys=True, default=str)
-           + f"|{dev.platform}|{getattr(dev, 'device_kind', '')}")
+           + f"|{dev.platform}|{getattr(dev, 'device_kind', '')}"
+           + f"|interpret={interpret}|{ctx}")
     return hashlib.sha256(src.encode()).hexdigest()[:16]
 
 
@@ -250,7 +288,8 @@ def _load_cache(path: str) -> Dict[str, Any]:
 
 
 def _save_cache(path: str, cache: Dict[str, Any]) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if os.path.dirname(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(cache, f, indent=1, sort_keys=True)
@@ -258,13 +297,14 @@ def _save_cache(path: str, cache: Dict[str, Any]) -> None:
 
 
 def save_result(program: ir.Program, res: AutotuneResult,
-                cache_path: Optional[str] = None) -> str:
+                cache_path: Optional[str] = None,
+                interpret: bool = False, **settings) -> str:
     """Record an AutotuneResult in the on-disk cache; returns the path."""
     import jax
     path = cache_path or DEFAULT_CACHE
     cache = _load_cache(path)
     dev = jax.devices()[0]
-    cache[cache_key(program)] = {
+    cache[cache_key(program, interpret, **settings)] = {
         "label": res.label,
         "seconds": res.seconds,
         "timings": {l: (None if not np.isfinite(t) else t)
@@ -282,19 +322,25 @@ def compile_chain_autotuned(program: ir.Program,
                             cache_path: Optional[str] = None,
                             force: bool = False,
                             interpret: bool = False,
+                            mxu: str = "auto",
+                            mxu_precision: str = "split",
+                            spill: str = "auto",
                             **autotune_kw) -> Tuple[Any, str]:
     """Return ``(fn, label)`` for the measured-best lowering, consulting
     (and updating) the on-disk cache."""
     path = cache_path or DEFAULT_CACHE
-    key = cache_key(program)
+    settings = dict(mxu=mxu, mxu_precision=mxu_precision, spill=spill)
+    key = cache_key(program, interpret, **settings)
     cache = _load_cache(path)
     if not force and key in cache:
         label = cache[key]["label"]
         try:
             return (build_from_label(program, label, analysis,
-                                     interpret=interpret), label)
+                                     interpret=interpret, **settings),
+                    label)
         except (ValueError, NotImplementedError, KeyError):
             pass  # stale entry (e.g. tuned on different jax) — re-tune
-    res = autotune(program, analysis, interpret=interpret, **autotune_kw)
-    save_result(program, res, path)
+    res = autotune(program, analysis, interpret=interpret, **settings,
+                   **autotune_kw)
+    save_result(program, res, path, interpret, **settings)
     return res.fn, res.label

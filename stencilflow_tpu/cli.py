@@ -202,12 +202,19 @@ def _cmd_compile(args) -> int:
 def _cmd_autotune(args) -> int:
     """Measure every applicable lowering on the attached device and cache
     the winner (consumed by `run --backend autotuned`)."""
-    from .autotune import autotune
+    from .autotune import autotune, save_result
     from .frontend.parser import parse_program
     program = parse_program(args.stencil_file)
+    settings = dict(mxu="off" if args.no_mxu else "auto",
+                    mxu_precision=args.mxu_precision,
+                    spill="off" if args.no_spill else "auto")
     res = autotune(program, sweep=args.sweep, trials=args.trials,
                    seed=args.seed, interpret=args.emulation,
-                   verbose=not args.json)
+                   verbose=not args.json, **settings)
+    path = None
+    if not args.no_cache:
+        path = save_result(program, res, args.cache,
+                           interpret=args.emulation, **settings)
     if args.json:
         import numpy as _np
         print(json.dumps({
@@ -217,6 +224,7 @@ def _cmd_autotune(args) -> int:
             "timings": {l: (None if not _np.isfinite(t) else t)
                         for l, t in res.timings.items()},
             "skipped": res.skipped,
+            "cache": path,
         }))
     else:
         for label, why in res.skipped.items():
@@ -224,9 +232,8 @@ def _cmd_autotune(args) -> int:
         gc = program.total_elements / res.seconds / 1e9
         print(f"winner: {res.label} ({res.seconds * 1e3:.3f} ms/run, "
               f"{gc:.2f} GCell/s)")
-    if not args.no_cache:
-        from .autotune import save_result
-        print(f"cached -> {save_result(program, res, args.cache)}")
+        if path:
+            print(f"cached -> {path}")
     return 0
 
 
@@ -650,6 +657,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--emulation", action="store_true",
                    help="tune the interpret path (CI/testing)")
+    p.add_argument("--no-mxu", action="store_true")
+    p.add_argument("--no-spill", action="store_true")
+    p.add_argument("--mxu-precision", default="split",
+                   choices=["split", "exact"])
     p.add_argument("--cache", help="cache file (default: "
                                    "~/.cache/stencilflow_tpu/autotune.json)")
     p.add_argument("--no-cache", action="store_true")

@@ -170,8 +170,9 @@ def run_program(stencil_file, mode: str = "emulation",
             fn, bname = compile_chain(program, analysis), "xla"
         elif backend == "autotuned":
             from .autotune import compile_chain_autotuned
-            fn, label = compile_chain_autotuned(program, analysis,
-                                                interpret=interpret)
+            fn, label = compile_chain_autotuned(
+                program, analysis, interpret=interpret, mxu=mxu,
+                mxu_precision=mxu_precision, spill=spill)
             bname = f"autotuned:{label}"
         elif backend == "interpreter":
             fn, bname = (lambda xs: run_interpreter(program, xs),

@@ -45,10 +45,6 @@ class ChunkPlan:
     backend: str    # "stream" | "xla"
     config: Dict[str, Any]
 
-    @property
-    def device_bytes_per_chunk(self) -> int:
-        return self.config.get("io_bytes", 0)
-
 
 def _fake_plan(program: ir.Program, block, halo):
     """A single-block DomainDecomposition carrier (no mesh) so the
@@ -117,15 +113,8 @@ def compile_chunked_chain(program: ir.Program,
             pools = {k: jnp.asarray(v) for k, v in pool_globals.items()}
 
             def body(origin_i, tiles):
-                if extra_j_pad:
-                    tiles = dict(tiles)
-                    for name, spec in program.inputs.items():
-                        if spec.is_scalar or not spec.dim_mask[1]:
-                            continue
-                        pos = sum(spec.dim_mask[:1])
-                        pad = [(0, 0)] * tiles[name].ndim
-                        pad[pos] = (extra_j_pad, extra_j_pad)
-                        tiles[name] = jnp.pad(tiles[name], pad)
+                from .parallel.domain import pad_j_tiles
+                tiles = pad_j_tiles(program, tiles, extra_j_pad)
                 origin = jnp.stack([jnp.int32(origin_i), jnp.int32(0),
                                     jnp.int32(0)])
                 results = stream_fn(origin, tiles, pools)

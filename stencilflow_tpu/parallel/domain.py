@@ -171,6 +171,25 @@ def _local_forward(plan: DomainDecomposition, graph: ChainGraph,
     return {n: arr[core].reshape(local_raw) for n, arr in results.items()}
 
 
+def pad_j_tiles(program: ir.Program, tiles: Dict[str, Any],
+                extra_j_pad: int) -> Dict[str, Any]:
+    """Widen every j-spanning input by ``extra_j_pad`` rows on both sides
+    (margins per-block j-tiling needs beyond what the halo exchange or
+    host slicing provided).  Shared by the shard_map bodies and the
+    out-of-core chunk bodies."""
+    if not extra_j_pad:
+        return tiles
+    tiles = dict(tiles)
+    for name, spec in program.inputs.items():
+        if spec.is_scalar or not spec.dim_mask[1]:
+            continue
+        pos = sum(spec.dim_mask[:1])
+        pad = [(0, 0)] * tiles[name].ndim
+        pad[pos] = (extra_j_pad, extra_j_pad)
+        tiles[name] = jnp.pad(tiles[name], pad)
+    return tiles
+
+
 def _local_forward_stream(plan: DomainDecomposition, stream_fn,
                           extra_j_pad: int,
                           inputs: Dict[str, Any],
@@ -184,14 +203,7 @@ def _local_forward_stream(plan: DomainDecomposition, stream_fn,
     program = plan.program
     tiles, origin = _widen_and_origin(plan, inputs,
                                       i_origin_shift=plan.halo[0])
-    if extra_j_pad:
-        for name, spec in program.inputs.items():
-            if spec.is_scalar or not spec.dim_mask[1]:
-                continue
-            pos = sum(spec.dim_mask[:1])
-            pad = [(0, 0)] * tiles[name].ndim
-            pad[pos] = (extra_j_pad, extra_j_pad)
-            tiles[name] = jnp.pad(tiles[name], pad)
+    tiles = pad_j_tiles(program, tiles, extra_j_pad)
     results = stream_fn(jnp.stack(origin), tiles, pools)
     raw = program.raw_dimensions
     local_raw = tuple(plan.block[3 - len(raw) + i] for i in range(len(raw)))

@@ -59,6 +59,10 @@ def test_cache_key_is_structural_not_data():
     assert cache_key(p1) == cache_key(p2)
     bigger = jacobi(3, 24, iterations=2)
     assert cache_key(p1) != cache_key(sft.parse_program(bigger, name="k3"))
+    # mode and lowering settings are part of the key: an emulation- or
+    # no-MXU-tuned winner must never be served to a hardware/MXU run
+    assert cache_key(p1) != cache_key(p1, interpret=True)
+    assert cache_key(p1, mxu="auto") != cache_key(p1, mxu="off")
 
 
 def test_compile_autotuned_cache_hit(tmp_path, monkeypatch):
@@ -90,11 +94,13 @@ def test_compile_autotuned_cache_hit(tmp_path, monkeypatch):
 def test_stale_cache_label_retunes(tmp_path):
     path = str(tmp_path / "autotune.json")
     p = small_program(size=12, iters=2)
-    json.dump({cache_key(p): {"label": "gone:backend"}}, open(path, "w"))
+    key = cache_key(p, interpret=True, mxu="auto",
+                    mxu_precision="split", spill="auto")
+    json.dump({key: {"label": "gone:backend"}}, open(path, "w"))
     fn, label = compile_chain_autotuned(p, cache_path=path,
                                         interpret=True, trials=1)
     assert label != "gone:backend"
-    assert json.load(open(path))[cache_key(p)]["label"] == label
+    assert json.load(open(path))[key]["label"] == label
 
 
 def test_perturbation_loop_when_no_feedable_output():
@@ -121,7 +127,8 @@ def test_cli_autotune(tmp_path):
          str(prog_path), "--emulation", "--trials", "1", "--json"],
         capture_output=True, text=True, cwd=repo, env=env)
     assert out.returncode == 0, out.stderr
-    rec = json.loads(out.stdout.splitlines()[-2])
+    # --json: stdout is exactly one machine-parseable line
+    rec = json.loads(out.stdout)
     assert rec["winner"] in rec["timings"]
     assert (tmp_path / "c.json").exists()
     # and run consumes it
