@@ -53,6 +53,7 @@ ITERATORS = ("i", "j", "k")
 # Per-chip HBM bandwidth (bytes/s) and VMEM budget (bytes) for the roofline
 # model.  Defaults describe a TPU v5e chip; override via Report(..., hw=...).
 TPU_HBM_BANDWIDTH = 819e9       # v5e: ~819 GB/s
+TPU_HBM_BYTES = 16 * 2**30      # v5e: 16 GiB per chip (out-of-core gate)
 # Conservative per-core VMEM budget; real chips have 64-128 MiB but the
 # compiler needs headroom for pipelining buffers.
 TPU_VMEM_BYTES = 32 * 2**20

@@ -194,6 +194,18 @@ def run_chunked(program: ir.Program,
         else:
             outputs[o] = np.empty(tuple(raw), dtype=dt)
 
+    # double-buffered drain: fn dispatches asynchronously, so slicing +
+    # dispatching chunk c+1 before materializing chunk c's outputs
+    # overlaps the host writeback/transfer with the device compute
+    # (device residency stays O(N/C): one in-flight chunk + one
+    # draining result set)
+    pending = None   # (chunk_index, device_outputs)
+
+    def drain(p):
+        ci, got = p
+        for o in program.outputs:
+            outputs[o][ci * Ic:(ci + 1) * Ic] = np.asarray(got[o])
+
     for c in range(chunks):
         lo = c * Ic - h
         hi = (c + 1) * Ic + h
@@ -205,6 +217,8 @@ def run_chunked(program: ir.Program,
                 continue
             tiles[name] = _host_slab(arr, lo, hi, I)
         got = fn(np.int32(lo), tiles)
-        for o in program.outputs:
-            outputs[o][c * Ic:(c + 1) * Ic] = np.asarray(got[o])
+        if pending is not None:
+            drain(pending)
+        pending = (c, got)
+    drain(pending)
     return outputs

@@ -39,6 +39,7 @@ class HardwareModel:
     hbm_bandwidth: float = config.TPU_HBM_BANDWIDTH
     vpu_elemops: float = config.TPU_VPU_ELEMOPS
     vmem_bytes: int = config.TPU_VMEM_BYTES
+    hbm_bytes: int = config.TPU_HBM_BYTES
     name: str = "tpu-v5e"
 
 
@@ -65,6 +66,29 @@ class Report:
 
     def total_ops(self) -> float:
         return self.ops_per_cell() * self.program.total_elements
+
+    def hbm_footprint_bytes(self) -> int:
+        """Device-resident bytes of an in-core run: every input + output
+        array (intermediates stream through VMEM, never HBM)."""
+        return self.analysis.minimum_communication_volume()
+
+    def suggested_host_chunks(self) -> int:
+        """1 when the in-core footprint fits HBM (with 25% headroom for
+        XLA temporaries), else the smallest power-of-two i-chunk count
+        that brings the per-chunk footprint under it (out-of-core
+        execution, ``run --host-chunks``); 0 when no chunking helps
+        (e.g. the i extent cannot absorb the factor)."""
+        budget = 0.75 * self.hw.hbm_bytes
+        total = self.hbm_footprint_bytes()
+        if total <= budget:
+            return 1
+        I = self.program.dimensions[0]
+        c = 2
+        while c <= I:
+            if I % c == 0 and total / c <= budget:
+                return c
+            c *= 2
+        return 0
 
     def hbm_time_s(self) -> float:
         return (self.analysis.minimum_communication_volume()
@@ -198,6 +222,8 @@ class Report:
             "min_communication_volume_bytes":
                 self.analysis.minimum_communication_volume(),
             "fast_memory_bytes": self.fast_memory_bytes(),
+            "hbm_footprint_bytes": self.hbm_footprint_bytes(),
+            "suggested_host_chunks": self.suggested_host_chunks(),
             "hbm_time_s": self.hbm_time_s(),
             "vpu_time_s": self.vpu_time_s(),
             "roofline_time_s": self.roofline_time_s(),
@@ -254,4 +280,13 @@ class Report:
             f"best possible {d['roofline_gcell_s']:.1f} GCell/s "
             f"({d['achievable_gop_s']:.0f} GOp/s)",
         ]
+        if d["suggested_host_chunks"] != 1:
+            gib = d["hbm_footprint_bytes"] / 2**30
+            hint = (f"run --host-chunks {d['suggested_host_chunks']}"
+                    if d["suggested_host_chunks"] else
+                    "no i-chunking fits; shard across chips")
+            lines.append(
+                f"HBM footprint {gib:.1f} GiB exceeds the chip "
+                f"({self.hw.hbm_bytes/2**30:.0f} GiB): out-of-core "
+                f"advised -> {hint}")
         return "\n".join(lines)

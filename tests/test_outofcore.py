@@ -184,3 +184,18 @@ class TestIterateHostChunks:
         with pytest.raises(IterateError, match="incompatible"):
             make_step(p1, mesh=object(), dim_axes=(None, "x", None),
                       host_chunks=2)
+
+
+def test_report_out_of_core_advisory():
+    """report flags domains whose in-core footprint exceeds HBM and
+    suggests a host-chunk count; small domains report 1."""
+    from stencilflow_tpu.report import Report
+    small = sft.parse_program(jacobi(3, 16, iterations=2), name="rsm")
+    assert Report.build(small).suggested_host_chunks() == 1
+    big = sft.parse_program(jacobi(3, 2048, iterations=2), name="rbg")
+    rep = Report.build(big)
+    n = rep.suggested_host_chunks()
+    assert n > 1 and 2048 % n == 0
+    assert rep.hbm_footprint_bytes() / n <= 0.75 * rep.hw.hbm_bytes
+    assert "out-of-core advised" in str(rep)
+    assert "suggested_host_chunks" in rep.as_dict()
