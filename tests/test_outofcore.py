@@ -199,3 +199,59 @@ def test_report_out_of_core_advisory():
     assert rep.hbm_footprint_bytes() / n <= 0.75 * rep.hw.hbm_bytes
     assert "out-of-core advised" in str(rep)
     assert "suggested_host_chunks" in rep.as_dict()
+
+
+REF_STENCILS = "/root/reference/test/stencils"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_STENCILS),
+                    reason="reference fixtures unavailable")
+def test_reference_fixtures_chunked():
+    """Every chunkable upstream fixture (rank-3 raw domain, i divisible)
+    through run_chunked(2) vs the oracle — the reference-compat sweep
+    extended to out-of-core execution (shrink-BC programs compared with
+    halo pruning like the driver)."""
+    import glob
+
+    from stencilflow_tpu.backend.xla import chain_halo
+    from stencilflow_tpu.data import arrays_are_equal, prune_halo
+    from stencilflow_tpu.frontend.analysis import ChainAnalysis
+    from stencilflow_tpu.ir import BCKind
+
+    ran = 0
+    for path in sorted(glob.glob(os.path.join(REF_STENCILS, "*.json"))):
+        p = sft.parse_program(path)
+        I = p.dimensions[0]
+        analysis = ChainAnalysis.run(p)
+        h = chain_halo(analysis)[0]
+        if len(p.raw_dimensions) < 3 or I % 2 or h >= I // 2:
+            continue
+        if p.total_elements > 200_000:
+            continue
+        inputs = sft.load_input_arrays(p, prefix=REF_STENCILS, seed=0)
+        ref = sft.run_interpreter(p, inputs)
+        got = run_chunked(p, inputs, 2, analysis=analysis)
+        shrink = any(bc.kind == BCKind.SHRINK
+                     for k in p.kernels.values()
+                     for bc in k.boundary_conditions.values())
+        halo = max(chain_halo(analysis)) if shrink else 0
+        for o in p.outputs:
+            exp = prune_halo(np.asarray(ref[o]), p.raw_dimensions, halo)
+            g = prune_halo(got[o], p.raw_dimensions, halo)
+            assert arrays_are_equal(exp, g), (path, o)
+        ran += 1
+    assert ran >= 4, f"only {ran} fixtures were chunkable"
+
+
+def test_adjoint_program_composes_with_chunking():
+    """The transposed (adjoint) chain is itself a dialect program, so it
+    runs out-of-core unchanged — backward passes over domains larger
+    than HBM."""
+    from stencilflow_tpu.grad import adjoint_program
+    p = sft.parse_program(jacobi(3, 8, iterations=2), name="ocadj")
+    adj, _meta = adjoint_program(p)
+    inputs = sft.load_input_arrays(adj, seed=9)
+    ref = _oracle(adj, inputs)
+    got = run_chunked(adj, inputs, 2)
+    for o in adj.outputs:
+        np.testing.assert_allclose(got[o], ref[o], rtol=2e-5, atol=1e-6)
