@@ -123,7 +123,8 @@ class _AbsoluteIndexer(ast.NodeTransformer):
                 offs.append(e.value)
             elif (isinstance(e, ast.UnaryOp)
                   and isinstance(e.op, ast.USub)
-                  and isinstance(e.operand, ast.Constant)):
+                  and isinstance(e.operand, ast.Constant)
+                  and isinstance(e.operand.value, int)):
                 offs.append(-e.operand.value)
             else:
                 return node   # already absolute / symbolic: leave as-is
@@ -249,8 +250,15 @@ def sdfg_to_program(source, name: Optional[str] = None,
         if not shapes:
             raise ValueError("SDFG carries no concrete shapes; pass "
                              "dimensions=")
-        dimensions = [max(s[d] for s in shapes if len(s) > d)
-                      for d in range(max(len(s) for s in shapes))]
+        # align mixed-rank shapes by TRAILING dims (a 2-D field maps to
+        # the (j, k) iterators, _ITER[3-rank:], like everywhere else in
+        # the importer) — leading-aligned max would fold a 2-D shape's J
+        # into the global i extent
+        rank = max(len(s) for s in shapes)
+        dimensions = [
+            max((s[len(s) - rank + d] for s in shapes
+                 if len(s) - rank + d >= 0), default=1)
+            for d in range(rank)]
 
     written_set = set(written)
     inputs: Dict[str, dict] = {}

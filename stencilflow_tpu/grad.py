@@ -209,20 +209,6 @@ def adjoint_program(program: ir.Program,
                              "dim (broadcast adjoints need a reduction, "
                              "not a stencil)")
 
-    coeffs: Dict[str, Dict] = {}
-    for kname, kspec in program.kernels.items():
-        c = extract_linear(kspec)
-        if c is None:
-            raise ValueError(
-                f"kernel {kname!r} is not affine with constant "
-                "coefficients; use value_and_grad for the general path")
-        for bc in kspec.boundary_conditions.values():
-            if bc.kind == ir.BCKind.SHRINK:
-                raise ValueError(
-                    f"kernel {kname!r} has a shrink boundary condition; "
-                    "its junk halo has no meaningful adjoint")
-        coeffs[kname] = c
-
     analysis = ChainAnalysis.run(program)
     order = analysis.graph.kernel_order
 
@@ -239,6 +225,25 @@ def adjoint_program(program: ir.Program,
     for kname in reversed(order):
         if any(c in live for c in analysis.graph.consumers(kname)):
             live.add(kname)
+
+    # only LIVE kernels must be affine/shrink-free: a dead diagnostic
+    # kernel (e.g. a min/max monitor feeding no output) never enters the
+    # transposed chain, so it cannot block the fast adjoint
+    coeffs: Dict[str, Dict] = {}
+    for kname, kspec in program.kernels.items():
+        if kname not in live:
+            continue
+        c = extract_linear(kspec)
+        if c is None:
+            raise ValueError(
+                f"kernel {kname!r} is not affine with constant "
+                "coefficients; use value_and_grad for the general path")
+        for bc in kspec.boundary_conditions.values():
+            if bc.kind == ir.BCKind.SHRINK:
+                raise ValueError(
+                    f"kernel {kname!r} has a shrink boundary condition; "
+                    "its junk halo has no meaningful adjoint")
+        coeffs[kname] = c
 
     def idx(offsets) -> str:
         its = ("i", "j", "k")

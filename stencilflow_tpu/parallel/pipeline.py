@@ -250,7 +250,10 @@ def _segment_stream_fns(program: ir.Program, graph: ChainGraph,
         suba = ChainAnalysis.run(subp)
         splan = StreamPlan.build(suba, local_jk=(widened[1], widened[2]),
                                  halo_jk=(0, 0))
-        total = splan.vmem_bytes(subp)
+        # budget rings + the Pallas pipeline's double-buffered IO windows
+        # (dominant at large planes) like every other stream caller
+        io_bytes = splan.io_window_bytes(subp)
+        total = splan.vmem_bytes(subp) + io_bytes
         assets = None
         pools: Dict[str, Any] = {}
         if mxu != "off":
@@ -274,8 +277,10 @@ def _segment_stream_fns(program: ir.Program, graph: ChainGraph,
         spill_sel: Optional[Dict[str, Tuple[int, ...]]] = None
         if total > 0.7 * vmem_budget:
             # segment rings exceed VMEM: spill the deepest rings to HBM
-            # (drops the MXU assets; the VPU path stays correct)
-            sel = choose_spill(subp, suba, splan, 0.7 * vmem_budget)
+            # (drops the MXU assets; the VPU path stays correct); the IO
+            # windows stay resident, so they come off the spill budget
+            sel = choose_spill(subp, suba, splan,
+                               0.7 * vmem_budget - io_bytes)
             if sel is None:
                 return None
             spill_sel = sel[0]
@@ -294,7 +299,6 @@ def _segment_stream_fns(program: ir.Program, graph: ChainGraph,
 def _pipeline_body(plan: PipelineSplit, graph: ChainGraph, seg_fns,
                    inputs: Dict[str, Any]) -> Dict[str, Any]:
     program = plan.program
-    mesh_n = plan.mesh.shape[plan.axis]
     S = len(plan.segments)
     C = plan.num_chunks
     halo = plan.halo
@@ -655,9 +659,11 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
     outputs are i-sharded over the pipeline axis and every per-device
     buffer is O(N/S) (_pipeline_body_sharded) — the memory-scalable mode
     that justifies pipelining chains too deep for one chip.  Requires
-    ``dims[0]`` divisible by the device count, a chunk at least the
-    i-halo wide, and rank-3 output.  ``io="replicated"`` keeps the
-    round-1 body (replicated inputs/outputs, any chunk count).
+    ``dims[0]`` divisible by the device count, rank-3 output, and one
+    dtype across cut-crossing fields (the i-halo may exceed a chunk —
+    the body gathers it multi-hop).  ``io="replicated"`` keeps the
+    round-1 body (replicated inputs/outputs, any chunk count, mixed
+    dtypes).
 
     ``local_backend``: per-segment compute — "stream" runs each segment as
     a streaming Pallas kernel over the widened chunk tile (the production
@@ -680,15 +686,28 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
         segments = split_kernels(graph, S)
     halo = chain_halo(analysis)
     dims = program.dimensions
+    # the sharded body packs every cut-crossing field into ONE stacked
+    # carry; mixed dtypes would round-trip through a promoted type
+    # (lossy for e.g. int32 > 2^24 in float32), so require uniformity
+    seg_of = {f: si for si, seg in enumerate(segments) for f in seg}
+    crossing = {
+        np.dtype(program.kernels[f].dtype)
+        for f in program.kernels
+        if any(seg_of.get(c, -1) > seg_of[f]
+               for c in graph.consumers(f) if c in program.kernels)
+        or (f in program.outputs and seg_of[f] < S - 1)}
     # sharded-I/O eligibility: C == S chunks of equal size, rank-3 output
-    # (the i-halo may span multiple chunks — gathered multi-hop)
-    can_shard = (S > 1 and dims[0] % S == 0 and dims[0] // S >= 1
+    # (the i-halo may span multiple chunks — gathered multi-hop), one
+    # dtype across all cut-crossing fields
+    can_shard = (S > 1 and dims[0] % S == 0
                  and len(program.raw_dimensions) == 3
+                 and len(crossing) <= 1
                  and (num_chunks is None or num_chunks == S))
     if io == "sharded" and not can_shard:
         raise ValueError(
             "sharded pipeline I/O needs num_chunks == devices, dim 0 "
-            f"divisible by {S}, and a 3-D output")
+            f"divisible by {S}, a 3-D output, and one dtype across "
+            f"cut-crossing fields (got {sorted(d.name for d in crossing)})")
     sharded_io = io == "sharded" or (io == "auto" and can_shard)
     if num_chunks is None:
         num_chunks = S if sharded_io else max(1, min(S, dims[0]))

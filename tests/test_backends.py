@@ -750,3 +750,52 @@ def test_partial_rank_i_spanning_input(mode):
         from stencilflow_tpu.backend.overlap import run_chain_overlap as run
     got = run(p, inputs, interpret=True, panel=4)["y"]
     np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+
+
+class TestPipelineMixedDtypeGate:
+    def test_mixed_dtype_crossing_falls_back_to_replicated(self):
+        """The sharded wavefront packs cut-crossing fields into ONE
+        stacked carry of one dtype; a chain whose crossing fields mix
+        float32/float64 must fall back to the replicated body under
+        io='auto' (exact in each dtype) and raise for io='sharded'."""
+        import pytest as _pytest
+
+        from stencilflow_tpu.parallel.pipeline import compile_pipeline_split
+        spec = {
+            "inputs": {"a": {"data": "random:-1,1",
+                             "data_type": "float32"}},
+            "outputs": ["s3"],
+            "dimensions": [16, 8, 8],
+            "program": {
+                "s0": {"computation_string":
+                       "s0 = (a[i-1,j,k] + a[i+1,j,k]) * 0.5",
+                       "boundary_conditions":
+                       {"a": {"type": "constant", "value": 0.0}},
+                       "data_type": "float64"},
+                "s1": {"computation_string": "s1 = s0[i,j,k] * 0.5",
+                       "boundary_conditions":
+                       {"s0": {"type": "constant", "value": 0.0}},
+                       "data_type": "float32"},
+                "s2": {"computation_string":
+                       "s2 = s1[i-1,j,k] + s0[i,j,k]",
+                       "boundary_conditions":
+                       {"s1": {"type": "constant", "value": 0.0},
+                        "s0": {"type": "constant", "value": 0.0}},
+                       "data_type": "float64"},
+                "s3": {"computation_string": "s3 = s2[i,j,k] * 2.0",
+                       "boundary_conditions":
+                       {"s2": {"type": "constant", "value": 0.0}},
+                       "data_type": "float64"},
+            },
+        }
+        p = sft.parse_program(spec, name="mixcross")
+        inputs = sft.load_input_arrays(p, seed=31)
+        ref = _oracle(p, inputs)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("p",))
+        fn, _ = compile_pipeline_split(p, mesh, "p", io="auto")
+        assert compile_pipeline_split.last_config["io"] == "replicated"
+        out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
+        np.testing.assert_allclose(np.asarray(out["s3"]), ref["s3"],
+                                   rtol=1e-6)
+        with _pytest.raises(ValueError, match="dtype"):
+            compile_pipeline_split(p, mesh, "p", io="sharded")

@@ -453,3 +453,44 @@ def test_adjoint_of_vectorized_reference_fixture():
         lambda x: fn({"a": x})[p.outputs[0]].sum())(a))
     np.testing.assert_allclose(np.asarray(g).squeeze(), g_ad.squeeze(),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_adjoint_ignores_dead_nonaffine_kernel():
+    """A non-affine diagnostic kernel feeding no output must not block
+    the fast adjoint: dead kernels never enter the transposed chain, so
+    only LIVE kernels need to be affine/shrink-free."""
+    from stencilflow_tpu.backend.xla import compile_chain
+    from stencilflow_tpu.grad import adjoint_program
+    spec = {
+        "inputs": {"a": {"data": "random:-1,1", "data_type": "float32"}},
+        "outputs": ["s1"],
+        "dimensions": [8, 8, 8],
+        "program": {
+            "s0": {"computation_string":
+                   "s0 = 0.5 * (a[i-1,j,k] + a[i+1,j,k])",
+                   "boundary_conditions":
+                   {"a": {"type": "constant", "value": 0.0}},
+                   "data_type": "float32"},
+            # dead: consumed by nothing, not an output, NOT affine
+            "mon": {"computation_string":
+                    "mon = min(abs(s0[i,j,k]), a[i,j,k] * a[i,j,k])",
+                    "boundary_conditions":
+                    {"s0": {"type": "constant", "value": 0.0},
+                     "a": {"type": "constant", "value": 0.0}},
+                    "data_type": "float32"},
+            "s1": {"computation_string": "s1 = s0[i,j,k] * 2.0",
+                   "boundary_conditions":
+                   {"s0": {"type": "constant", "value": 0.0}},
+                   "data_type": "float32"},
+        },
+    }
+    p = sft.parse_program(spec, name="deadmon")
+    adj, _cot = adjoint_program(p)
+    assert not any("mon" in k for k in adj.kernels)
+    g = sft.run_interpreter(adj, sft.load_input_arrays(adj, seed=41))
+    fn = compile_chain(p)
+    a = jnp.asarray(sft.load_input_arrays(p, seed=41)["a"])
+    g_ad = np.asarray(jax.grad(
+        lambda x: fn({"a": x})[p.outputs[0]].sum())(a))
+    np.testing.assert_allclose(np.asarray(g[adj.outputs[0]]), g_ad,
+                               rtol=2e-5, atol=1e-6)

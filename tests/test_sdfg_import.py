@@ -178,3 +178,45 @@ def test_control_flow_loop_rejected(tmp_path):
     sdfg["edges"] = [{"src": "0", "dst": "1"}, {"src": "1", "dst": "2"}]
     path.write_text(json.dumps(sdfg))
     assert sdfg_to_program(str(path)).name == "cosmoish_sdfg"
+
+
+def test_mixed_rank_dimension_inference(tmp_path):
+    """Shapes of different ranks align by TRAILING dims when inferring
+    the global domain (a 2-D field spans (j, k)): [4,8,8] + [8,8] must
+    give [4,8,8], not fold the 2-D J into the i extent."""
+    full = [True, True, True]
+    jk = [False, True, True]
+    sdfg = {
+        "type": "SDFG",
+        "attributes": {"name": "mixedrank", "_arrays": {
+            "a": {"attributes": {"dtype": "float32", "shape": SHAPE}},
+            "m": {"attributes": {"dtype": "float32", "shape": [8, 8]}},
+            "o": {"attributes": {"dtype": "float32", "shape": SHAPE}}}},
+        "nodes": [{"type": "SDFGState", "nodes": [_stencil_node(
+            "o_node",
+            {"a": [full, [[0, 0, 0]]], "m": [jk, [[0, 0]]]},
+            "o", {"a": {"btype": "constant", "value": 0.0},
+                  "m": {"btype": "constant", "value": 0.0}},
+            "o = a[0,0,0] + m[0,0]")]}],
+    }
+    path = tmp_path / "mixed.sdfg"
+    path.write_text(json.dumps(sdfg))
+    p = sdfg_to_program(str(path))
+    assert tuple(p.raw_dimensions) == (4, 8, 8)
+    inputs = sft.load_input_arrays(p, seed=0)
+    out = sft.run_interpreter(p, inputs)
+    assert np.asarray(out[p.outputs[0]]).shape == (4, 8, 8)
+
+
+def test_non_integer_offset_left_symbolic(tmp_path):
+    """A negative non-integer subscript constant must not crash the
+    indexer (both signs take the leave-as-is path and the import then
+    fails with a clear parse error, not a %+d format crash)."""
+    import ast
+
+    from stencilflow_tpu.frontend.sdfg_import import _AbsoluteIndexer
+    tree = ast.parse("x = f[0, -1.5, 0]")
+    # must not raise ValueError('Unknown format code d...')
+    new = _AbsoluteIndexer({"f": (True, True, True)}).visit(tree)
+    code = ast.unparse(new)
+    assert "-1.5" in code   # left as-is, exactly like +1.5
