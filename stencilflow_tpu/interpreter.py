@@ -173,9 +173,13 @@ class ChainInterpreter:
 
     # -- kernel & chain evaluation ---------------------------------------------
     def eval_kernel(self, kname: str, fields: Dict[str, Any]):
+        from .dtypes import is_floating
         kspec = self.program.kernels[kname]
         dt = np.dtype(kspec.dtype)
-        self._kdtype = dt if dt.kind == "f" else None
+        # is_floating, not kind == "f": ml_dtypes bfloat16 has kind "V",
+        # and an unpinned python-float const promotes a bf16 chain to
+        # float32 under numpy (jnp keeps consts weak -> per-op bf16)
+        self._kdtype = dt if is_floating(dt) else None
         env: Dict[str, Any] = {}
         for stmt in kspec.statements:
             env[stmt.lhs] = self._eval(stmt.rhs, fields, env,

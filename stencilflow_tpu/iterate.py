@@ -140,8 +140,13 @@ def make_step(program: ir.Program,
     if host_chunks and host_chunks > 1:
         if mesh is not None:
             raise IterateError("host_chunks is incompatible with mesh")
+        if backend not in ("auto", "stream", "xla"):
+            raise IterateError(
+                f"backend {backend!r} is not available out-of-core "
+                "(the chunk kernel supports auto/stream/xla)")
         from .outofcore import compile_chunked_chain, run_chunked
         compiled = compile_chunked_chain(program, host_chunks, analysis,
+                                         backend=backend,
                                          interpret=interpret)
 
         def step(state: Dict[str, Any]) -> Dict[str, Any]:
@@ -232,6 +237,8 @@ def iterate(program: ir.Program, inputs: Dict[str, Any], steps: int,
 
     if fuse < 1:
         raise IterateError(f"fuse must be >= 1, got {fuse}")
+    if chunk < 1:
+        raise IterateError(f"chunk must be >= 1, got {chunk}")
     scale = fuse
     if scale > 1:
         if steps % scale:

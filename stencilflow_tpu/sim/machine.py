@@ -105,11 +105,17 @@ def edge_capacities(program, analysis, windows=None, slack: int = 0
 # Kernel compilation: IR -> python closure
 # ---------------------------------------------------------------------------
 
+# numpy scalar functions, NOT math.*: the oracle (interpreter.py) computes
+# with numpy, where sqrt(-1) is NaN and exp overflow is inf — math.sqrt
+# would raise and reject programs the oracle (and the C++ core) evaluate;
+# np funcs also keep the narrow dtype (math.sin(np.float32) widens to
+# float64, silently breaking per-op rounding downstream); min/max are
+# NaN-propagating like np.minimum/np.maximum
 _FN_SRC = {
-    "sin": "math.sin", "cos": "math.cos", "tan": "math.tan",
-    "sinh": "math.sinh", "cosh": "math.cosh", "tanh": "math.tanh",
-    "sqrt": "math.sqrt", "exp": "math.exp", "log": "math.log",
-    "abs": "abs", "min": "min", "max": "max",
+    "sin": "np.sin", "cos": "np.cos", "tan": "np.tan",
+    "sinh": "np.sinh", "cosh": "np.cosh", "tanh": "np.tanh",
+    "sqrt": "np.sqrt", "exp": "np.exp", "log": "np.log",
+    "abs": "np.abs", "min": "np.minimum", "max": "np.maximum",
 }
 
 _BIN_SRC = {"add": "+", "sub": "-", "mult": "*", "div": "/"}
@@ -155,7 +161,6 @@ def compile_kernel_fn(kspec: ir.KernelSpec,
                       access_ids: Dict[Tuple[str, ir.Offsets], int]
                       ) -> Callable[[List[float]], float]:
     """Compile the kernel's statements to ``fn(access_values) -> result``."""
-    import math  # noqa: F401 — bound into the closure namespace below
     lines = ["def _kernel(v):"]
     for stmt in kspec.statements:
         lines.append(f"    _t_{stmt.lhs} = "
@@ -163,9 +168,10 @@ def compile_kernel_fn(kspec: ir.KernelSpec,
     lines.append(f"    return _t_{kspec.output_statement.lhs}")
     src = "\n".join(lines)
     dt = np.dtype(kspec.dtype)
+    from ..dtypes import is_floating
     ns: Dict[str, Any] = {
-        "math": math,
-        "_dt": dt.type if dt.kind == "f" else (lambda v: v),
+        "np": np,
+        "_dt": dt.type if is_floating(dt) else (lambda v: v),
     }
     exec(src, ns)  # noqa: S102 — source is generated from the typed IR
     return ns["_kernel"]
@@ -385,7 +391,11 @@ class Simulator:
                     [f"occ:{s}->{d}" for (s, d) in self.edges])
             trace_fh.write(",".join(cols) + "\n")
         try:
-            return self._run(inputs, trace_fh)
+            # numpy scalar math may legitimately produce NaN/inf (the
+            # oracle's semantics, e.g. sqrt of a shrink-BC junk halo) —
+            # suppress the RuntimeWarnings, don't turn them into noise
+            with np.errstate(all="ignore"):
+                return self._run(inputs, trace_fh)
         finally:
             if trace_fh is not None and trace_fh is not trace:
                 trace_fh.close()

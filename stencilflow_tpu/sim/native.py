@@ -40,26 +40,53 @@ _FN_CPP = {
     "sin": "std::sin", "cos": "std::cos", "tan": "std::tan",
     "sinh": "std::sinh", "cosh": "std::cosh", "tanh": "std::tanh",
     "sqrt": "std::sqrt", "exp": "std::exp", "log": "std::log",
-    "abs": "std::fabs", "min": "std::fmin", "max": "std::fmax",
+    # NaN-propagating like the numpy oracle (np.minimum/np.maximum);
+    # std::fmin/fmax would SUPPRESS a NaN operand
+    "abs": "std::fabs", "min": "sf_min", "max": "sf_max",
 }
 _BIN_CPP = {"add": "+", "sub": "-", "mult": "*", "div": "/"}
 _CMP_CPP = {"lt": "<", "le": "<=", "gt": ">", "ge": ">=",
             "eq": "==", "ne": "!="}
 
+# per-op rounding wrapper by kernel dtype (matching the numpy oracle's
+# narrow-scalar semantics); transcendental calls evaluate in double and
+# round once, which is exact for sqrt and within 1 ulp for sin/exp/...
+_RND_CPP = {
+    "f64": "({})",
+    "f32": "(double)(float)({})",
+    "f16": "(double)(_Float16)({})",
+    "bf16": "rnd_bf16({})",
+}
+
+
+def _round_mode(dtype) -> str:
+    dt = np.dtype(dtype)
+    if dt == np.float64:
+        return "f64"
+    if dt == np.float32:
+        return "f32"
+    if dt == np.float16:
+        return "f16"
+    if dt.name == "bfloat16":
+        return "bf16"
+    raise NativeBuildError(
+        f"native simulator: kernel dtype {dt.name} not supported by the "
+        "C++ core (integer/bool kernels run on the Python machine)")
+
 
 def _expr_cpp(expr: ir.Expr, access_ids: Dict[Tuple[str, ir.Offsets], int],
-              round32: bool = False) -> str:
-    """C++ source for an expression; with ``round32`` every operation result
-    is rounded to float (matching numpy f32 elementwise semantics)."""
+              mode: str = "f64") -> str:
+    """C++ source for an expression; every operation result is rounded to
+    the kernel dtype (``mode``), matching numpy narrow-scalar semantics."""
     def rnd(src: str) -> str:
-        return f"(double)(float)({src})" if round32 else f"({src})"
+        return _RND_CPP[mode].format(f"({src})")
 
-    rec = lambda e: _expr_cpp(e, access_ids, round32)
+    rec = lambda e: _expr_cpp(e, access_ids, mode)
     if isinstance(expr, ir.Const):
         # pin float consts to the kernel dtype so every op sees the same
-        # operand bits as the numpy oracle (per-op f32 rounding)
-        if round32 and isinstance(expr.value, float):
-            return f"((double)(float)({expr.value!r}))"
+        # operand bits as the numpy oracle (per-op rounding)
+        if mode != "f64" and isinstance(expr.value, float):
+            return f"({rnd(repr(expr.value))})"
         return f"{expr.value!r}"
     if isinstance(expr, ir.Ref):
         return f"t_{expr.name}"
@@ -126,6 +153,23 @@ def generate_cpp(program: ir.Program, analysis: ChainAnalysis,
 // reference's BoundedQueue raised on both sides, bounded_queue.py:121-139)
 static int g_fault_edge = -1;
 static long long g_fault_idx = 0, g_fault_lo = 0, g_fault_hi = 0;
+// NaN-propagating min/max (numpy semantics; std::fmin/fmax suppress NaN)
+static inline double sf_min(double a, double b) {
+  return (a != a) ? a : ((b != b) ? b : std::fmin(a, b));
+}
+static inline double sf_max(double a, double b) {
+  return (a != a) ? a : ((b != b) ? b : std::fmax(a, b));
+}
+// round-to-nearest-even bfloat16 (the TPU compute dtype); NaN passthrough
+static inline double rnd_bf16(double v) {
+  float f = (float)v;
+  if (f != f) return (double)f;
+  uint32_t b; std::memcpy(&b, &f, 4);
+  uint32_t lsb = (b >> 16) & 1u;
+  b += 0x7fffu + lsb; b &= 0xffff0000u;
+  std::memcpy(&f, &b, 4);
+  return (double)f;
+}
 struct Edge {
   // fixed-capacity circular buffer: element with stream index t lives at
   // data[t % cap] while t is in [base, arrived)
@@ -168,6 +212,7 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
     w("int simulate(const double** arr_inputs, const double* scalars,")
     w("             double** outputs, long long* stats, char* err, "
       "int errlen) {")
+    w("  g_fault_edge = -1;  // file-scope fault record: reset per run")
     w("  std::vector<Edge> edges(N_EDGES);")
     w("  for (int e = 0; e < N_EDGES; ++e) edges[e].init(EDGE_CAP[e]);")
     for i, name in enumerate(scalar_inputs):
@@ -244,14 +289,17 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
         w(f"    if (pc_{kname} < N && cycle >= pace_{kname} + pc_{kname}"
           f" && {avail_c}) {{")
         w(f"      const long long t = pc_{kname};")
-        is_f32 = np.dtype(kspec.dtype).itemsize == 4
+        mode = _round_mode(kspec.dtype)
+        rnd = _RND_CPP[mode].format
         for idx, (field, offs) in enumerate(plans):
             bc = kspec.boundary_conditions.get(field)
             dense = [x if x is not None else 0 for x in offs]
             mask = [x is not None for x in offs]
             flat_off = flatten_index(dense, dims)
             if field in scalar_inputs:
-                w(f"      double v{idx} = sc_{field};")
+                # per-access rounding to the kernel dtype, exactly like
+                # array accesses (machine.py casts via st.dtype)
+                w(f"      double v{idx} = {rnd(f'sc_{field}')};")
                 continue
             e = edge_ids[(field, kname)]
             oobc = (f"oob(t, {dense[0]}, {dense[1]}, {dense[2]}, "
@@ -265,12 +313,12 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
                 alt = f"{JUNK_VAL!r}"
             w(f"      double v{idx} = {oobc} ? {alt} : "
               f"edges[{e}].peek(t + {flat_off}LL, {e});")
-            if is_f32:
-                w(f"      v{idx} = (double)(float)v{idx};")
+            if mode != "f64":
+                w(f"      v{idx} = {rnd(f'v{idx}')};")
         for stmt in kspec.statements:
-            src = _expr_cpp(stmt.rhs, access_ids, round32=is_f32)
-            if is_f32:
-                src = f"(double)(float)({src})"
+            src = _expr_cpp(stmt.rhs, access_ids, mode=mode)
+            if mode != "f64":
+                src = rnd(f"({src})")
             w(f"      double t_{stmt.lhs} = {src};")
         res = f"t_{kspec.output_statement.lhs}"
         w('      if (g_fault_edge >= 0) {')
@@ -340,8 +388,11 @@ def _build(source: str) -> str:
     src_path = os.path.join(_CACHE_DIR, f"sim_{h}.cpp")
     with open(src_path, "w") as f:
         f.write(source)
+    # unique temp name: concurrent builds of the same program (pytest -n,
+    # parallel CLI runs) must not interleave writes before the atomic rename
+    tmp = f"{so_path}.tmp.{os.getpid()}"
     cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-           "-o", so_path + ".tmp", src_path]
+           "-o", tmp, src_path]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True)
     except FileNotFoundError as exc:
@@ -349,7 +400,7 @@ def _build(source: str) -> str:
     if proc.returncode != 0:
         raise NativeBuildError(
             f"native simulator build failed:\n{proc.stderr[:2000]}")
-    os.replace(so_path + ".tmp", so_path)
+    os.replace(tmp, so_path)
     return so_path
 
 
@@ -412,6 +463,9 @@ class NativeSimulator:
             in_ptrs, scalars.ctypes.data_as(DP), out_ptrs,
             stats.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
             err, len(err))
+        if rc == 1:   # stall: same exception type as the Python machine
+            from .machine import DeadlockError
+            raise DeadlockError(err.value.decode())
         if rc != 0:
             raise SimulationError(err.value.decode())
 

@@ -239,3 +239,19 @@ class TestIterate:
                        "--output-dir", str(tmp_path / "out")])
         assert rc == 0
         assert (tmp_path / "out" / "a.dat").exists()
+
+
+def test_chunk_must_be_positive():
+    from stencilflow_tpu.iterate import IterateError
+    p1 = _one_step_program()
+    inputs = sft.load_input_arrays(p1, seed=0)
+    with pytest.raises(IterateError, match="chunk"):
+        iterate(p1, inputs, steps=4, chunk=0)
+
+
+def test_host_chunks_rejects_unsupported_backend():
+    from stencilflow_tpu.iterate import IterateError
+    p1 = sft.parse_program(jacobi(3, 8, iterations=1), name="hcb")
+    inputs = sft.load_input_arrays(p1, seed=0)
+    with pytest.raises(IterateError, match="out-of-core"):
+        iterate(p1, inputs, steps=2, host_chunks=2, backend="pallas")

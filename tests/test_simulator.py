@@ -249,3 +249,140 @@ def test_per_cycle_trace(tmp_path):
     for (s, d), hw in res.edge_high_water.items():
         col = occ[f"{s}->{d}"]
         assert max(int(row.split(",")[col]) for row in lines[1:]) <= hw
+
+
+class TestEngineParityEdgeCases:
+    """Round-2 review regressions: oracle-parity for NaN math, NaN-aware
+    min/max, narrow dtypes, fault-record reset, exception types."""
+
+    def test_sqrt_of_shrink_junk_matches_oracle(self):
+        """sqrt over a shrink-BC junk halo yields NaN in the halo (the
+        oracle's semantics) — neither engine may raise, and the pruned
+        interiors agree exactly."""
+        from stencilflow_tpu.data import prune_halo
+        spec = {
+            "inputs": {"f": {"data": "random:1,2",
+                             "data_type": "float32"}},
+            "outputs": ["s"],
+            "dimensions": [6, 6, 6],
+            "program": {"s": {
+                "computation_string": "s = sqrt(f[i,j,k-1])",
+                "boundary_conditions":
+                {"f": {"type": "shrink", "value": 0.0}},
+                "data_type": "float32"}},
+        }
+        p = sft.parse_program(spec, name="sqrtjunk")
+        inputs = sft.load_input_arrays(p, seed=0)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s"])
+        assert np.isnan(ref).any()   # junk halo -> NaN
+        for engine in (Simulator, NativeSimulator):
+            got = engine(p).run(inputs).outputs["s"]
+            np.testing.assert_array_equal(
+                prune_halo(got, p.raw_dimensions, 1),
+                prune_halo(ref, p.raw_dimensions, 1))
+
+    def test_min_propagates_nan_like_numpy(self):
+        """min/max propagate NaN in every engine (np.minimum semantics;
+        fmin would suppress it, builtin min is order-dependent)."""
+        spec = {
+            "inputs": {"f": {"data": "random:1,2",
+                             "data_type": "float32"}},
+            "outputs": ["s"],
+            "dimensions": [4, 4, 4],
+            "program": {"s": {
+                # log(-f) = NaN everywhere (f > 0); min(NaN, 1) = NaN
+                "computation_string": "s = min(log(0.0 - f[i,j,k]), 1.0)",
+                "boundary_conditions":
+                {"f": {"type": "constant", "value": 1.0}},
+                "data_type": "float32"}},
+        }
+        p = sft.parse_program(spec, name="nanmin")
+        inputs = sft.load_input_arrays(p, seed=1)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s"])
+        assert np.isnan(ref).all()
+        for engine in (Simulator, NativeSimulator):
+            got = engine(p).run(inputs).outputs["s"]
+            assert np.isnan(got).all(), engine.__name__
+
+    @pytest.mark.parametrize("dt", ["bfloat16", "float16"])
+    def test_narrow_dtype_parity(self, dt):
+        """bf16/f16 kernels: the native core rounds every op to the
+        kernel dtype exactly like the oracle and the Python machine."""
+        spec = jacobi(3, 6, iterations=2)
+        for k in spec["program"].values():
+            k["data_type"] = dt
+        spec["inputs"]["a"]["data_type"] = dt
+        p = sft.parse_program(spec, name=f"narrow_{dt}")
+        inputs = sft.load_input_arrays(p, seed=2)
+        ref = np.asarray(sft.run_interpreter(p, inputs)[p.outputs[0]],
+                         dtype=np.float64)
+        for engine in (Simulator, NativeSimulator):
+            got = np.asarray(engine(p).run(inputs).outputs[p.outputs[0]],
+                             dtype=np.float64)
+            np.testing.assert_array_equal(got, ref, err_msg=engine.__name__)
+
+    def test_int_kernel_falls_back_to_python_machine(self):
+        """Integer kernels are outside the C++ core's scope: building a
+        NativeSimulator raises NativeBuildError and sim.simulate() falls
+        back to the Python machine."""
+        from stencilflow_tpu.sim import simulate
+        from stencilflow_tpu.sim.native import NativeBuildError
+        spec = {
+            "inputs": {"f": {"data": "constant:7", "data_type": "int32"}},
+            "outputs": ["s"],
+            "dimensions": [4, 4, 4],
+            "program": {"s": {
+                "computation_string": "s = f[i,j,k] + 1.0",
+                "boundary_conditions":
+                {"f": {"type": "constant", "value": 0.0}},
+                "data_type": "int32"}},
+        }
+        p = sft.parse_program(spec, name="intk")
+        with pytest.raises(NativeBuildError):
+            NativeSimulator(p)
+        res = simulate(p, sft.load_input_arrays(p, seed=0))
+        np.testing.assert_array_equal(
+            res.outputs["s"],
+            np.asarray(sft.run_interpreter(
+                p, sft.load_input_arrays(p, seed=0))["s"]))
+
+    def test_fault_record_resets_between_runs(self, monkeypatch):
+        """One stale-read fault must not poison later runs through the
+        same loaded .so (file-scope record is reset per simulate())."""
+        from stencilflow_tpu.sim import machine, native
+        real = machine.access_windows
+        corrupt = TestProofDiscipline._corrupt_windows(real)
+        monkeypatch.setattr(native, "access_windows", corrupt)
+        p = sft.parse_program(jacobi(3, 8, iterations=2), name="poisonchk")
+        inputs = sft.load_input_arrays(p, seed=0)
+        bad = NativeSimulator(p)
+        with pytest.raises(machine.SimulationError,
+                           match="stale/underflow"):
+            bad.run(inputs)
+        # a second run of the SAME faulted object must fault again from
+        # an actual bad read, and a clean program sharing the process
+        # must be unaffected
+        with pytest.raises(machine.SimulationError,
+                           match="stale/underflow"):
+            bad.run(inputs)
+        monkeypatch.setattr(native, "access_windows", real)
+        clean = NativeSimulator(sft.parse_program(
+            jacobi(3, 8, iterations=2), name="cleanchk"))
+        res = clean.run(inputs)
+        assert res.cycles > 0
+
+    def test_native_deadlock_is_deadlockerror(self, monkeypatch):
+        """Undersized edge: the native engine raises the same
+        DeadlockError subclass as the Python machine."""
+        from stencilflow_tpu.sim import machine, native
+        real = machine.edge_capacities
+
+        def undersize(program, analysis, windows=None, slack=0):
+            caps = dict(real(program, analysis, windows, slack))
+            caps[("a", "s0")] = 2
+            return caps
+        monkeypatch.setattr(native, "edge_capacities", undersize)
+        p = sft.parse_program(jacobi(3, 8, iterations=2), name="ddlk_cc")
+        inputs = sft.load_input_arrays(p, seed=0)
+        with pytest.raises(machine.DeadlockError):
+            NativeSimulator(p).run(inputs)
