@@ -24,6 +24,7 @@ are pruned by -halo verification anyway, README.md:50-56).
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -93,7 +94,9 @@ class BandTerm:
     identity, signaled by a None matrix key)."""
     left_key: Optional[str]     # key into the shared matrix pool (J x J)
     right_key: Optional[str]    # (K x K)
-    scale: float                # scalar factor (used when both sides None)
+    scale: float                # scalar factor applied to EVERY term (for
+    #                             one-sided terms it carries _normalize's
+    #                             magnitude — load-bearing, see stream.py)
 
 
 @dataclasses.dataclass
@@ -138,8 +141,11 @@ class MatrixPool:
 
     def add(self, arr: np.ndarray, prefix: str,
             meta: Optional[Tuple[int, ...]] = None) -> str:
-        key = f"{prefix}_{hash(arr.tobytes()) & 0xffffffff:08x}_" \
-              f"{'x'.join(map(str, arr.shape))}"
+        # content digest, NOT Python's salted hash(): keys must be
+        # deterministic across processes (multi-host tracing sorts them
+        # into the kernel argument order) and collision-free in practice
+        digest = hashlib.sha256(arr.tobytes()).hexdigest()[:16]
+        key = f"{prefix}_{digest}_{'x'.join(map(str, arr.shape))}"
         self.items.setdefault(key, arr)
         if meta is not None:
             self.meta.setdefault(key, meta)
@@ -199,10 +205,18 @@ def plan_all_stages(program, plane, dims, pool: "MatrixPool",
     Stages touching data wider than f32 stay on the VPU: the banded
     transforms compute in f32 (bf16-split or f32 passes), which would
     silently degrade f64 programs below their expected precision."""
+    from ..dtypes import is_floating
     plans: Dict[str, LinearStagePlan] = {}
     for kname, kspec in program.kernels.items():
+        # f32-and-narrower FLOATING data only: f64 would silently lose
+        # precision in the f32 transforms, and integer kernels need exact
+        # wraparound arithmetic the matmul path cannot provide
         if np.dtype(kspec.dtype).itemsize > 4 or any(
                 np.dtype(program.field_dtype(f)).itemsize > 4
+                for f in kspec.accesses()):
+            continue
+        if not is_floating(kspec.dtype) or any(
+                not is_floating(program.field_dtype(f))
                 for f in kspec.accesses()):
             continue
         mp = plan_linear_stage(kspec, plane, dims, pool,
@@ -409,6 +423,10 @@ def plan_linear_stage(kspec: ir.KernelSpec,
         for (oj, ok), c in cmap.items():
             C[ojs.index(oj), oks.index(ok)] = c
         terms: List[BandTerm] = []
+        if not np.any(C):
+            continue   # fully cancelled coefficients: zero contribution
+            #            (checked FIRST: a cancelled single-row group must
+            #            not pool a zero band matrix and matmul per plane)
         if C.shape == (1, 1) and ojs == [0] and oks == [0]:
             terms.append(BandTerm(None, None, float(C[0, 0])))
         elif len(ojs) == 1 and ojs == [0]:
@@ -419,8 +437,6 @@ def plan_linear_stage(kspec: ir.KernelSpec,
             nu, a = _normalize(C[:, 0])
             terms.append(BandTerm(add_band(pj, ojs, list(nu), "L"), None,
                                   a))
-        elif not np.any(C):
-            continue   # fully cancelled coefficients: zero contribution
         else:
             u, sv, vt = np.linalg.svd(C)
             rank = int((sv > 1e-10 * max(1.0, sv[0])).sum())
@@ -475,4 +491,8 @@ def plan_linear_stage(kspec: ir.KernelSpec,
                         corr_key = pool.add(stack, "corrs")
         groups.append(PlaneGroup(field, oi, terms, wsum, bval, corr_key))
 
+    if not groups:
+        # every coefficient group cancelled: a constant stage — let the
+        # VPU path emit it (mxu_eval has no matmul to anchor the bias on)
+        return None
     return LinearStagePlan(groups=groups, bias=bias, footprint=footprint)

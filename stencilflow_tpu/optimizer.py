@@ -141,11 +141,21 @@ class Optimizer:
                     f"slow-memory bound {slow_memory_bound} exceeded "
                     f"({self.slow_bytes()} bytes)")
 
+    def _remaining_comm_volume(self) -> int:
+        """Sum of spill-traffic costs over the still-fast candidates (the
+        reference's denominator: remaining metric_data comm_vol)."""
+        return sum(b.comm_cost() for b in self.buffers
+                   if not b.swap_out and b.bytes > 0)
+
     def optimize_to_ratio(self, ratio: float) -> None:
-        """Spill until slow/fast byte ratio reaches ``ratio``."""
+        """Spill while ``fast_bytes / remaining-candidate comm volume``
+        exceeds ``ratio`` — the reference's metric verbatim
+        (/root/reference/stencilflow/optimizer.py:130-168: ratio() =
+        fast_memory_use / sum(remaining comm_vol) + eps)."""
+        from .config import EPS
         self.reset()
-        while self.fast_bytes() > 0 and (
-                self.slow_bytes() / max(1, self.fast_bytes())) < ratio:
+        while (self.fast_bytes()
+               / (self._remaining_comm_volume() + EPS)) > ratio:
             cand = self._best_candidate()
             if cand is None:
                 return

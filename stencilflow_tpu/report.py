@@ -77,15 +77,30 @@ class Report:
         XLA temporaries), else the smallest power-of-two i-chunk count
         that brings the per-chunk footprint under it (out-of-core
         execution, ``run --host-chunks``); 0 when no chunking helps
-        (e.g. the i extent cannot absorb the factor)."""
+        (the i extent cannot absorb it, or non-i-spanning arrays alone
+        exceed the budget — only i-spanning bytes shrink with chunking)."""
         budget = 0.75 * self.hw.hbm_bytes
         total = self.hbm_footprint_bytes()
         if total <= budget:
             return 1
-        I = self.program.dimensions[0]
+        p = self.program
+        elem = 1
+        for d in p.dimensions:
+            elem *= d
+        i_bytes = sum(
+            np.prod(spec.shape(p.dimensions), dtype=np.int64)
+            * spec.dtype.itemsize
+            for spec in p.inputs.values()
+            if not spec.is_scalar and spec.dim_mask[0])
+        i_bytes += sum(elem * np.dtype(p.kernels[o].dtype).itemsize
+                       for o in p.outputs)   # outputs span the domain
+        fixed = total - int(i_bytes)
+        if fixed > budget:
+            return 0
+        I = p.dimensions[0]
         c = 2
         while c <= I:
-            if I % c == 0 and total / c <= budget:
+            if I % c == 0 and fixed + i_bytes / c <= budget:
                 return c
             c *= 2
         return 0

@@ -205,8 +205,15 @@ class TestOptimizer:
         total = opt.fast_bytes()
         assert total > 0 and opt.slow_bytes() == 0
 
-        opt.optimize_to_ratio(1.0)
-        assert opt.slow_bytes() >= opt.fast_bytes()
+        # reference metric (optimizer.py:130-168): spill while
+        # fast_bytes / remaining-candidate comm volume > ratio
+        r0 = total / (opt._remaining_comm_volume() + 1e-10)
+        opt.optimize_to_ratio(r0 / 2)
+        assert opt.slow_bytes() > 0
+        assert (opt.fast_bytes()
+                <= r0 / 2 * (opt._remaining_comm_volume() + 1e-10))
+        opt.optimize_to_ratio(2 * r0)   # already satisfied: no spills
+        assert opt.slow_bytes() == 0
 
         opt.minimize_comm_vol(total // 2, slow_memory_bound=total)
         assert opt.fast_bytes() <= total // 2

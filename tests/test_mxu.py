@@ -3,6 +3,8 @@
 Wide affine stages lower to L @ P @ R banded matmuls; results must match
 the oracle bit-for-nearly-bit (f32 matmul accumulation differs only in
 rounding association)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -13,6 +15,8 @@ from stencilflow_tpu.backend.linear import (MatrixPool, extract_linear,
                                             plan_linear_stage)
 from stencilflow_tpu.backend.stream import compile_chain_stream
 from stencilflow_tpu.synthesize import synthesize_stencil
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(program, inputs, mxu="auto"):
@@ -275,3 +279,79 @@ class TestShardedMXU:
         cfg = compile_sharded_chain.last_config
         assert cfg["jtiles"] > 1 and cfg["mxu_stages"], cfg
         np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+
+
+class TestLinearPlannerEdgeCases:
+    def test_pool_keys_deterministic_across_processes(self):
+        """Pool keys must be content digests, not salted hash(): multi-host
+        tracing sorts them into the kernel argument order, so every
+        process must derive identical keys."""
+        import subprocess
+        import sys
+
+        snippet = (
+            "import numpy as np, sys; sys.path.insert(0, '.');"
+            "from stencilflow_tpu.backend.linear import MatrixPool;"
+            "print(MatrixPool().add(np.eye(4, dtype=np.float32), 'L'))")
+        keys = {
+            subprocess.run([sys.executable, "-c", snippet],
+                           capture_output=True, text=True, cwd=REPO,
+                           env={**os.environ, "JAX_PLATFORMS": "cpu",
+                                "PYTHONHASHSEED": str(seed)},
+                           ).stdout.strip()
+            for seed in (1, 2)}
+        assert len(keys) == 1 and keys.pop()
+
+    def test_fully_cancelled_stage_returns_none(self):
+        """A stage whose coefficient groups all cancel must fall back to
+        the VPU path (no groups to anchor the bias on), not crash the
+        MXU tracer."""
+        from stencilflow_tpu.backend.linear import (MatrixPool,
+                                                    plan_linear_stage)
+        taps = " + ".join(f"a[i,j{o:+d},k{p:+d}]"
+                          for o in (-2, -1, 0, 1) for p in (-1, 0, 1, 2))
+        spec = {
+            "inputs": {"a": {"data": "random:-1,1",
+                             "data_type": "float32"}},
+            "outputs": ["s"],
+            "dimensions": [4, 16, 16],
+            "program": {"s": {
+                "computation_string":
+                    f"s = ({taps}) - ({taps}) + 5.0",
+                "boundary_conditions":
+                {"a": {"type": "constant", "value": 0.0}},
+                "data_type": "float32"}},
+        }
+        p = sft.parse_program(spec, name="cancelled")
+        plan = plan_linear_stage(p.kernels["s"], (16, 16), (4, 16, 16),
+                                 MatrixPool(), min_footprint=9)
+        assert plan is None
+        # and the full program still runs through the best backend
+        inputs = sft.load_input_arrays(p, seed=0)
+        from stencilflow_tpu.backend import compile_chain_best
+        fn, _ = compile_chain_best(p, interpret=True)
+        got = np.asarray(fn({k: np.asarray(v)
+                             for k, v in inputs.items()})["s"])
+        np.testing.assert_allclose(got, np.full((4, 16, 16), 5.0,
+                                                np.float32), rtol=1e-6)
+
+    def test_integer_affine_stage_stays_on_vpu(self):
+        """Integer kernels need exact arithmetic: plan_all_stages must
+        not put them on the f32 matmul path."""
+        from stencilflow_tpu.backend.linear import (MatrixPool,
+                                                    plan_all_stages)
+        taps = " + ".join(f"a[i,j{o:+d},k{p:+d}]"
+                          for o in (-2, -1, 0, 1) for p in (-1, 0, 1, 2))
+        spec = {
+            "inputs": {"a": {"data": "constant:3", "data_type": "int32"}},
+            "outputs": ["s"],
+            "dimensions": [4, 16, 16],
+            "program": {"s": {
+                "computation_string": f"s = {taps}",
+                "boundary_conditions":
+                {"a": {"type": "constant", "value": 0.0}},
+                "data_type": "int32"}},
+        }
+        p = sft.parse_program(spec, name="intaffine")
+        assert plan_all_stages(p, (16, 16), (4, 16, 16), MatrixPool(),
+                               min_footprint=9) == {}
