@@ -159,33 +159,55 @@ def program_from_op_list(ops: Sequence, dimensions: Sequence[int],
                   for n, sp in input_specs.items() if not all(sp.dim_mask)}
     constants = dict(constants or {})
 
+    if vectorization < 1:
+        raise ValueError("vectorization must be >= 1")
+    if raw[-1] % vectorization != 0:
+        raise ValueError(
+            f"vectorization {vectorization} must divide the innermost "
+            f"dim ({raw[-1]})")
+
     op_specs = []
+    # reads resolve to the version live at that point: a field is only
+    # readable once written (or when it is an input) — pre-seeding every
+    # target would silently resolve early reads to FUTURE versions
+    written = dict(masks)
     for op in ops:
         target, computation = op[0], op[1]
         bcs_json = op[2] if len(op) > 2 and op[2] is not None else {}
         dtype = np.dtype(op[3]) if len(op) > 3 and op[3] is not None \
             else np.dtype(np.float32)
-        field_masks = dict(masks)
-        for t, _c in [(o[0], None) for o in ops]:
-            field_masks.setdefault(t, (True, True, True))
         stmts = parse_computation(
             target, _pad_computation_string(computation, len(raw)),
-            field_masks, input_dims, constants)
+            written, input_dims, constants)
         if stmts[-1].lhs != target:
             raise ValueError(
                 f"op for {target!r} must end with an assignment to it")
+        # center reads of already-assigned temporaries became Refs at
+        # parse time, so every remaining Access must name an input or a
+        # previously-written target (its live version)
+        for s in stmts:
+            for node in ir.walk(s.rhs):
+                if (isinstance(node, ir.Access)
+                        and node.field not in written):
+                    raise ValueError(
+                        f"op for {target!r} reads {node.field!r} before "
+                        "any write (and it is not an input)")
         bcs = {f: ir.BoundaryCondition.from_json(bc)
                for f, bc in bcs_json.items()}
         op_specs.append((target, ir.KernelSpec(
             target, stmts, dtype, bcs, source=computation)))
+        written.setdefault(target, (True, True, True))
 
     kernels = version_program(op_specs, list(outputs))
     dims3 = (1,) * (3 - len(raw)) + raw
-    return ir.Program(
+    program = ir.Program(
         name=name, dimensions=dims3, raw_dimensions=raw,
         inputs=input_specs, outputs=list(outputs), kernels=kernels,
         vectorization=vectorization,
     )
+    from .parser import _validate
+    _validate(program)
+    return program
 
 
 def nest_dimension(program: ir.Program, extent: int,
@@ -274,6 +296,12 @@ def specialize_constants(program: ir.Program,
     scalar_values: Dict[str, float] = dict(program.constants)
     if values:
         scalar_values.update(values)
+    clash = {n for n in scalar_values
+             if n in program.inputs and not program.inputs[n].is_scalar}
+    if clash:
+        raise ValueError(
+            f"constant name(s) {sorted(clash)} collide with non-scalar "
+            "inputs; specializing would silently replace array reads")
     for name, spec in list(program.inputs.items()):
         if not spec.is_scalar or name in (values or {}):
             continue

@@ -66,7 +66,11 @@ def _index_expr_to_offset(node: ast.expr) -> int:
             raise StencilSyntaxError(f"unknown iterator {node.id!r}")
         return 0
     if isinstance(node, ast.BinOp) and isinstance(node.left, ast.Name):
-        if not isinstance(node.right, ast.Constant):
+        if node.left.id not in ITERATORS:
+            raise StencilSyntaxError(
+                f"unknown iterator {node.left.id!r}")
+        if not (isinstance(node.right, ast.Constant)
+                and isinstance(node.right.value, int)):
             raise StencilSyntaxError(
                 "subscript offsets must be iterator ± integer literal")
         off = int(node.right.value)
@@ -123,6 +127,17 @@ class _ExprBuilder(ast.NodeVisitor):
             sl = sl.value
         comps = list(sl.elts) if isinstance(sl, ast.Tuple) else [sl]
         idx = [_index_expr_to_offset(c) for c in comps]
+        if field in self.temporaries:
+            # center read of a local temporary == its bare-name value (the
+            # reference contracts same-name/same-index nodes,
+            # compute_graph.py:203-241); an OFFSET read has no value to
+            # refer to — the temporary is a whole-expression alias
+            if any(idx):
+                raise StencilSyntaxError(
+                    f"offset read of local assignment target {field!r}; "
+                    "temporaries are whole-expression aliases (offsets "
+                    "only apply to input/kernel fields)")
+            return ir.Ref(field)
         offsets = self._canonical_offsets(field, idx)
         return ir.Access(field, offsets)
 
@@ -234,6 +249,10 @@ def parse_computation(kernel_name: str, computation: str,
         temporaries[target.id] = rhs
     if not statements:
         raise StencilSyntaxError(f"kernel {kernel_name!r}: empty computation")
+    # NB: a subscript of an ALREADY-ASSIGNED temporary is resolved at
+    # visit time (center -> Ref, offset -> error); a subscript of a name
+    # assigned LATER intentionally stays an Access — op lists read the
+    # target's previous version that way (version_program)
     return statements
 
 

@@ -48,8 +48,12 @@ class _Ctx:
     counter: int = 0
 
     def fresh(self) -> str:
+        name = f"t{self.counter}"
         self.counter += 1
-        return f"t{self.counter - 1}"
+        while name in self.kernels or name in self.input_masks:
+            name = f"t{self.counter}"
+            self.counter += 1
+        return name
 
     def materialize(self, value: "StencilValue", name: Optional[str] = None
                     ) -> str:
@@ -60,6 +64,12 @@ class _Ctx:
             return value.expr.field  # already a plain field read
         if name is None and value._mat is not None:
             return value._mat
+        if name is not None and (name in self.kernels
+                                 or name in self.input_masks):
+            raise TraceError(
+                f"output name {name!r} collides with an "
+                f"{'input' if name in self.input_masks else 'existing stage'}"
+                "; pick a distinct output name")
         name = name or self.fresh()
         used = sorted({n.field for n in ir.walk(value.expr)
                        if isinstance(n, ir.Access)})
@@ -139,6 +149,14 @@ class StencilValue:
         return StencilValue(self._ctx,
                             ir.Compare(op, self.expr, other.expr))
 
+    def __bool__(self):
+        # default object truthiness would silently mistrace data-dependent
+        # Python control flow (if/min/max on traced comparisons always
+        # taking one branch) — fail loudly instead
+        raise TraceError(
+            "data-dependent Python control flow cannot be traced; use "
+            "where(...)/minimum(...)/maximum(...) on traced values")
+
     def __lt__(self, o): return self._cmp("lt", o)
     def __le__(self, o): return self._cmp("le", o)
     def __gt__(self, o): return self._cmp("gt", o)
@@ -188,6 +206,9 @@ def trace_program(fn: Callable, dimensions: Sequence[int],
     single value, named "out").
     """
     raw = tuple(int(d) for d in dimensions)
+    if not 1 <= len(raw) <= 3:
+        raise TraceError(f"dimensions must have 1-3 entries, got "
+                         f"{len(raw)}")
     dims3 = (1,) * (3 - len(raw)) + raw
     if isinstance(boundary, ir.BoundaryCondition):
         default_bc = boundary
@@ -219,10 +240,7 @@ def trace_program(fn: Callable, dimensions: Sequence[int],
         data = (input_data or {}).get(iname, "constant:0.0")
         input_specs[iname] = ir.InputSpec(iname, in_dtype, mask, data)
         canon = tuple(0 if m else None for m in mask)
-        if not any(mask):
-            args.append(StencilValue(ctx, ir.Access(iname, canon)))
-        else:
-            args.append(StencilValue(ctx, ir.Access(iname, canon)))
+        args.append(StencilValue(ctx, ir.Access(iname, canon)))
 
     result = fn(*args)
     if isinstance(result, StencilValue):

@@ -413,3 +413,125 @@ class TestNestDimension:
         p2 = sft.parse_program(jacobi(2, 8, iterations=1), name="nk4")
         with pytest.raises(ValueError, match="unknown input"):
             sft.nest_dimension(p2, 4, inputs_spanning=["zzz"])
+
+
+class TestFrontendReviewRegressions:
+    """Round-2 review: loud failures instead of silent mistraces."""
+
+    def test_traced_truthiness_raises(self):
+        from stencilflow_tpu.frontend.trace import TraceError, trace_program
+
+        def bad(a):
+            x = a[0, 0, 1]
+            return x if (a[0, 0, 0] > x) else a[0, 0, 0]  # py control flow
+
+        with pytest.raises(TraceError, match="control flow"):
+            trace_program(bad, dimensions=(4, 4), inputs={"a": np.float32})
+
+        def bad_min(a):
+            return min(a[0, 0, 0], a[0, 0, 1])   # builtin min calls bool()
+
+        with pytest.raises(TraceError, match="control flow"):
+            trace_program(bad_min, dimensions=(4, 4),
+                          inputs={"a": np.float32})
+
+    def test_traced_output_name_collisions(self):
+        from stencilflow_tpu.frontend.trace import TraceError, trace_program
+
+        def shadows_input(a):
+            return {"a": a[0, 0, 0] * 2.0}
+
+        with pytest.raises(TraceError, match="collides"):
+            trace_program(shadows_input, dimensions=(4, 4),
+                          inputs={"a": np.float32})
+
+    def test_traced_dimensions_rank_checked(self):
+        from stencilflow_tpu.frontend.trace import TraceError, trace_program
+        with pytest.raises(TraceError, match="1-3"):
+            trace_program(lambda a: a[0, 0, 0] + 1.0,
+                          dimensions=(2, 4, 4, 4),
+                          inputs={"a": np.float32})
+
+    def test_offset_read_of_temporary_rejected(self):
+        from stencilflow_tpu.frontend.parser import StencilSyntaxError
+        spec = {
+            "inputs": {"a": {"data": "constant:1.0",
+                             "data_type": "float32"}},
+            "outputs": ["o"],
+            "dimensions": [4, 4, 4],
+            "program": {"o": {
+                "computation_string":
+                    "t = a[i,j,k] * 2.0; o = t[i, j+1, k]",
+                "boundary_conditions":
+                {"a": {"type": "constant", "value": 0.0}},
+                "data_type": "float32"}},
+        }
+        with pytest.raises(StencilSyntaxError, match="temporar"):
+            sft.parse_program(spec, name="offtmp")
+        # center subscript of a temporary == its bare-name value
+        spec["program"]["o"]["computation_string"] = \
+            "t = a[i,j,k] * 2.0; o = t[i, j, k] + t"
+        p = sft.parse_program(spec, name="ctrtmp")
+        out = sft.run_interpreter(p, sft.load_input_arrays(p, seed=0))
+        np.testing.assert_allclose(np.asarray(out["o"]), 4.0)
+
+    def test_typoed_iterator_in_offset_form_rejected(self):
+        from stencilflow_tpu.frontend.parser import StencilSyntaxError
+        spec = {
+            "inputs": {"a": {"data": "constant:1.0",
+                             "data_type": "float32"}},
+            "outputs": ["o"],
+            "dimensions": [4, 4, 4],
+            "program": {"o": {
+                "computation_string": "o = a[ii+1, j, k]",
+                "boundary_conditions":
+                {"a": {"type": "constant", "value": 0.0}},
+                "data_type": "float32"}},
+        }
+        with pytest.raises(StencilSyntaxError, match="iterator"):
+            sft.parse_program(spec, name="typo")
+        spec["program"]["o"]["computation_string"] = "o = a[i+1.5, j, k]"
+        with pytest.raises(StencilSyntaxError, match="integer"):
+            sft.parse_program(spec, name="floatoff")
+
+    def test_op_list_read_before_write_rejected(self):
+        from stencilflow_tpu.frontend.canonicalize import program_from_op_list
+        inputs = {"inp": {"data": "constant:1.0", "data_type": "float32"}}
+        with pytest.raises(ValueError, match="before any write"):
+            program_from_op_list(
+                [("a", "a = b[i,j,k] * 2.0",
+                  {"b": {"type": "constant", "value": 0.0}}),
+                 ("b", "b = inp[i,j,k]",
+                  {"inp": {"type": "constant", "value": 0.0}})],
+                inputs=inputs, outputs=["a"], dimensions=[4, 4, 4],
+                name="rbw")
+        with pytest.raises(ValueError, match="before any write"):
+            program_from_op_list(
+                [("a", "a = missing[i,j,k]",
+                  {"missing": {"type": "constant", "value": 0.0}})],
+                inputs=inputs, outputs=["a"], dimensions=[4, 4, 4],
+                name="missingread")
+        with pytest.raises(ValueError, match="vectorization"):
+            program_from_op_list(
+                [("a", "a = inp[i,j,k]",
+                  {"inp": {"type": "constant", "value": 0.0}})],
+                inputs=inputs, outputs=["a"], dimensions=[4, 4, 10],
+                vectorization=3, name="badvec")
+
+    def test_specialize_constants_collision_rejected(self):
+        from stencilflow_tpu.frontend.canonicalize import specialize_constants
+        spec = {
+            "inputs": {"c": {"data": "constant:1.0",
+                             "data_type": "float32"}},
+            "outputs": ["o"],
+            "dimensions": [4, 4, 4],
+            "constants": {"c": 3.0},
+            "program": {"o": {
+                "computation_string": "o = c[i, j+1, k]",
+                "boundary_conditions":
+                {"c": {"type": "constant", "value": 0.0}},
+                "data_type": "float32"}},
+        }
+        p = sft.parse_program(spec, name="cclash")
+        with pytest.raises(ValueError, match="collide"):
+            specialize_constants(p)
