@@ -44,8 +44,12 @@ def _try_stacked(program, analysis, interpret):
     try:
         from .overlap import _chain_needs, compile_chain_overlap
         needs = _chain_needs(program, analysis)
+        # only i-spanning (ring-backed) inputs gate the shallow policy:
+        # static (j,k) coefficient planes are read whole, outside rings
         H = max((max(lo, hi) for f, (lo, hi) in needs.items()
-                 if f in program.inputs), default=0)
+                 if f in program.inputs
+                 and not program.inputs[f].is_scalar
+                 and program.inputs[f].dim_mask[0]), default=0)
         if H <= 2:
             return (compile_chain_overlap(program, analysis,
                                           interpret=interpret),

@@ -301,8 +301,12 @@ def compile_chain_overlap(program: ir.Program,
     dims = program.dimensions
     I, J, K = dims
     needs = _chain_needs(program, analysis)
+    # only i-spanning (ring-backed) inputs bound the panel: scalar and
+    # static (j,k)/(k) inputs are read whole, outside the rings
+    streamed = [n for n, sp in program.inputs.items()
+                if not sp.is_scalar and sp.dim_mask[0]]
     H = max((max(lo, hi) for f, (lo, hi) in needs.items()
-             if f in program.inputs), default=0)
+             if f in streamed), default=0)
     if panel <= 0:
         # big panels amortize the halo recompute ((B+2H)/B per stage);
         # same ~1024-sublane-row op target as panel mode, floored at 4H
@@ -315,7 +319,7 @@ def compile_chain_overlap(program: ir.Program,
     if I % B or B < 1:
         raise ValueError(f"overlap panel {B} must divide I={I}")
     for f, (lo, hi) in needs.items():
-        if f in program.inputs and max(lo, hi) > B:
+        if f in streamed and max(lo, hi) > B:
             raise ValueError(
                 f"cumulative extent {max(lo, hi)} exceeds panel {B}")
     shiftk = K >= 256
@@ -336,27 +340,28 @@ def compile_chain_overlap(program: ir.Program,
             program.kernels[out].dtype)
         out_shapes.append(jax.ShapeDtypeStruct((I, J, K), out_dtype))
 
-    streamed = [n for n, sp in program.inputs.items()
-                if not sp.is_scalar and sp.dim_mask[0]]
     scratch_shapes = [
         pltpu.VMEM((3, B * J, K),
                    jax.dtypes.canonicalize_dtype(program.field_dtype(f)))
         for f in streamed
     ]
     # VMEM estimate: input rings + the widest live temporary set
-    # (conservative: all stage temporaries live at once)
+    # (conservative: all stage temporaries live at once) + the Pallas
+    # pipeline's double-buffered io blocks — the io windows count toward
+    # the budget GATE too (like every other stream caller), so an
+    # oversized panel raises the ValueError callers catch for fallback
+    # instead of failing inside Mosaic
     est = sum(3 * B * J * K *
               np.dtype(program.field_dtype(f)).itemsize for f in streamed)
     for f, (lo, hi) in needs.items():
         if f in program.kernels:
             est += (lo + B + hi) * J * K * np.dtype(
                 program.field_dtype(f)).itemsize
-    if est > 0.7 * vmem_budget:
-        raise ValueError("overlap blocks exceed the VMEM budget")
-    # double-buffered io blocks for the vmem-limit estimate
     est += sum(2 * B * J * K *
                np.dtype(program.field_dtype(f)).itemsize
                for f in list(streamed) + list(program.outputs))
+    if est > 0.7 * vmem_budget:
+        raise ValueError("overlap blocks exceed the VMEM budget")
 
     kernel = functools.partial(_overlap_kernel_body, program, analysis,
                                needs, B, input_names, input_kinds,

@@ -79,17 +79,34 @@ def ingest_panel(spec: ir.InputSpec, kind: str, ref, g, B: int, dims):
                             (B, J, K)).reshape(B * J, K)
 
 
-def shift_fill_k(x, o: int, fill):
-    """result[:, k] = x[:, k + o], out-of-range filled with ``fill``."""
+def shift_fill(x, o: int, axis: int, fill):
+    """result[p] = x[p + o] along ``axis``, fill shifted in at the
+    border — one slice + one concat, replacing roll (2 slices + concat)
+    + iota-mask select.  Exact constant/shrink BC semantics on an
+    unwidened domain-spanning plane at origin 0.  Shared by the plane
+    streamer (both axes) and the stacked backends (k axis)."""
     n0, n1 = x.shape
     fv = jnp.asarray(fill, x.dtype)
-    if o > 0:
-        return jnp.concatenate(
-            [jax.lax.slice(x, (0, o), (n0, n1)),
-             jnp.full((n0, o), fv, x.dtype)], axis=1)
-    return jnp.concatenate(
-        [jnp.full((n0, -o), fv, x.dtype),
-         jax.lax.slice(x, (0, 0), (n0, n1 + o))], axis=1)
+    if axis == 0:
+        if o > 0:
+            parts = [jax.lax.slice(x, (o, 0), (n0, n1)),
+                     jnp.full((o, n1), fv, x.dtype)]
+        else:
+            parts = [jnp.full((-o, n1), fv, x.dtype),
+                     jax.lax.slice(x, (0, 0), (n0 + o, n1))]
+    else:
+        if o > 0:
+            parts = [jax.lax.slice(x, (0, o), (n0, n1)),
+                     jnp.full((n0, o), fv, x.dtype)]
+        else:
+            parts = [jnp.full((n0, -o), fv, x.dtype),
+                     jax.lax.slice(x, (0, 0), (n0, n1 + o))]
+    return jnp.concatenate(parts, axis=axis)
+
+
+def shift_fill_k(x, o: int, fill):
+    """result[:, k] = x[:, k + o], out-of-range filled with ``fill``."""
+    return shift_fill(x, o, 1, fill)
 
 
 def make_forward(program: ir.Program, input_names, dims, call,

@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import config, ir
 from ..config import JUNK_VAL
 from ..frontend.analysis import ChainAnalysis
+from .stacked_io import shift_fill
 from .tile_eval import eval_kernel_statements, read_access_tile
 
 Vec3 = Tuple[int, int, int]
@@ -550,28 +551,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         dma.start()
         dma.wait()
 
-    def _shift_fill(x, o, axis, fill):
-        """result[p] = x[p + o] along ``axis``, fill shifted in at the
-        border — one slice + one concat, replacing roll (2 slices +
-        concat) + iota-mask select.  Exact constant/shrink BC semantics
-        on an unwidened domain-spanning plane at origin 0."""
-        n0, n1 = x.shape
-        fillv = jnp.asarray(fill, x.dtype)
-        if axis == 0:
-            if o > 0:
-                parts = [jax.lax.slice(x, (o, 0), (n0, n1)),
-                         jnp.full((o, n1), fillv, x.dtype)]
-            else:
-                parts = [jnp.full((-o, n1), fillv, x.dtype),
-                         jax.lax.slice(x, (0, 0), (n0 + o, n1))]
-        else:
-            if o > 0:
-                parts = [jax.lax.slice(x, (0, o), (n0, n1)),
-                         jnp.full((n0, o), fillv, x.dtype)]
-            else:
-                parts = [jnp.full((n0, -o), fillv, x.dtype),
-                         jax.lax.slice(x, (0, 0), (n0, n1 + o))]
-        return jnp.concatenate(parts, axis=axis)
+    _shift_fill = shift_fill   # shared helper (stacked_io.py)
 
     def make_read(kname, q, m=0):
         bcs = program.kernels[kname].boundary_conditions

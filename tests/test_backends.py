@@ -799,3 +799,44 @@ class TestPipelineMixedDtypeGate:
                                    rtol=1e-6)
         with _pytest.raises(ValueError, match="dtype"):
             compile_pipeline_split(p, mesh, "p", io="sharded")
+
+
+def test_overlap_static_inputs_dont_bound_panel():
+    """Static (j,k) coefficient planes are read whole, outside the input
+    rings, so they must not inflate the panel bound or the shallow-chain
+    policy gate (round-2 review)."""
+    from stencilflow_tpu.backend import _try_stacked
+    from stencilflow_tpu.backend.overlap import run_chain_overlap
+    from stencilflow_tpu.frontend.analysis import ChainAnalysis
+    spec = {
+        "inputs": {"a": {"data": "random:-1,1", "data_type": "float32"},
+                   "c": {"data": "random:1,2", "data_type": "float32",
+                         "input_dims": ["j", "k"]}},
+        "outputs": ["s1"],
+        "dimensions": [8, 16, 16],
+        "program": {
+            "s0": {"computation_string":
+                   "s0 = c[j,k] * (a[i-1,j,k] + a[i+1,j,k])",
+                   "boundary_conditions":
+                   {"a": {"type": "constant", "value": 0.0},
+                    "c": {"type": "constant", "value": 1.0}},
+                   "data_type": "float32"},
+            "s1": {"computation_string":
+                   "s1 = c[j,k] + s0[i-1,j,k] + s0[i+1,j,k]",
+                   "boundary_conditions":
+                   {"s0": {"type": "constant", "value": 0.0},
+                    "c": {"type": "constant", "value": 1.0}},
+                   "data_type": "float32"},
+        },
+    }
+    p = sft.parse_program(spec, name="staticov")
+    inputs = sft.load_input_arrays(p, seed=50)
+    ref = _oracle(p, inputs)
+    # explicit panel=2: the streamed input's extent is 2 <= B; the static
+    # plane's transitive extent (3) must not reject the compile
+    got = run_chain_overlap(p, inputs, interpret=True, panel=2)
+    np.testing.assert_allclose(got["s1"], ref["s1"], rtol=2e-5,
+                               atol=1e-6)
+    # and the auto policy routes this shallow chain to overlap
+    fn, name = _try_stacked(p, ChainAnalysis.run(p), interpret=True)
+    assert name == "overlap"
