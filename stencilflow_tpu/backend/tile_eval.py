@@ -135,36 +135,14 @@ _CALLS: Dict[str, Callable] = {
 def _eval_expr(expr: ir.Expr, fields: Dict[str, Any], env: Dict[str, Any],
                bcs: Dict[str, ir.BoundaryCondition],
                origin, halo, dimensions, cache=None):
-    if isinstance(expr, ir.Const):
-        return expr.value
-    if isinstance(expr, ir.Ref):
-        return env[expr.name]
-    if isinstance(expr, ir.Access):
-        buf = fields[expr.field]
+    """Tile-read strategy over the shared walker (eval_expr_generic)."""
+    def read_fn(field, offsets):
+        buf = fields[field]
         if not hasattr(buf, "shape") or buf.ndim == 0:  # scalar input
             return buf
-        return read_access_tile(buf, expr.offsets, bcs.get(expr.field),
+        return read_access_tile(buf, offsets, bcs.get(field),
                                 origin, halo, dimensions, cache)
-    rec = lambda e: _eval_expr(e, fields, env, bcs, origin, halo, dimensions,
-                               cache)
-    if isinstance(expr, ir.BinOp):
-        return _BINOPS[expr.op](rec(expr.left), rec(expr.right))
-    if isinstance(expr, ir.UnaryOp):
-        return -rec(expr.operand)
-    if isinstance(expr, ir.Compare):
-        return _CMPOPS[expr.op](rec(expr.left), rec(expr.right))
-    if isinstance(expr, ir.BoolOp):
-        vals = [rec(o) for o in expr.operands]
-        acc = vals[0]
-        for v in vals[1:]:
-            acc = (acc & v) if expr.op == "and" else (acc | v)
-        return acc
-    if isinstance(expr, ir.Select):
-        return jnp.where(rec(expr.cond), rec(expr.if_true),
-                         rec(expr.if_false))
-    if isinstance(expr, ir.Call):
-        return _CALLS[expr.fn](*[rec(a) for a in expr.args])
-    raise TypeError(f"unknown expression node {type(expr)}")
+    return eval_expr_generic(expr, env, read_fn)
 
 
 def eval_expr_generic(expr: ir.Expr, env: Dict[str, Any], read_fn):
@@ -252,8 +230,11 @@ def evaluate_chain_tile(program: ir.Program, graph: ChainGraph,
     if tile_shape is None:
         # No full-rank input: derive the widened shape by combining every
         # spanned input (elementwise max — a lower-rank input must not
-        # shadow a higher-rank one)
-        guess = [1, 1, 1]
+        # shadow a higher-rank one); a dim spanned by NO input still has
+        # full-domain kernel fields, so it defaults to the widened global
+        # extent, not 1
+        guess = [0, 0, 0]
+        spanned = [False, False, False]
         for iname, spec in program.inputs.items():
             if spec.is_scalar or all(spec.dim_mask):
                 continue
@@ -262,8 +243,12 @@ def evaluate_chain_tile(program: ir.Program, graph: ChainGraph,
             for d, m in enumerate(spec.dim_mask):
                 if m:
                     guess[d] = max(guess[d], next(it))
-        if guess == [1, 1, 1]:
+                    spanned[d] = True
+        if not any(spanned):
             raise ValueError("program has no array inputs")
+        for d in range(3):
+            if not spanned[d]:
+                guess[d] = (dims[d] + 2 * halo[d]) if dims[d] > 1 else 1
         tile_shape = tuple(guess)
     for iname, spec in program.inputs.items():
         if not spec.is_scalar and not all(spec.dim_mask):

@@ -41,6 +41,10 @@ OP_LATENCY = {
 #  /root/reference/stencilflow/helper.py:261-276).
 EPS = 1e-10
 VERIFY_RTOL = 1e-5
+# the MXU banded-matmul lowering re-associates f32 sums (split-precision
+# bf16 hi/lo passes); its guaranteed envelope is 3e-5 relative (enforced
+# by tests/test_fuzz.py) — the driver verifies MXU-lowered runs at this
+MXU_VERIFY_RTOL = 3e-5
 
 # Junk value written into shrink-boundary halo cells
 # (reference: /root/reference/stencilflow/stencil/_common.py:8).

@@ -48,7 +48,10 @@ def load_array(spec: InputSpec, dimensions: Sequence[int],
             arr = np.fromfile(path, dtype)
         else:
             raise ValueError(f"invalid file type: {path}")
-        return arr.reshape(shape) if shape else arr
+        # NB: shape may be () for a file-backed scalar — reshape anyway
+        # (raises clearly on a multi-value file; keeps 0-d so backends'
+        # scalar fast paths engage)
+        return arr.reshape(shape) if shape is not None else arr
     if spec.is_scalar:
         return dtype.type(data)
     arr = np.asarray(data, dtype=dtype)
@@ -107,6 +110,11 @@ def prune_halo(arr: np.ndarray, dimensions: Sequence[int],
     if halo <= 0:
         return arr
     arr = np.asarray(arr).reshape(tuple(dimensions))
+    if any(d > 1 and d - 2 * halo <= 0 for d in arr.shape):
+        # an empty core would make every downstream comparison pass
+        # vacuously (np.all over zero elements is True)
+        raise ValueError(
+            f"halo {halo} leaves no interior for dims {tuple(arr.shape)}")
     slices = tuple(
         slice(halo, d - halo) if d > 1 else slice(None) for d in arr.shape)
     return arr[slices]

@@ -86,15 +86,18 @@ def run_program(stencil_file, mode: str = "emulation",
     if generate_input or synthetic_reads:
         # generate_input: replace file-backed inputs with constant data
         # (reference: run_program.py:142-148); synthetic_reads: replace ALL
-        # inputs for pure-compute benchmarking (sdfg_generator.py:284-385)
+        # inputs for pure-compute benchmarking (sdfg_generator.py:284-385).
+        # Rebind a modified copy — callers may pass an already-parsed
+        # Program and reuse it afterwards
         import dataclasses as _dc
+        new_inputs = dict(program.inputs)
         for name, spec in program.inputs.items():
             file_backed = (isinstance(spec.data, str) and
                            not spec.data.startswith(("constant:",
                                                      "random:")))
             if synthetic_reads or file_backed:
-                program.inputs[name] = _dc.replace(spec,
-                                                   data="constant:1.0")
+                new_inputs[name] = _dc.replace(spec, data="constant:1.0")
+        program = _dc.replace(program, inputs=new_inputs)
     inputs = load_input_arrays(program, prefix=input_directory, seed=seed)
 
     sim_outputs = None
@@ -217,12 +220,25 @@ def run_program(stencil_file, mode: str = "emulation",
     # -- verification ---------------------------------------------------------
     raw = program.raw_dimensions
 
+    # MXU-lowered runs are exact only to their re-association envelope
+    # (3e-5, the bound the fuzz suite enforces) — verifying them at 1e-5
+    # would raise spurious VerificationErrors on correct results
+    verify_rtol = VERIFY_RTOL
+    if "stream" in result.backend:
+        try:
+            from .backend.stream import compile_chain_stream as _ccs
+            if getattr(_ccs, "last_config", {}).get("mxu_stages"):
+                from .config import MXU_VERIFY_RTOL
+                verify_rtol = MXU_VERIFY_RTOL
+        except ImportError:   # pragma: no cover
+            pass
+
     def check(kind: str, expected: Dict[str, Any]) -> bool:
         ok = True
         for o in program.outputs:
             got = prune_halo(result.outputs[o], raw, halo)
             exp = prune_halo(np.asarray(expected[o]), raw, halo)
-            if not arrays_are_equal(exp, got, VERIFY_RTOL):
+            if not arrays_are_equal(exp, got, verify_rtol):
                 ok = False
                 diff = np.max(np.abs(exp.astype(np.float64) -
                                      got.astype(np.float64)))

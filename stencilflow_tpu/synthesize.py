@@ -190,7 +190,13 @@ def synthesize_stencil(num_stages: int = 4,
     prev = "a"
     extra_inputs = 0
 
+    if shape in ("diffusion", "hotspot") and extent != 1:
+        raise ValueError(
+            f"shape {shape!r} has a fixed radius-1 footprint; extent "
+            "only applies to cross/box")
     if shape == "hotspot":
+        if num_dims < 2:
+            raise ValueError("hotspot needs >= 2 dimensions")
         inputs["power"] = {"data": "constant:0.5", "data_type": data_type}
         inputs["cap"] = {"data": 0.5, "data_type": data_type,
                          "input_dims": []}

@@ -230,3 +230,79 @@ class TestOptimizer:
         opt = Optimizer(p)
         with pytest.raises(OptimizerError):
             opt.minimize_comm_vol(0, slow_memory_bound=1)
+
+
+class TestDriverReviewRegressions:
+    def test_prune_halo_rejects_empty_interior(self):
+        from stencilflow_tpu.data import prune_halo
+        with pytest.raises(ValueError, match="interior"):
+            prune_halo(np.zeros((4, 4, 4)), (4, 4, 4), 2)
+
+    def test_run_program_does_not_mutate_caller_program(self, tmp_path):
+        from stencilflow_tpu.driver import run_program
+        p = sft.parse_program(jacobi(2, 8, iterations=1), name="nomut")
+        before = p.inputs["a"].data
+        run_program(p, synthetic_reads=True, save_results=False)
+        assert p.inputs["a"].data == before
+
+    def test_mxu_runs_verify_at_their_envelope(self):
+        """An MXU-lowered run verifies at 3e-5 (its guaranteed bound),
+        not the generic 1e-5.  Positive data keeps outputs away from
+        zero (the comparator is relative-only, like the reference's)."""
+        from stencilflow_tpu.backend.stream import compile_chain_stream
+        from stencilflow_tpu.driver import run_program
+        spec = synthesize_stencil(num_stages=2, dimensions=(4, 16, 16),
+                                  shape="box", extent=2,
+                                  seed_data="random:1,2")
+        p = sft.parse_program(spec, name="mxuverify")
+        res = run_program(p, mode="emulation", backend="stream",
+                          compare_to_reference=True, save_results=False)
+        assert compile_chain_stream.last_config["mxu_stages"]
+        assert res.verified_against_reference
+
+    def test_scalar_file_input_loads_zero_d(self, tmp_path):
+        from stencilflow_tpu.data import load_array
+        from stencilflow_tpu.ir import InputSpec
+        path = tmp_path / "c.dat"
+        np.asarray([2.5], dtype=np.float32).tofile(path)
+        spec = InputSpec("c", np.dtype(np.float32),
+                         (False, False, False), str(path))
+        arr = load_array(spec, (4, 4, 4))
+        assert arr.ndim == 0 and float(arr) == 2.5
+        np.asarray([1.0, 2.0], dtype=np.float32).tofile(path)
+        with pytest.raises(ValueError):
+            load_array(spec, (4, 4, 4))
+
+    def test_synthesize_validation(self):
+        with pytest.raises(ValueError, match="dimensions"):
+            synthesize_stencil(shape="hotspot", dimensions=(64,))
+        with pytest.raises(ValueError, match="extent"):
+            synthesize_stencil(shape="diffusion", extent=3)
+
+    def test_lower_rank_inputs_full_3d_domain(self):
+        """A genuine 3-D program whose inputs are all (j,k)-rank must
+        evaluate the full i extent through the tile evaluator."""
+        spec = {
+            "inputs": {"c": {"data": "random:1,2", "data_type": "float32",
+                             "input_dims": ["j", "k"]}},
+            "outputs": ["s1"],
+            "dimensions": [6, 8, 8],
+            "program": {
+                "s0": {"computation_string": "s0 = c[j,k] * 2.0",
+                       "boundary_conditions":
+                       {"c": {"type": "constant", "value": 0.0}},
+                       "data_type": "float32"},
+                "s1": {"computation_string":
+                       "s1 = s0[i-1,j,k] + s0[i+1,j,k]",
+                       "boundary_conditions":
+                       {"s0": {"type": "constant", "value": 0.0}},
+                       "data_type": "float32"},
+            },
+        }
+        p = sft.parse_program(spec, name="jkonly")
+        inputs = sft.load_input_arrays(p, seed=0)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s1"])
+        assert ref.shape == (6, 8, 8)
+        from stencilflow_tpu.backend.xla import run_chain
+        got = run_chain(p, inputs)["s1"]
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
