@@ -132,3 +132,56 @@ def test_rejections():
     p2 = _implicit_program()
     with pytest.raises(ValueError, match="unknown method"):
         make_solver(p2, method="qmr")
+
+
+class TestOutOfCoreSolver:
+    @staticmethod
+    def _impl3d(nonsym=False):
+        if nonsym:
+            comp = ("y = x[i,j,k] - 0.1 * (x[i-1,j,k] + x[i,j-1,k] "
+                    "- 2.0 * x[i,j,k])")
+        else:
+            comp = ("y = x[i,j,k] - 0.05 * (x[i-1,j,k] + x[i+1,j,k] + "
+                    "x[i,j-1,k] + x[i,j+1,k] + x[i,j,k-1] + x[i,j,k+1] "
+                    "- 6.0 * x[i,j,k])")
+        return sft.parse_program({
+            "inputs": {"x": {"data": "constant:0.0",
+                             "data_type": "float32"}},
+            "outputs": ["y"], "dimensions": [8, 8, 8],
+            "program": {"y": {
+                "computation_string": comp,
+                "boundary_conditions":
+                {"x": {"type": "constant", "value": 0.0}},
+                "data_type": "float32"}}},
+            name=f"oc_impl_{nonsym}")
+
+    def test_cg_host_chunks_matches_in_core(self):
+        """Implicit diffusion solved out-of-core (chunked operator, host
+        CG) matches the in-core device solver and satisfies fn(x)=rhs."""
+        p = self._impl3d()
+        rng = np.random.default_rng(7)
+        rhs = rng.random((8, 8, 8)).astype(np.float32)
+        x_dev, info_dev = make_solver(p, interpret=True, tol=1e-6)(rhs)
+        x_oc, info_oc = make_solver(p, interpret=True, tol=1e-6,
+                                    host_chunks=2)(rhs)
+        assert isinstance(x_oc, np.ndarray)
+        assert info_oc["residual"] <= 2e-5
+        np.testing.assert_allclose(x_oc, np.asarray(x_dev), rtol=1e-4,
+                                   atol=1e-6)
+        # the returned x satisfies the PROGRAM's equation
+        got = sft.run_interpreter(p, {"x": x_oc})
+        np.testing.assert_allclose(np.asarray(got["y"]), rhs,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_cgnr_host_chunks(self):
+        """Non-symmetric affine chain out-of-core via CGNR (chunked
+        forward AND adjoint operators)."""
+        p = self._impl3d(nonsym=True)
+        rng = np.random.default_rng(8)
+        rhs = rng.random((8, 8, 8)).astype(np.float32)
+        x, info = make_solver(p, method="cgnr", interpret=True,
+                              tol=1e-8, maxiter=4000, host_chunks=2)(rhs)
+        assert info["residual"] <= 1e-4
+        got = sft.run_interpreter(p, {"x": x})
+        np.testing.assert_allclose(np.asarray(got["y"]), rhs,
+                                   rtol=1e-3, atol=1e-4)
