@@ -109,6 +109,43 @@ def _cmd_iterate(args) -> int:
     return 0
 
 
+def _cmd_solve(args) -> int:
+    """Implicit solve: find x with fn(x) = rhs, the chain as matrix-free
+    linear operator (CG / CGNR; out-of-core with --host-chunks)."""
+    import numpy as np
+
+    from .frontend.parser import parse_program
+    from .solve import make_solver
+    program = parse_program(args.stencil_file)
+    raw = tuple(program.raw_dimensions)
+    rhs_spec = args.rhs
+    if rhs_spec.startswith(("constant:", "random:")):
+        from .data import load_array
+        from .ir import InputSpec
+        dt = np.dtype(program.kernels[
+            args.out or program.outputs[0]].dtype)
+        mask = (False,) * (3 - len(raw)) + (True,) * len(raw)
+        rhs = load_array(InputSpec("rhs", dt, mask, rhs_spec),
+                         program.dimensions,
+                         rng=np.random.default_rng(args.seed))
+    else:
+        rhs = np.fromfile(rhs_spec, np.dtype(program.kernels[
+            args.out or program.outputs[0]].dtype)).reshape(raw)
+    solver = make_solver(program, field=args.field, out=args.out,
+                         method=args.method, tol=args.tol,
+                         maxiter=args.maxiter,
+                         interpret=args.emulation,
+                         host_chunks=args.host_chunks)
+    x, info = solver(rhs)
+    print(f"converged in {info['iterations']} iterations; "
+          f"true relative residual {info['residual']:.3e}")
+    if args.output:
+        from .data import save_array
+        save_array(np.asarray(x).reshape(raw), args.output)
+        print(f"x written to {args.output}")
+    return 0 if info["residual"] <= args.tol * 100 else 1
+
+
 def _cmd_adjoint(args) -> int:
     """Transpose an affine chain into its adjoint program (grad.py) and
     emit it in the JSON dialect — the backward pass then runs through any
@@ -604,6 +641,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input-directory")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=_cmd_iterate)
+
+    p = sub.add_parser("solve",
+                       help="implicit solve fn(x) = rhs with the chain "
+                            "as matrix-free linear operator (CG/CGNR)")
+    p.add_argument("stencil_file")
+    p.add_argument("--rhs", required=True,
+                   help=".dat file, constant:<v>, or random:<a>,<b>")
+    p.add_argument("--method", default="cg", choices=["cg", "cgnr"])
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--maxiter", type=int, default=1000)
+    p.add_argument("--field", help="solve input (default: sole input)")
+    p.add_argument("--out", help="solve output (default: first output)")
+    p.add_argument("--host-chunks", type=int, default=0, metavar="N",
+                   help="out-of-core solve: chunked operator sweeps, "
+                        "host-resident CG vectors")
+    p.add_argument("--emulation", action="store_true")
+    p.add_argument("-o", "--output", help="write x to this .dat file")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=_cmd_solve)
 
     p = sub.add_parser("canonicalize",
                        help="cleanup passes + JSON dialect re-export")

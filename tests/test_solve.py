@@ -185,3 +185,36 @@ class TestOutOfCoreSolver:
         got = sft.run_interpreter(p, {"x": x})
         np.testing.assert_allclose(np.asarray(got["y"]), rhs,
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_cli_solve(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    prog = {
+        "inputs": {"x": {"data": "constant:0.0", "data_type": "float32"}},
+        "outputs": ["y"],
+        "dimensions": [8, 8, 8],
+        "program": {"y": {
+            "computation_string":
+                "y = x[i,j,k] - 0.05*(x[i-1,j,k]+x[i+1,j,k]+x[i,j-1,k]"
+                "+x[i,j+1,k]+x[i,j,k-1]+x[i,j,k+1]-6.0*x[i,j,k])",
+            "boundary_conditions":
+            {"x": {"type": "constant", "value": 0.0}},
+            "data_type": "float32"}},
+    }
+    path = tmp_path / "p.json"
+    path.write_text(json.dumps(prog))
+    out = subprocess.run(
+        [sys.executable, "-m", "stencilflow_tpu.cli", "solve", str(path),
+         "--rhs", "random:0,1", "--emulation", "--host-chunks", "2",
+         "-o", str(tmp_path / "x.dat")],
+        capture_output=True, text=True, cwd=repo, env=env)
+    assert out.returncode == 0, out.stderr
+    assert "converged" in out.stdout
+    x = np.fromfile(tmp_path / "x.dat", np.float32).reshape(8, 8, 8)
+    assert np.isfinite(x).all()
