@@ -103,7 +103,8 @@ def fast_value_and_grad(program: ir.Program,
                         loss: Optional[Callable] = None,
                         wrt: Optional[Sequence[str]] = None,
                         mesh=None, dim_axes: Optional[Sequence] = None,
-                        interpret: bool = False) -> Callable:
+                        interpret: bool = False,
+                        host_chunks: int = 0) -> Callable:
     """``f(inputs) -> (value, grads)`` with BOTH passes on the streaming
     backend (affine chains only — see :func:`adjoint_program` for the
     requirements; :func:`value_and_grad` is the general path).
@@ -117,6 +118,12 @@ def fast_value_and_grad(program: ir.Program,
     Multi-chip: pass ``mesh`` + ``dim_axes`` — BOTH passes become
     shard_map domain decompositions (per-shard streaming kernels with
     ICI halo exchange).  The forward plan is attached as ``f.plan``.
+
+    ``host_chunks`` > 1: gradients over domains larger than device
+    memory — forward chain, loss cotangent, and adjoint chain all run
+    in i-chunked sweeps (outofcore.py) over host-resident arrays.
+    The loss must be ADDITIVE over elements (sum / MSE / any
+    per-element reduction): it is evaluated per i-chunk and summed.
     """
     import jax
     import jax.numpy as jnp
@@ -132,6 +139,11 @@ def fast_value_and_grad(program: ir.Program,
 
     adj, cot = adjoint_program(program, wrt)
     plan = None
+    if host_chunks and host_chunks > 1:
+        if mesh is not None:
+            raise ValueError("host_chunks is incompatible with mesh")
+        return _fast_vag_chunked(program, adj, cot, loss, wrt,
+                                 host_chunks, interpret)
     if mesh is not None:
         from .parallel.domain import compile_sharded_chain
         if dim_axes is None:
@@ -165,6 +177,49 @@ def fast_value_and_grad(program: ir.Program,
         return val, grads
 
     f.plan = plan
+    return f
+
+
+def _fast_vag_chunked(program: ir.Program, adj: ir.Program,
+                      cot: Dict[str, str], loss: Callable,
+                      wrt: Sequence[str], chunks: int, interpret: bool):
+    """Out-of-core fast_value_and_grad: chunked forward sweep, per-chunk
+    loss cotangent (additive losses), chunked adjoint sweep."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .data import load_input_arrays
+    from .outofcore import compile_chunked_chain, run_chunked
+
+    fwd_c = compile_chunked_chain(program, chunks, interpret=interpret)
+    bwd_c = compile_chunked_chain(adj, chunks, interpret=interpret)
+    cot_names = set(cot.values())
+    extra_adj = {n: np.asarray(v) for n, v in
+                 load_input_arrays(adj).items() if n not in cot_names}
+    loss_grad = jax.jit(jax.value_and_grad(loss))
+    Ic = fwd_c[1].block
+
+    def f(inputs: Dict[str, Any]):
+        outputs = run_chunked(program, inputs, chunks, compiled=fwd_c)
+        val = 0.0
+        ct = {o: np.empty_like(outputs[o]) for o in program.outputs}
+        for c in range(chunks):
+            sl = slice(c * Ic, (c + 1) * Ic)
+            chunk_out = {o: jnp.asarray(outputs[o][sl])
+                         for o in program.outputs}
+            v, g = loss_grad(chunk_out)
+            val += float(v)
+            for o in program.outputs:
+                ct[o][sl] = np.asarray(g[o])
+        adj_in = {cot[o]: ct[o] for o in program.outputs}
+        adj_out = run_chunked(adj, {**adj_in, **extra_adj}, chunks,
+                              compiled=bwd_c)
+        grads = {n: adj_out[f"adj_{n}"].reshape(np.shape(inputs[n]))
+                 for n in wrt}
+        return val, grads
+
+    f.plan = None
     return f
 
 

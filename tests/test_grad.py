@@ -494,3 +494,27 @@ def test_adjoint_ignores_dead_nonaffine_kernel():
         lambda x: fn({"a": x})[p.outputs[0]].sum())(a))
     np.testing.assert_allclose(np.asarray(g[adj.outputs[0]]), g_ad,
                                rtol=2e-5, atol=1e-6)
+
+
+def test_fast_value_and_grad_host_chunks():
+    """Out-of-core fast gradients: chunked forward + per-chunk loss
+    cotangent + chunked adjoint match the in-core path exactly."""
+    from stencilflow_tpu.grad import fast_value_and_grad
+    from stencilflow_tpu.synthesize import jacobi
+    p = sft.parse_program(jacobi(3, 8, iterations=2), name="ocvag")
+    inputs = {k: np.asarray(v)
+              for k, v in sft.load_input_arrays(p, seed=60).items()}
+
+    def loss(outputs):
+        return sum(jnp.sum(v * 0.5) for v in outputs.values())
+
+    f_dev = fast_value_and_grad(p, loss=loss, interpret=True)
+    f_oc = fast_value_and_grad(p, loss=loss, interpret=True,
+                               host_chunks=2)
+    v1, g1 = f_dev({k: jnp.asarray(v) for k, v in inputs.items()})
+    v2, g2 = f_oc(inputs)
+    assert isinstance(g2["a"], np.ndarray)
+    # per-chunk partial sums reassociate the f32 reduction
+    np.testing.assert_allclose(v2, float(v1), rtol=1e-5)
+    np.testing.assert_allclose(g2["a"], np.asarray(g1["a"]), rtol=1e-5,
+                               atol=1e-7)
