@@ -138,3 +138,29 @@ def test_vectorization_analysis_matches_reference_model():
     out_one = run_chain_stream(p_one, inputs, interpret=True)
     np.testing.assert_array_equal(np.asarray(out_vec["b7"]),
                                   np.asarray(out_one["b7"]))
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_STENCILS),
+                    reason="reference fixtures unavailable")
+def test_distributed_harness_case_8itr_split_at_b6():
+    """The reference's distributed harness splits the 8-iteration chain
+    at the b6_to_b7 stream and verifies rank-1's output against the CPU
+    reference (test_distributed_program.sh:120-125).  Same case here:
+    wavefront pipeline over 2 devices cut after b6, verified against the
+    oracle."""
+    import jax
+    from jax.sharding import Mesh
+
+    from stencilflow_tpu.parallel.pipeline import compile_pipeline_split
+    path = os.path.join(REF_STENCILS, "jacobi3d_32x32x32_8itr.json")
+    p = sft.parse_program(path)
+    inputs = load_input_arrays(p, prefix=REF_STENCILS, seed=0)
+    ref = sft.run_interpreter(p, inputs)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("p",))
+    fn, plan = compile_pipeline_split(p, mesh, "p", split_at=["b6"])
+    assert [sorted(s) for s in plan.segments][-1] == ["b7"]
+    import jax.numpy as jnp
+    out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
+    np.testing.assert_allclose(np.asarray(out["b7"]),
+                               np.asarray(ref["b7"]), rtol=1e-5,
+                               atol=1e-6)
