@@ -29,7 +29,9 @@ from .grad import (adjoint_program, fast_value_and_grad, grad,
 from .solve import make_solver, solve_cg, solve_cgnr
 from .iterate import compose_iterations, iterate, make_step
 from .outofcore import compile_chunked_chain, run_chunked
-from .autotune import autotune, compile_chain_autotuned
+# NB: only the compile entry point — exporting autotune.autotune here
+# would shadow the stencilflow_tpu.autotune MODULE attribute
+from .autotune import compile_chain_autotuned
 from .interpreter import ChainInterpreter, run_interpreter
 from .data import (arrays_are_equal, load_array, load_input_arrays,
                    prune_halo, save_array, save_output_arrays)
@@ -50,7 +52,7 @@ __all__ = [
     "adjoint_program", "fast_value_and_grad", "grad", "value_and_grad",
     "make_solver", "solve_cg", "solve_cgnr",
     "compile_chunked_chain", "run_chunked",
-    "autotune", "compile_chain_autotuned",
+    "compile_chain_autotuned",
     "ChainInterpreter", "run_interpreter",
     "arrays_are_equal", "load_array", "load_input_arrays", "prune_halo",
     "save_array", "save_output_arrays",

@@ -29,7 +29,6 @@ from jax import lax
 
 from .. import ir
 from ..frontend.analysis import ChainAnalysis
-from .tile_eval import _BINOPS, _CMPOPS, _CALLS
 
 Vec3 = Tuple[int, int, int]
 
@@ -59,35 +58,17 @@ def _slice_read(buf, buf_margin: Vec3, offsets: ir.Offsets,
 
 
 def _eval(expr: ir.Expr, fields, margins, env, target_margin, tile):
-    if isinstance(expr, ir.Const):
-        return expr.value
-    if isinstance(expr, ir.Ref):
-        return env[expr.name]
-    if isinstance(expr, ir.Access):
-        buf = fields[expr.field]
+    """Slice-read strategy over the shared walker (tile_eval)."""
+    from .tile_eval import eval_expr_generic
+
+    def read_fn(field, offsets):
+        buf = fields[field]
         if not hasattr(buf, "shape") or buf.ndim == 0:
             return buf
-        return _slice_read(buf, margins[expr.field], expr.offsets,
+        return _slice_read(buf, margins[field], offsets,
                            target_margin, tile)
-    rec = lambda e: _eval(e, fields, margins, env, target_margin, tile)
-    if isinstance(expr, ir.BinOp):
-        return _BINOPS[expr.op](rec(expr.left), rec(expr.right))
-    if isinstance(expr, ir.UnaryOp):
-        return -rec(expr.operand)
-    if isinstance(expr, ir.Compare):
-        return _CMPOPS[expr.op](rec(expr.left), rec(expr.right))
-    if isinstance(expr, ir.BoolOp):
-        vals = [rec(o) for o in expr.operands]
-        acc = vals[0]
-        for v in vals[1:]:
-            acc = (acc & v) if expr.op == "and" else (acc | v)
-        return acc
-    if isinstance(expr, ir.Select):
-        return jnp.where(rec(expr.cond), rec(expr.if_true),
-                         rec(expr.if_false))
-    if isinstance(expr, ir.Call):
-        return _CALLS[expr.fn](*[rec(a) for a in expr.args])
-    raise TypeError(f"unknown expression node {type(expr)}")
+
+    return eval_expr_generic(expr, env, read_fn)
 
 
 def evaluate_chain_fast(analysis: ChainAnalysis,
@@ -128,12 +109,8 @@ def evaluate_chain_fast(analysis: ChainAnalysis,
 
     names = list(keep) if keep is not None else list(program.outputs)
     order = graph.kernel_order
-    last_use: Dict[str, int] = {}
-    for idx, kname in enumerate(order):
-        for f in program.kernels[kname].accesses():
-            last_use[f] = idx
-    for n in names:
-        last_use[n] = len(order)
+    from .tile_eval import last_use_map
+    last_use = last_use_map(program, order, names)
 
     for idx, kname in enumerate(order):
         kspec = program.kernels[kname]

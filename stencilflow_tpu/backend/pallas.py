@@ -48,7 +48,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def plan_tiles(program: ir.Program, halo: Vec3,
-               vmem_budget: Optional[int] = None) -> Tuple[Vec3, Vec3]:
+               vmem_budget: Optional[int] = None,
+               graph: Optional[ChainGraph] = None) -> Tuple[Vec3, Vec3]:
     """Choose (tile, padded_dims).
 
     The lane dim (k) is tiled in multiples of 128, the sublane dim (j) in
@@ -63,14 +64,10 @@ def plan_tiles(program: ir.Program, halo: Vec3,
 
     # peak live fields: inputs + kernels is a safe overestimate; the
     # evaluator frees dead fields, so use a simple live-range count
-    graph = ChainGraph.build(program)
+    graph = graph or ChainGraph.build(program)
     order = graph.kernel_order
-    last_use: Dict[str, int] = {}
-    for idx, kname in enumerate(order):
-        for f in program.kernels[kname].accesses():
-            last_use[f] = idx
-    for o in program.outputs:
-        last_use[o] = len(order)
+    from .tile_eval import last_use_map
+    last_use = last_use_map(program, order, program.outputs)
     peak = 0
     live = set(program.inputs)
     for idx, kname in enumerate(order):
@@ -89,8 +86,8 @@ def plan_tiles(program: ir.Program, halo: Vec3,
     # start from full domain, shrink k to lane multiples, then j, then i
     tk = _round_up(min(dims[2], 2048), 128)
     tj = _round_up(min(dims[1], 256), 8)
-    ti = min(dims[0], 8 if dims[0] > 8 else dims[0])
-    # grow i if cheap, then shrink dims until under budget
+    ti = min(dims[0], 8)
+    # shrink dims until under budget (k first, then j, then i)
     while widened_bytes((ti, tj, tk)) > budget and tk > 128:
         tk //= 2
         tk = _round_up(tk, 128)
@@ -202,7 +199,8 @@ def compile_chain_pallas(program: ir.Program,
         # keep the exact in-kernel BC path as the default.
         mode = "masked"
     if tile is None:
-        tile, padded = plan_tiles(program, halo, vmem_budget)
+        tile, padded = plan_tiles(program, halo, vmem_budget,
+                                  graph=analysis.graph)
     else:
         padded = tuple(_round_up(dims[d], tile[d]) for d in range(3))
     grid = tuple(padded[d] // tile[d] for d in range(3))

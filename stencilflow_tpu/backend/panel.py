@@ -73,7 +73,13 @@ def _access_geometry(oi: int, oj: int, B: int, J: int):
     elif start < 0:
         h -= 1
         start += BJ
-    assert 0 <= start <= BJ, (oi, oj, B, J, start)
+    if not 0 <= start <= BJ:
+        # |oj| > B*J: the read spans more than one neighboring panel —
+        # ValueError so compile_chain_best falls back to the plane
+        # streamer (panel-mode scope, compile_chain_panel docstring)
+        raise ValueError(
+            f"j-offset {oj} exceeds the panel row span {BJ} "
+            f"(oi={oi}, B={B}, J={J})")
     return h, start
 
 
@@ -143,7 +149,7 @@ class PanelPlan:
 
 def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                       plan: PanelPlan, input_names, input_kinds,
-                      shiftk: bool, interpret: bool, *refs):
+                      shiftk: bool, *refs):
     B = plan.B
     dims = program.dimensions
     I, J, K = dims
@@ -193,7 +199,6 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         pair_cache[key] = stack
         return stack
 
-    _shift_fill_k = shift_fill_k
 
     def _roll_k(x, o):
         return jnp.roll(x, -o, axis=1)
@@ -225,19 +230,16 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                     val = jnp.roll(val, -oj, axis=0)
                 if ok:
                     val = _roll_k(val, ok)
-                rows = val.shape[0]
                 masks = []
                 if oj:
-                    masks.append(_jmask(oj) if rows == BJ else None)
-                    if rows != BJ:
-                        t = jax.lax.broadcasted_iota(
-                            jnp.int32, (rows, K), 0) + oj
-                        masks[-1] = (t < 0) | (t >= J)
+                    # plane_cache entries are always (B*J, K): built by
+                    # concatenating B copies (or J == B*J when B == 1)
+                    masks.append(_jmask(oj))
                 if oi:
                     tgt = row_p + qp * B + oi
                     masks.append((tgt < 0) | (tgt >= I))
                 if ok:
-                    masks.append(_kmask(ok, rows))
+                    masks.append(_kmask(ok, BJ))
                 m = None
                 for mm in masks:
                     m = mm if m is None else (m | mm)
@@ -284,7 +286,7 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                                 jnp.asarray(fillv, val.dtype), val)
             if ok:
                 if shiftk:
-                    val = _shift_fill_k(val, ok, fillv)
+                    val = shift_fill_k(val, ok, fillv)
                 else:
                     val = jnp.where(_kmask(ok, BJ),
                                     jnp.asarray(fillv, val.dtype),
@@ -415,8 +417,7 @@ def compile_chain_panel(program: ir.Program,
     ]
 
     kernel = functools.partial(_panel_kernel_body, program, analysis,
-                               plan, input_names, input_kinds, shiftk,
-                               interpret)
+                               plan, input_names, input_kinds, shiftk)
     grid = (n_panels + plan.lagp_max,)
     # state estimate for the vmem limit: rings + double-buffered io
     # blocks + pair-stack/eval temporaries (~8 panels); limits above

@@ -145,6 +145,20 @@ def _eval_expr(expr: ir.Expr, fields: Dict[str, Any], env: Dict[str, Any],
     return eval_expr_generic(expr, env, read_fn)
 
 
+def last_use_map(program: ir.Program, order, keep) -> Dict[str, int]:
+    """Death schedule: field -> index of its last consuming kernel in
+    ``order`` (``keep`` names pinned past the end).  Shared by the tile
+    evaluators and the pallas tile planner so liveness semantics cannot
+    drift between the planner and the executors."""
+    last_use: Dict[str, int] = {}
+    for idx, kname in enumerate(order):
+        for f in program.kernels[kname].accesses():
+            last_use[f] = idx
+    for n in keep:
+        last_use[n] = len(order)
+    return last_use
+
+
 def eval_expr_generic(expr: ir.Expr, env: Dict[str, Any], read_fn):
     """Expression walker parameterized by the field-read strategy.
 
@@ -263,12 +277,7 @@ def evaluate_chain_tile(program: ir.Program, graph: ChainGraph,
     # compiler can reuse the buffer (bounds live VMEM on deep chains).
     names = list(keep) if keep is not None else list(program.outputs)
     order = graph.kernel_order
-    last_use: Dict[str, int] = {}
-    for idx, kname in enumerate(order):
-        for f in program.kernels[kname].accesses():
-            last_use[f] = idx
-    for n in names:
-        last_use[n] = len(order)
+    last_use = last_use_map(program, order, names)
 
     out: Dict[str, Any] = {}
     mask_cache: Dict[Any, Any] = {}
