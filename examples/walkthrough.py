@@ -81,6 +81,22 @@ def main():
     print(f"d(sum outputs)/d a: interior value "
           f"{float(np.asarray(grads['a'])[16, 16, 16]):.3f} (exact 1.0)")
 
+    # 11. out-of-core: domains larger than device memory stream in
+    #     i-chunks from host arrays/memmaps (run/iterate/solve/grad all
+    #     take host_chunks=; report suggests the chunk count)
+    oc = sft.run_chunked(program, inputs, chunks=2)
+    err = float(np.abs(oc[program.outputs[0]]
+                       - np.asarray(oracle[program.outputs[0]])).max())
+    print(f"out-of-core 2-chunk sweep: max abs error vs oracle = {err}")
+
+    # 12. measured backend selection: time every applicable lowering on
+    #     the attached device, cache the winner (run --backend autotuned)
+    from stencilflow_tpu.autotune import autotune
+    res = autotune(program, interpret=interpret, trials=1)
+    print(f"autotune winner: {res.label} "
+          f"({res.seconds * 1e3:.2f} ms/run; "
+          f"{len(res.timings)} candidates timed)")
+
 
 if __name__ == "__main__":
     main()
