@@ -42,7 +42,7 @@ def _cmd_run(args) -> int:
     print(f"backend: {res.backend}")
     if res.wall_time_s is not None:
         from .report import Report
-        rep = Report.build(res.program)
+        rep = Report.build(res.program, analysis=res.analysis)
         gcell = res.program.total_elements / res.wall_time_s / 1e9
         print(f"wall time: {res.wall_time_s*1e3:.3f} ms/run "
               f"(~{gcell:.3g} GCell/s incl. transfers; roofline "
@@ -291,8 +291,9 @@ def _parse_mesh(text: str):
     mesh = {}
     for part in text.split(","):
         ax, sep, n = part.partition("=")
-        if not sep or not ax.strip() or not n.strip().isdigit():
-            print(f"bad --mesh entry {part!r} (want axis=N)",
+        if (not sep or not ax.strip() or not n.strip().isdigit()
+                or int(n) < 1):
+            print(f"bad --mesh entry {part!r} (want axis=N, N >= 1)",
                   file=sys.stderr)
             return None
         mesh[ax.strip()] = int(n)
@@ -407,6 +408,16 @@ def _cmd_partition(args) -> int:
     return 0
 
 
+def _make_mesh_2d(devices, n):
+    """Near-square 2-D ('x', 'y') mesh over n devices."""
+    import numpy as np
+    from jax.sharding import Mesh
+    a = int(np.floor(np.sqrt(n)))
+    while n % a:
+        a -= 1
+    return Mesh(np.array(devices).reshape(a, n // a), ("x", "y"))
+
+
 def _run_distributed_multihost(args, program, inputs, devices) -> int:
     """Multi-host SPMD body: global mesh over every process's devices, one
     sharded evaluation, per-host verification of the addressable shards
@@ -421,11 +432,7 @@ def _run_distributed_multihost(args, program, inputs, devices) -> int:
     from .interpreter import run_interpreter
     from .parallel.domain import run_sharded_chain
 
-    a = int(np.floor(np.sqrt(args.devices)))
-    while args.devices % a:
-        a -= 1
-    mesh = Mesh(np.array(devices).reshape(a, args.devices // a),
-                ("x", "y"))
+    mesh = _make_mesh_2d(devices, args.devices)
     axes = ((None, "x", "y") if not args.dim_axes
             else _parse_axes(args.dim_axes))
     if axes is None:
@@ -472,8 +479,14 @@ def _cmd_run_distributed(args) -> int:
     if args.force_host_devices:
         try:
             jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+        except Exception as exc:
+            # the platform is already pinned (a backend query ran before
+            # this CLI) — running on real hardware would silently ignore
+            # the user's request to simulate
+            print("--force-host-devices: cannot switch to the virtual "
+                  f"CPU mesh ({exc}); the platform is already "
+                  "initialized", file=sys.stderr)
+            return 2
     if multihost:
         # the TPU-native launcher: the JAX runtime owns the mesh — the
         # coordination service replaces the reference's MPI rendezvous
@@ -498,13 +511,8 @@ def _cmd_run_distributed(args) -> int:
     if len(devices) < args.devices:
         print(f"only {len(devices)} devices available", file=sys.stderr)
         return 2
-    if multihost:
-        if args.parallel_mode != "domain":
-            print("multi-host supports --parallel-mode domain",
-                  file=sys.stderr)
-            return 2
-        return _run_distributed_multihost(args, program, inputs, devices)
-
+    # flag validation runs BEFORE the multi-host dispatch so misdirected
+    # flags are rejected instead of silently ignored across all hosts
     if args.parallel_mode == "pipeline" and args.dim_axes:
         print("--dim-axes applies to domain mode only", file=sys.stderr)
         return 2
@@ -513,6 +521,12 @@ def _cmd_run_distributed(args) -> int:
         print("--split-at/--optimize-cuts apply to pipeline mode only "
               "(pass --parallel-mode pipeline)", file=sys.stderr)
         return 2
+    if multihost:
+        if args.parallel_mode != "domain":
+            print("multi-host supports --parallel-mode domain",
+                  file=sys.stderr)
+            return 2
+        return _run_distributed_multihost(args, program, inputs, devices)
 
     if args.parallel_mode == "pipeline":
         from .parallel.pipeline import compile_pipeline_split
@@ -527,11 +541,7 @@ def _cmd_run_distributed(args) -> int:
         outputs = {k: np.asarray(v) for k, v in out.items()}
     else:
         from .parallel.domain import run_sharded_chain
-        a = int(np.floor(np.sqrt(args.devices)))
-        while args.devices % a:
-            a -= 1
-        mesh = Mesh(np.array(devices).reshape(a, args.devices // a),
-                    ("x", "y"))
+        mesh = _make_mesh_2d(devices, args.devices)
         if args.dim_axes:
             axes = _parse_axes(args.dim_axes)
             if axes is None:

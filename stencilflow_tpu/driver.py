@@ -44,6 +44,7 @@ class RunResult:
     simulation_cycles: Optional[int] = None
     wall_time_s: Optional[float] = None
     results_dir: Optional[str] = None
+    analysis: Optional[ChainAnalysis] = None   # reusable by callers
 
 
 def run_program(stencil_file, mode: str = "emulation",
@@ -109,7 +110,7 @@ def run_program(stencil_file, mode: str = "emulation",
         sim_cycles = sim_res.cycles
 
     result = RunResult(program=program, outputs={}, backend="none",
-                       simulation_cycles=sim_cycles)
+                       simulation_cycles=sim_cycles, analysis=analysis)
 
     if skip_execution:
         if sim_outputs is not None:

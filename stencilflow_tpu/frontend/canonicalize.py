@@ -33,28 +33,8 @@ from .chain import ChainGraph
 # Expression rewriting helpers
 # ---------------------------------------------------------------------------
 
-def rewrite_expr(expr: ir.Expr, fn) -> ir.Expr:
-    """Bottom-up expression rewrite: ``fn`` is applied to every node after
-    its children have been rewritten."""
-    if isinstance(expr, ir.BinOp):
-        expr = ir.BinOp(expr.op, rewrite_expr(expr.left, fn),
-                        rewrite_expr(expr.right, fn))
-    elif isinstance(expr, ir.UnaryOp):
-        expr = ir.UnaryOp(expr.op, rewrite_expr(expr.operand, fn))
-    elif isinstance(expr, ir.Compare):
-        expr = ir.Compare(expr.op, rewrite_expr(expr.left, fn),
-                          rewrite_expr(expr.right, fn))
-    elif isinstance(expr, ir.BoolOp):
-        expr = ir.BoolOp(expr.op, tuple(rewrite_expr(o, fn)
-                                        for o in expr.operands))
-    elif isinstance(expr, ir.Select):
-        expr = ir.Select(rewrite_expr(expr.cond, fn),
-                         rewrite_expr(expr.if_true, fn),
-                         rewrite_expr(expr.if_false, fn))
-    elif isinstance(expr, ir.Call):
-        expr = ir.Call(expr.fn, tuple(rewrite_expr(a, fn)
-                                      for a in expr.args))
-    return fn(expr)
+# the generic bottom-up rewrite lives on the IR (ir.rewrite_expr)
+rewrite_expr = ir.rewrite_expr
 
 
 def rename_fields(kspec: ir.KernelSpec,

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, List
 
+import os
+
 import numpy as np
 
 from .. import ir
@@ -37,8 +39,11 @@ def _index_str(offsets: ir.Offsets, raw_rank: int) -> str:
     # drop leading padded dims down to the raw rank for full-rank accesses
     if len(parts) > raw_rank:
         dropped = parts[:len(parts) - raw_rank]
-        assert all(d in ITERATORS for d in dropped), (
-            f"nonzero offset in a padded dim: {parts}")
+        if not all(d in ITERATORS for d in dropped):
+            # explicit raise (not assert: python -O would silently drop
+            # the offset term and emit a DIFFERENT stencil)
+            raise ValueError(
+                f"nonzero offset in a padded dim: {parts}")
         parts = parts[len(parts) - raw_rank:]
     return "[" + ", ".join(parts) + "]"
 
@@ -95,7 +100,16 @@ def program_to_json(program: ir.Program,
         data = spec.data
         if isinstance(data, np.ndarray):
             entry["data"] = data.tolist() if embed_data else "constant:0.0"
-        elif isinstance(data, (list, str)):
+        elif isinstance(data, str):
+            # relative data file paths resolve against the SOURCE
+            # program's directory at load time — rebase so the exported
+            # JSON works from any directory
+            if (not data.startswith(("constant:", "random:"))
+                    and not os.path.isabs(data) and program.path):
+                data = os.path.join(
+                    os.path.dirname(os.path.abspath(program.path)), data)
+            entry["data"] = data
+        elif isinstance(data, list):
             entry["data"] = data
         elif np.isscalar(data):
             entry["data"] = float(data)

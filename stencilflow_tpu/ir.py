@@ -136,37 +136,40 @@ class Assign:
         return f"{self.lhs} = {self.rhs!r}"
 
 
+def rewrite_expr(expr: Expr, fn) -> Expr:
+    """Bottom-up expression rewrite: ``fn`` is applied to every node after
+    its children have been rewritten.  The single generic traversal —
+    rename_fields and the canonicalization passes are closures over it,
+    so a new Expr node only needs handling here (and in walk)."""
+    if isinstance(expr, BinOp):
+        expr = BinOp(expr.op, rewrite_expr(expr.left, fn),
+                     rewrite_expr(expr.right, fn))
+    elif isinstance(expr, UnaryOp):
+        expr = UnaryOp(expr.op, rewrite_expr(expr.operand, fn))
+    elif isinstance(expr, Compare):
+        expr = Compare(expr.op, rewrite_expr(expr.left, fn),
+                       rewrite_expr(expr.right, fn))
+    elif isinstance(expr, BoolOp):
+        expr = BoolOp(expr.op, tuple(rewrite_expr(o, fn)
+                                     for o in expr.operands))
+    elif isinstance(expr, Select):
+        expr = Select(rewrite_expr(expr.cond, fn),
+                      rewrite_expr(expr.if_true, fn),
+                      rewrite_expr(expr.if_false, fn))
+    elif isinstance(expr, Call):
+        expr = Call(expr.fn, tuple(rewrite_expr(a, fn)
+                                   for a in expr.args))
+    return fn(expr)
+
+
 def rename_fields(expr: Expr, ren: Dict[str, str]) -> Expr:
     """Rebuild an expression with Access fields renamed through ``ren``
     (temporary Refs are kernel-local and untouched)."""
-    if isinstance(expr, Access):
-        nf = ren.get(expr.field, expr.field)
-        return dataclasses.replace(expr, field=nf) if nf != expr.field \
-            else expr
-    if isinstance(expr, BinOp):
-        return dataclasses.replace(expr,
-                                   left=rename_fields(expr.left, ren),
-                                   right=rename_fields(expr.right, ren))
-    if isinstance(expr, UnaryOp):
-        return dataclasses.replace(
-            expr, operand=rename_fields(expr.operand, ren))
-    if isinstance(expr, Compare):
-        return dataclasses.replace(expr,
-                                   left=rename_fields(expr.left, ren),
-                                   right=rename_fields(expr.right, ren))
-    if isinstance(expr, BoolOp):
-        return dataclasses.replace(
-            expr, operands=tuple(rename_fields(o, ren)
-                                 for o in expr.operands))
-    if isinstance(expr, Select):
-        return dataclasses.replace(
-            expr, cond=rename_fields(expr.cond, ren),
-            if_true=rename_fields(expr.if_true, ren),
-            if_false=rename_fields(expr.if_false, ren))
-    if isinstance(expr, Call):
-        return dataclasses.replace(
-            expr, args=tuple(rename_fields(a, ren) for a in expr.args))
-    return expr
+    def fn(e: Expr) -> Expr:
+        if isinstance(e, Access) and e.field in ren:
+            return dataclasses.replace(e, field=ren[e.field])
+        return e
+    return rewrite_expr(expr, fn)
 
 
 def walk(expr: Expr):
@@ -255,15 +258,23 @@ class KernelSpec:
         return self.statements[-1]
 
     def accesses(self) -> Dict[str, List[Offsets]]:
-        """All field accesses, per field, in first-seen order."""
+        """All field accesses, per field, in first-seen order.
+
+        Only names assigned by an EARLIER statement are local
+        temporaries; an Access naming a later-assigned (or the final)
+        lhs is a real field read — the parser resolves earlier-assigned
+        center reads to Refs, and op lists read a target's previous
+        version through its own name.  Excluding all lhs names would
+        hide such reads from validation and the chain graph."""
         out: Dict[str, List[Offsets]] = {}
-        temporaries = {s.lhs for s in self.statements}
+        assigned: set = set()
         for stmt in self.statements:
             for node in walk(stmt.rhs):
-                if isinstance(node, Access) and node.field not in temporaries:
+                if isinstance(node, Access) and node.field not in assigned:
                     lst = out.setdefault(node.field, [])
                     if node.offsets not in lst:
                         lst.append(node.offsets)
+            assigned.add(stmt.lhs)
         return out
 
     def input_fields(self) -> List[str]:

@@ -535,3 +535,70 @@ class TestFrontendReviewRegressions:
         p = sft.parse_program(spec, name="cclash")
         with pytest.raises(ValueError, match="collide"):
             specialize_constants(p)
+
+
+class TestFinalReviewRegressions:
+    def test_access_to_later_assigned_name_is_validated(self):
+        """An Access naming a later-assigned lhs is a real field read:
+        it must surface in accesses() so _validate rejects the undefined
+        field (previously silently hidden)."""
+        spec = {
+            "inputs": {"a": {"data": "constant:1.0",
+                             "data_type": "float32"}},
+            "outputs": ["c"],
+            "dimensions": [4, 4, 4],
+            "program": {"c": {
+                "computation_string": "c = t[i,j,k] + 1.0; t = 0.0",
+                "boundary_conditions":
+                {"a": {"type": "constant", "value": 0.0}},
+                "data_type": "float32"}},
+        }
+        with pytest.raises(ValueError, match="undefined field 't'"):
+            sft.parse_program(spec, name="fwdread")
+
+    def test_export_rebases_relative_data_paths(self, tmp_path):
+        """Exported programs must load their file-backed inputs from any
+        cwd: relative paths are rebased against the source program's
+        directory."""
+        import json as _json
+
+        data = np.arange(8, dtype=np.float32)
+        (tmp_path / "a.dat").write_bytes(data.tobytes())
+        prog = {
+            "inputs": {"a": {"data": "a.dat", "data_type": "float32",
+                             "input_dims": ["k"]}},
+            "outputs": ["o"],
+            "dimensions": [4, 4, 8],
+            "program": {"o": {
+                "computation_string": "o = a[k] * 2.0",
+                "boundary_conditions":
+                {"a": {"type": "constant", "value": 0.0}},
+                "data_type": "float32"}},
+        }
+        src = tmp_path / "p.json"
+        src.write_text(_json.dumps(prog))
+        p = sft.parse_program(str(src))
+        out = sft.program_to_json(p, embed_data=False)
+        assert os.path.isabs(out["inputs"]["a"]["data"])
+        # the exported JSON loads from a DIFFERENT directory
+        dst = tmp_path / "sub" / "exported.json"
+        dst.parent.mkdir()
+        dst.write_text(_json.dumps(out, default=str))
+        p2 = sft.parse_program(str(dst))
+        arrs = sft.load_input_arrays(p2)
+        np.testing.assert_array_equal(arrs["a"], data)
+
+    def test_bounded_queue_reference_order(self):
+        """Dequeue/import/export order mirrors the reference layout
+        exactly (enqueue appendleft / dequeue pop-right)."""
+        from stencilflow_tpu.sim.bounded_queue import BoundedQueue
+        q = BoundedQueue("q", 5, [1, 2, 3])
+        assert q.dequeue() == 3          # data[-1] leaves first
+        q2 = BoundedQueue("q2", 3, [4, 5])
+        assert q2.export_data() == [5, 4]
+        assert q2.try_peek_last() == 5
+
+    def test_parse_mesh_rejects_zero(self, capsys):
+        from stencilflow_tpu.cli import _parse_mesh
+        assert _parse_mesh("x=0,y=2") is None
+        assert _parse_mesh("x=2,y=2") == {"x": 2, "y": 2}

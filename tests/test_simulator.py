@@ -12,11 +12,21 @@ from stencilflow_tpu.synthesize import jacobi
 
 
 class TestBoundedQueue:
+    """Mirrors the reference's own unit assertions
+    (test_stencilflow.py:17-84) plus the ORDER cases those tests skip
+    (single-element collections hid the layout)."""
+
     def test_import_order_and_peek(self):
         q = BoundedQueue("q", 5, [1, 2, 3])
         assert q.size() == 3
+        # reference indexing: peek(i) == collection[i],
+        # try_peek_last == next element OUT == collection[-1]
         assert q.peek(0) == 1 and q.peek(2) == 3
         assert q.try_peek_last() == 3
+        # dequeue order: collection[-1] first (reference layout:
+        # enqueue appendleft / dequeue pop-right)
+        assert q.dequeue() == 3 and q.dequeue() == 2 and q.dequeue() == 1
+        assert q.try_peek_last() is False
 
     def test_overflow_underflow(self):
         q = BoundedQueue("q", 2)
@@ -24,7 +34,7 @@ class TestBoundedQueue:
         q.enqueue(2)
         with pytest.raises(QueueOverflow):
             q.enqueue(3)
-        assert q.dequeue() == 1
+        assert q.dequeue() == 1   # FIFO: first enqueued leaves first
         assert q.dequeue() == 2
         with pytest.raises(QueueUnderflow):
             q.dequeue()
@@ -34,13 +44,14 @@ class TestBoundedQueue:
         assert q.try_enqueue("a")
         assert not q.try_enqueue("b")
         assert q.try_dequeue() == "a"
-        assert q.try_dequeue() is None
+        assert q.try_dequeue() is False   # reference returns False
 
     def test_import_overflow_and_export(self):
         with pytest.raises(QueueOverflow):
             BoundedQueue("q", 2, [1, 2, 3])
         q = BoundedQueue("q", 3, [4, 5])
-        assert q.export_data() == [4, 5]
+        # export lists dequeue order (reference: np.array(queue)[::-1])
+        assert q.export_data() == [5, 4]
 
     def test_maxsize_clamped_to_one(self):
         q = BoundedQueue("q", 0)
