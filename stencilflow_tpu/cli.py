@@ -466,6 +466,21 @@ def _cmd_run_distributed(args) -> int:
         print("--coordinator requires --num-hosts and --host-id",
               file=sys.stderr)
         return 2
+    # flag validation runs BEFORE jax.distributed.initialize / the
+    # multi-host dispatch so misdirected flags are rejected up front
+    # instead of being silently ignored (or hanging the rendezvous)
+    if args.parallel_mode == "pipeline" and args.dim_axes:
+        print("--dim-axes applies to domain mode only", file=sys.stderr)
+        return 2
+    if args.parallel_mode == "domain" and (args.split_at or
+                                           args.optimize_cuts):
+        print("--split-at/--optimize-cuts apply to pipeline mode only "
+              "(pass --parallel-mode pipeline)", file=sys.stderr)
+        return 2
+    if multihost and args.parallel_mode != "domain":
+        print("multi-host supports --parallel-mode domain",
+              file=sys.stderr)
+        return 2
     if args.force_host_devices:
         # per-process virtual device count (global = local * num_hosts)
         local = (args.devices // args.num_hosts if multihost
@@ -511,21 +526,7 @@ def _cmd_run_distributed(args) -> int:
     if len(devices) < args.devices:
         print(f"only {len(devices)} devices available", file=sys.stderr)
         return 2
-    # flag validation runs BEFORE the multi-host dispatch so misdirected
-    # flags are rejected instead of silently ignored across all hosts
-    if args.parallel_mode == "pipeline" and args.dim_axes:
-        print("--dim-axes applies to domain mode only", file=sys.stderr)
-        return 2
-    if args.parallel_mode == "domain" and (args.split_at or
-                                           args.optimize_cuts):
-        print("--split-at/--optimize-cuts apply to pipeline mode only "
-              "(pass --parallel-mode pipeline)", file=sys.stderr)
-        return 2
     if multihost:
-        if args.parallel_mode != "domain":
-            print("multi-host supports --parallel-mode domain",
-                  file=sys.stderr)
-            return 2
         return _run_distributed_multihost(args, program, inputs, devices)
 
     if args.parallel_mode == "pipeline":

@@ -85,3 +85,22 @@ def test_two_process_domain_decomposition(tmp_path, dim_axes):
         assert p.returncode == 0, f"host {host_id} failed:\n{out}"
         assert f"host {host_id}: verified local shards: OK" in out, out
         assert "4 global devices" in out, out
+
+
+def test_misdirected_flags_rejected_before_multihost_dispatch(capsys):
+    """Pipeline-only flags with a multi-host domain launch exit 2 with a
+    message instead of being silently ignored across all hosts."""
+    from stencilflow_tpu.cli import main as cli_main
+    from stencilflow_tpu.synthesize import jacobi
+    import json, tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "p.json")
+        with open(path, "w") as f:
+            json.dump(jacobi(3, 8, iterations=1), f)
+        rc = cli_main(["run-distributed", path, "--devices", "4",
+                       "--parallel-mode", "domain",
+                       "--coordinator", "127.0.0.1:1",
+                       "--num-hosts", "2", "--host-id", "0",
+                       "--split-at", "s0"])
+    assert rc == 2
+    assert "pipeline mode only" in capsys.readouterr().err
