@@ -39,6 +39,11 @@ def _cmd_run(args) -> int:
     except VerificationError as exc:
         print(f"VERIFICATION FAILED: {exc}", file=sys.stderr)
         return 1
+    except ValueError as exc:
+        # configuration errors (bad chunk counts, scope rejections with
+        # --backend forced, malformed programs) exit cleanly
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
     print(f"backend: {res.backend}")
     if res.wall_time_s is not None:
         from .report import Report

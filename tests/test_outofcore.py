@@ -255,3 +255,16 @@ def test_adjoint_program_composes_with_chunking():
     got = run_chunked(adj, inputs, 2)
     for o in adj.outputs:
         np.testing.assert_allclose(got[o], ref[o], rtol=2e-5, atol=1e-6)
+
+
+def test_cli_host_chunks_bad_count_exits_cleanly(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    prog_path = tmp_path / "p.json"
+    prog_path.write_text(json.dumps(jacobi(3, 8, iterations=1)))
+    out = subprocess.run(
+        [sys.executable, "-m", "stencilflow_tpu.cli", "run",
+         str(prog_path), "emulation", "--host-chunks", "3"],
+        capture_output=True, text=True, cwd=repo, env=env)
+    assert out.returncode == 2
+    assert "error:" in out.stderr and "divide" in out.stderr
