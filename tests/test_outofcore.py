@@ -268,3 +268,22 @@ def test_cli_host_chunks_bad_count_exits_cleanly(tmp_path):
         capture_output=True, text=True, cwd=repo, env=env)
     assert out.returncode == 2
     assert "error:" in out.stderr and "divide" in out.stderr
+
+
+def test_orbax_checkpoint_resume_host_mode(tmp_path):
+    """orbax checkpointing composes with out-of-core stepping: host
+    numpy state saves/restores and resume continues bit-identically."""
+    import shutil
+
+    from stencilflow_tpu.iterate import iterate
+    p = sft.parse_program(jacobi(3, 8, iterations=1), name="ocorbax")
+    inputs = sft.load_input_arrays(p, seed=11)
+    ck = str(tmp_path / "ck")
+    full = iterate(p, inputs, steps=6, host_chunks=2,
+                   checkpoint_every=2, checkpoint_dir=ck,
+                   checkpoint_format="orbax")
+    shutil.rmtree(tmp_path / "ck" / "6")
+    resumed = iterate(p, inputs, steps=6, host_chunks=2,
+                      checkpoint_every=2, checkpoint_dir=ck,
+                      checkpoint_format="orbax")
+    np.testing.assert_array_equal(full["a"], resumed["a"])
