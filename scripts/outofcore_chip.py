@@ -63,6 +63,55 @@ def main() -> int:
         "wall_s": round(wall, 4),
         "gcell_s_incl_transfers": round(cells / wall / 1e9, 3),
     }))
+
+    # 3. pure device time of the chunk body (what real PCIe/DMA hosts
+    # would see per chunk): on-device loop feeding the chunk output back
+    # into the (re-padded) input tile, two loop lengths differenced to
+    # cancel the tunnel's dispatch + readback overhead (CLAUDE.md).
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from stencilflow_tpu.outofcore import _host_slab
+
+    fn, plan = compiled
+    h, Ic = plan.halo, plan.block
+    in_name = next(iter(p.inputs))
+    tile0 = jnp.asarray(_host_slab(np.asarray(inputs[in_name], dtype=np.float32),
+                                   -h, Ic + h, p.dimensions[0]))
+    out_name = p.outputs[0]
+
+    def one(tile):
+        out = fn(jnp.int32(0), {in_name: tile})[out_name]
+        pad = ((h, h),) + ((0, 0),) * (out.ndim - 1)
+        return (jnp.pad(out, pad) if h else out).astype(tile.dtype)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def loop(tile, n):
+        return jax.lax.fori_loop(0, n, lambda _, t: one(t), tile)
+
+    def timed(n):
+        t0 = time.perf_counter()
+        r = loop(tile0, n)
+        np.asarray(r.ravel()[0])   # scalar readback (index on device)
+        return time.perf_counter() - t0
+
+    # loop long enough that the differenced work dominates the tunnel's
+    # per-call overhead (RESULTS.md methodology note)
+    long_n = 202
+    timed(2)   # warm up both loop lengths' compiles
+    timed(long_n)
+    best = min(timed(long_n) - timed(2) for _ in range(3))
+    chunk_cells = float(Ic * np.prod(p.dimensions[1:]))
+    dev_s = best / (long_n - 2)
+    print(json.dumps({
+        "check": "outofcore_device_chunk",
+        "chunk_planes": Ic, "halo": h,
+        "device_s_per_chunk_sweep": round(dev_s, 5),
+        "gcell_s_device": round(chunk_cells / dev_s / 1e9, 2),
+        "sweep_device_s_est": round(dev_s * args.chunks, 4),
+    }))
     return 0
 
 

@@ -79,12 +79,12 @@ def main() -> int:
         from stencilflow_tpu.synthesize import synthesize_stencil
         cases = [
             (3, (7, 100, 100), "diffusion", 1),
-            (2, (53, 200), "diffusion", 2),
+            (2, (53, 200), "cross", 2),
             (4, (10, 96, 53), "cross", 2),
             (2, (5, 33, 129), "box", 1),
             (3, (11, 17, 257), "diffusion", 1),
             (1, (9, 130), "hotspot", 1),
-            (2, (100, 100), "diffusion", 3),
+            (2, (100, 100), "box", 3),
             (2, (6, 24, 1000), "cross", 1),
             (2, (8, 24, 24), "hdiff", 1),
         ]
