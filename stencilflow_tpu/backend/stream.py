@@ -286,16 +286,21 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         *refs):
     # fast_fields: {} (masked reads), a padding dict (fast_pad_fields),
     # or the string "shift" (shift-in-fill concat reads, no ring changes).
-    # The j component needs the plane to span the whole j domain at
-    # origin 0 (untiled, unsharded); the k component only needs the same
-    # in k — which j-tiling preserves (tiles cut j, never k), so large
-    # j-tiled 2-D planes still get shift-fill k reads.
+    # Per dim, a shift-fill read is exactly the BC semantics whenever the
+    # ring plane spans the WHOLE global domain in that dim at origin 0 —
+    # true untiled/unsharded, but also in sharded/out-of-core blocks for
+    # every dim the block does not cut (i-only sharding leaves both j and
+    # k eligible; j-tiling cuts j but never k, so large j-tiled 2-D
+    # planes still get shift-fill k reads).  A cut dim keeps the
+    # origin-based mask.
     shift_mode = fast_fields == "shift"
     if shift_mode:
         fast_fields = {}
-    fast_shift = (shift_mode and not sharded and not jtiled)
-    fast_shift_k = (shift_mode and not sharded
-                    and plan.halo_jk[1] == 0)
+    fast_shift = (shift_mode and not jtiled
+                  and plan.halo_jk[0] == 0
+                  and plan.plane[0] == program.dimensions[1])
+    fast_shift_k = (shift_mode and plan.halo_jk[1] == 0
+                    and plan.plane[1] == program.dimensions[2])
     """One grid step: ingest ``block`` input planes, advance every stage
     ``block`` planes, emit ``block`` output planes (micro-steps amortize the
     per-grid-step pipeline overhead).  With ``sharded`` the first ref is a
@@ -588,7 +593,13 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                                 (origin[1], origin[2]),
                                 plan.halo_jk, (J, K), cache=mask_cache)
                     if ok:
-                        plane = _shift_fill(plane, ok, 1, fillv)
+                        if use_shift_k:
+                            plane = _shift_fill(plane, ok, 1, fillv)
+                        else:   # k is a cut dim: origin-based mask
+                            plane = read_access_tile(
+                                plane, (0, ok), bc,
+                                (origin[1], origin[2]),
+                                plan.halo_jk, (J, K), cache=mask_cache)
                     return plane
                 return read_access_tile(plane, (oj, ok), bc,
                                         (origin[1], origin[2]),
@@ -606,12 +617,17 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                     if use_shift:
                         val = _shift_fill(val, oj, 0, fillv)
                     else:
-                        # j-tiled: j keeps the origin-based mask
+                        # j-tiled/j-sharded: j keeps the origin mask
                         val = read_access_tile(
                             val, (oj, 0), bc, (origin[1], origin[2]),
                             plan.halo_jk, (J, K), cache=mask_cache)
                 if ok:
-                    val = _shift_fill(val, ok, 1, fillv)
+                    if use_shift_k:
+                        val = _shift_fill(val, ok, 1, fillv)
+                    else:   # k is a cut dim: origin-based mask
+                        val = read_access_tile(
+                            val, (0, ok), bc, (origin[1], origin[2]),
+                            plan.halo_jk, (J, K), cache=mask_cache)
                 if oi is not None and oi != 0:
                     gtarget = origin[0] + target
                     i_oob = (gtarget < 0) | (gtarget >= Ig)
@@ -1475,11 +1491,21 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
             pltpu.SemaphoreType.DMA((len(dl) + 1,)),
         ]
 
+    # same auto policy as the single-chip lowering (measured: shift-fill
+    # reads win at K >= 256, neutral below): the kernel body enables the
+    # shift per dim only where this block spans the whole global domain
+    # at origin 0, so cut dims keep their origin-based masks
+    fast_local = "shift" if pk >= 256 else {}
+    compile_local_stream.last_config = {
+        "fast": "shift" if fast_local == "shift" else "off",
+        "plane": plan.plane, "halo_jk": plan.halo_jk,
+        "jtiles": jtiles, "halo_i": halo_i,
+    }
     kernel = functools.partial(_stream_kernel_body, program, analysis, plan,
                                input_names, input_kinds, Ii, True,
                                mxu_plans, pool_keys, pool_meta,
                                transform_keys, 1, jtiles > 1, halo_i, None,
-                               interpret, spill_reads, {})
+                               interpret, spill_reads, fast_local)
 
     assert plan.lag_max >= halo_i, \
         "sharded-i plans must be built with min_lag_max=halo_i"

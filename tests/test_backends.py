@@ -576,6 +576,54 @@ class TestMultiChip:
         with pytest.raises(ValueError):
             DomainDecomposition.plan(p, mesh, (None, "x", None))
 
+    @pytest.mark.parametrize("boundary", ["constant", "shrink", "copy"])
+    def test_i_sharded_shift_fill_reads(self, boundary):
+        """K >= 256 enables shift-in-fill reads in the per-shard kernel
+        for every dim the shard spans fully (i-only sharding: both j and
+        k); must match the oracle exactly (copy-BC fields keep masks)."""
+        from stencilflow_tpu.backend.stream import compile_local_stream
+        from stencilflow_tpu.parallel.domain import compile_sharded_chain
+        spec = synthesize_stencil(num_stages=2, dimensions=(8, 8, 256),
+                                  shape="diffusion", boundary=boundary)
+        p = sft.parse_program(spec, name=f"ishift_{boundary}")
+        inputs = sft.load_input_arrays(p, seed=61)
+        out_name = p.outputs[0]
+        ref = _oracle(p, inputs)[out_name]
+        mesh = Mesh(np.array(jax.devices()[:2]), ("x",))
+        fn, plan = compile_sharded_chain(p, mesh, ("x", None, None),
+                                         local_backend="stream",
+                                         interpret=True)
+        assert compile_local_stream.last_config["fast"] == "shift"
+        sh = plan.input_shardings()
+        dev_in = {n: jax.device_put(jnp.asarray(v), sh[n])
+                  for n, v in inputs.items()}
+        out = np.asarray(fn(dev_in)[out_name])
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+    def test_k_sharded_mixed_shift_and_mask(self):
+        """k sharded (halo-exchanged) with j unsharded at a wide plane:
+        the kernel shift-fills j but must keep the origin-based mask on
+        the cut k dim."""
+        from stencilflow_tpu.backend.stream import compile_local_stream
+        from stencilflow_tpu.parallel.domain import compile_sharded_chain
+        spec = synthesize_stencil(num_stages=2, dimensions=(4, 8, 512),
+                                  shape="diffusion")
+        p = sft.parse_program(spec, name="kshard_shift")
+        inputs = sft.load_input_arrays(p, seed=62)
+        out_name = p.outputs[0]
+        ref = _oracle(p, inputs)[out_name]
+        mesh = Mesh(np.array(jax.devices()[:2]), ("x",))
+        fn, plan = compile_sharded_chain(p, mesh, (None, None, "x"),
+                                         local_backend="stream",
+                                         interpret=True)
+        cfg = compile_local_stream.last_config
+        assert cfg["fast"] == "shift" and cfg["halo_jk"][1] > 0
+        sh = plan.input_shardings()
+        dev_in = {n: jax.device_put(jnp.asarray(v), sh[n])
+                  for n, v in inputs.items()}
+        out = np.asarray(fn(dev_in)[out_name])
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
+
 
 class TestPanelBackend:
     """Panel-mode streaming kernel (backend/panel.py): B stacked planes

@@ -47,6 +47,23 @@ class TestChunkedMatchesOracle:
             np.testing.assert_allclose(got[o], ref[o], rtol=2e-5,
                                        atol=1e-6)
 
+    @pytest.mark.parametrize("boundary", ["constant", "shrink"])
+    def test_stream_body_shift_fill_k256(self, boundary):
+        """At K >= 256 the chunk body uses shift-in-fill reads in both j
+        and k (the chunk spans the whole j/k domain at origin 0); the
+        i-OOB fill at chunk seams must still match the oracle."""
+        from stencilflow_tpu.backend.stream import compile_local_stream
+        spec = synthesize_stencil(num_stages=2, dimensions=(8, 8, 256),
+                                  shape="diffusion", boundary=boundary)
+        p = sft.parse_program(spec, name=f"ocshift_{boundary}")
+        inputs = sft.load_input_arrays(p, seed=7)
+        ref = _oracle(p, inputs)
+        got = run_chunked(p, inputs, 2, backend="stream", interpret=True)
+        assert compile_local_stream.last_config["fast"] == "shift"
+        for o in p.outputs:
+            np.testing.assert_allclose(got[o], ref[o], rtol=2e-5,
+                                       atol=1e-6)
+
     def test_dag_with_lower_dim_inputs(self):
         """hdiff-style DAG (forks/joins, multi-statement kernels) plus a
         k-spanning and a scalar input exercise the host-slab logic for
