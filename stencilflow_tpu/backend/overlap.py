@@ -307,6 +307,24 @@ def compile_chain_overlap(program: ir.Program,
                 if not sp.is_scalar and sp.dim_mask[0]]
     H = max((max(lo, hi) for f, (lo, hi) in needs.items()
              if f in streamed), default=0)
+    # VMEM estimate is affine in B: input rings (3 slots) + the widest
+    # live temporary set + the Pallas pipeline's double-buffered io
+    # blocks (the io windows count toward the budget GATE too, like
+    # every other stream caller, so an oversized panel raises the
+    # ValueError callers catch for fallback instead of failing inside
+    # Mosaic)
+    isz = {f: np.dtype(program.field_dtype(f)).itemsize
+           for f in list(program.inputs) + list(program.kernels)}
+    c1 = (sum(3 * J * K * isz[f] for f in streamed)
+          + sum(J * K * isz[f] for f in needs if f in program.kernels)
+          + sum(2 * J * K * isz[f]
+                for f in list(streamed) + list(program.outputs)))
+    c0 = sum((lo + hi) * J * K * isz[f]
+             for f, (lo, hi) in needs.items() if f in program.kernels)
+
+    def est_for(b: int) -> int:
+        return c0 + c1 * b
+
     if panel <= 0:
         # big panels amortize the halo recompute ((B+2H)/B per stage);
         # same ~1024-sublane-row op target as panel mode, floored at 4H
@@ -315,6 +333,14 @@ def compile_chain_overlap(program: ir.Program,
         cands = [d for d in range(1, I + 1)
                  if I % d == 0 and d >= min(target, I)]
         panel = min(cands) if cands else I
+        # Do NOT step the panel down to a smaller divisor when the
+        # estimate exceeds the budget: halo recompute+re-read scale as
+        # (B+2H)/B, and on chip that amortization dominates — at
+        # (128,768,768)x2 a gate-passing B=2 measured 38.1 GCell/s vs
+        # the stream fallback's 41.7 (and the fast-vs-slow vmem limit
+        # was worth only ~3.5% to this kernel, unlike pure-DMA
+        # passthroughs).  Raising here hands the program to a backend
+        # that wins (RESULTS.md round 2, overlap panel/vmem study).
     B = panel
     if I % B or B < 1:
         raise ValueError(f"overlap panel {B} must divide I={I}")
@@ -345,21 +371,7 @@ def compile_chain_overlap(program: ir.Program,
                    jax.dtypes.canonicalize_dtype(program.field_dtype(f)))
         for f in streamed
     ]
-    # VMEM estimate: input rings + the widest live temporary set
-    # (conservative: all stage temporaries live at once) + the Pallas
-    # pipeline's double-buffered io blocks — the io windows count toward
-    # the budget GATE too (like every other stream caller), so an
-    # oversized panel raises the ValueError callers catch for fallback
-    # instead of failing inside Mosaic
-    est = sum(3 * B * J * K *
-              np.dtype(program.field_dtype(f)).itemsize for f in streamed)
-    for f, (lo, hi) in needs.items():
-        if f in program.kernels:
-            est += (lo + B + hi) * J * K * np.dtype(
-                program.field_dtype(f)).itemsize
-    est += sum(2 * B * J * K *
-               np.dtype(program.field_dtype(f)).itemsize
-               for f in list(streamed) + list(program.outputs))
+    est = est_for(B)
     if est > 0.7 * vmem_budget:
         raise ValueError("overlap blocks exceed the VMEM budget")
 

@@ -749,6 +749,25 @@ class TestOverlapBackend:
         got2 = run_chain_overlap(p2, inputs2, interpret=True, panel=4)["y"]
         np.testing.assert_array_equal(got2, ref2)
 
+    def test_auto_panel_never_steps_down_below_target(self):
+        """When the target panel's VMEM estimate exceeds the budget
+        gate, overlap must RAISE (callers fall back to stream) rather
+        than shrink the panel: smaller panels multiply halo
+        recompute+re-reads ((B+2H)/B) and measured slower than the
+        stream fallback (RESULTS.md round-2 overlap panel/vmem study).
+        """
+        from stencilflow_tpu.backend import overlap as ov
+        p = _program_jacobi3d(size=16, iters=2)
+        inputs = sft.load_input_arrays(p, seed=74)
+        ref = _oracle(p, inputs)["s1"]
+        got = ov.run_chain_overlap(p, inputs, interpret=True)
+        np.testing.assert_array_equal(got["s1"], ref)
+        # a budget below the target panel's estimate must raise, not
+        # silently pick a smaller divisor of I
+        with pytest.raises(ValueError, match="VMEM budget"):
+            ov.compile_chain_overlap(p, interpret=True,
+                                     vmem_budget=64 * 2**10)
+
     @pytest.mark.parametrize("seed", range(5))
     def test_fuzz_matches_oracle(self, seed):
         import os as _os
