@@ -70,14 +70,21 @@ def _builders(program: ir.Program, analysis: ChainAnalysis,
             spill=spill)
     b["panel:B=auto"] = lambda: compile_chain_panel(
         program, analysis, interpret=interpret)
+    # explicit panels relax the VMEM gate to the full budget: the 0.7
+    # policy gate exists to protect blind selection from Mosaic
+    # allocation failures, but autotune catches those at build/first
+    # execution, and over-gate panels measure real wins (49.3 vs the
+    # 41.7 GCell/s stream fallback at (128,768,768)x2 — RESULTS.md)
     for B in (2, 4, 8):
         b[f"panel:B={B}"] = (lambda B=B: compile_chain_panel(
-            program, analysis, panel=B, interpret=interpret))
+            program, analysis, panel=B, interpret=interpret,
+            gate_frac=1.0))
     b["overlap:B=auto"] = lambda: compile_chain_overlap(
         program, analysis, interpret=interpret)
     for B in (4, 8):
         b[f"overlap:B={B}"] = (lambda B=B: compile_chain_overlap(
-            program, analysis, panel=B, interpret=interpret))
+            program, analysis, panel=B, interpret=interpret,
+            gate_frac=1.0))
     b["pallas"] = lambda: compile_chain_pallas(
         program, analysis, interpret=interpret)
     b["xla"] = lambda: compile_chain(program, analysis)

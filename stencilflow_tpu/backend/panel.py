@@ -362,9 +362,14 @@ def compile_chain_panel(program: ir.Program,
                         analysis: Optional[ChainAnalysis] = None,
                         panel: int = 0,
                         interpret: bool = False,
-                        vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET):
+                        vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET,
+                        gate_frac: float = 0.7):
     """Panel-mode streaming compile; raises ValueError when the program
-    shape doesn't fit this lowering (callers fall back to stream.py)."""
+    shape doesn't fit this lowering (callers fall back to stream.py).
+
+    ``gate_frac`` scales the VMEM-estimate gate (0.7 of the budget for
+    blind policy; the autotuner passes 1.0 for explicitly requested
+    panels since it catches Mosaic failures itself — see overlap.py)."""
     analysis = analysis or ChainAnalysis.run(program)
     dims = program.dimensions
     I, J, K = dims
@@ -387,7 +392,7 @@ def compile_chain_panel(program: ir.Program,
                     raise ValueError(
                         f"i-offset {a[0]} exceeds panel size {B}")
     plan = PanelPlan.build(analysis, B)
-    budget = 0.7 * vmem_budget
+    budget = gate_frac * vmem_budget
     if plan.vmem_bytes(program, J, K) > budget:
         raise ValueError("panel rings exceed the VMEM budget")
     shiftk = K >= 256
