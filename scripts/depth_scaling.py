@@ -58,7 +58,20 @@ def main() -> int:
             synthesize_stencil(num_stages=depth, dimensions=(S,) * 3,
                                shape="diffusion"),
             name=f"depth_{S}_{depth}")
-        fn = compile_chain_panel(p)
+        # deep chains multiply ring state (one ring per stage): cascade
+        # to smaller panels when auto's choice exceeds the VMEM gate
+        fn = None
+        for B in (0, 4, 2, 1):
+            try:
+                fn = compile_chain_panel(p, panel=B)
+                used_B = B
+                break
+            except ValueError:
+                continue
+        if fn is None:
+            print(json.dumps({"depth": depth, "size": S,
+                              "skipped": "no panel fits VMEM"}))
+            continue
         in_name = next(iter(p.inputs))
         out_name = p.outputs[0]
 
@@ -69,7 +82,7 @@ def main() -> int:
         n = max(6, int(240 * (256 / S) ** 3 * 8 / depth))
         t = loop_time(one, x0, n, args.reps)
         print(json.dumps({
-            "depth": depth, "size": S,
+            "depth": depth, "size": S, "panel": used_B,
             "s_per_sweep": round(t, 5),
             "gcell_s": round(cells / t / 1e9, 2),
             "gcell_stages_s": round(cells * depth / t / 1e9, 1)}))
