@@ -229,6 +229,28 @@ class TestIterate:
         with pytest.raises(IterateError):
             iterate(p, sft.load_input_arrays(p), steps=1, interpret=True)
 
+    def test_wave_time_reversal(self):
+        """Leapfrog wave stepping (two time levels via multi-feed) is
+        exactly invertible: T forward steps then T-1 steps on the
+        swapped state refocus onto the initial pulse to roundoff
+        (examples/wave_propagation.py at small size)."""
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "wave", os.path.join(os.path.dirname(__file__), "..",
+                                 "examples", "wave_propagation.py"))
+        wave = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(wave)
+        p = wave.build_program(n=32, r2=0.4)
+        inputs = sft.load_input_arrays(p)
+        p0 = np.asarray(inputs["p"])
+        fwd = iterate(p, inputs, steps=24, feed=wave.FEED, fuse=4,
+                      interpret=True, chunk=2)
+        rec = iterate(p, {"p": np.asarray(fwd["pm"]),
+                          "pm": np.asarray(fwd["p"])},
+                      steps=23, feed=wave.FEED, interpret=True, chunk=4)
+        np.testing.assert_allclose(np.asarray(rec["p"]), p0,
+                                   rtol=0, atol=1e-5)
+
     def test_cli_iterate(self, tmp_path, capsys):
         import json
         from stencilflow_tpu.cli import main as cli_main
