@@ -442,7 +442,8 @@ def _run_distributed_multihost(args, program, inputs, devices) -> int:
             else _parse_axes(args.dim_axes))
     if axes is None:
         return 2
-    out = run_sharded_chain(program, mesh, axes, inputs, as_numpy=False)
+    out = run_sharded_chain(program, mesh, axes, inputs, as_numpy=False,
+                            comm_overlap=args.comm_overlap)
     host = args.host_id
     print(f"host {host}: ran domain over {args.devices} global devices "
           f"(mesh {dict(mesh.shape)}, "
@@ -476,6 +477,10 @@ def _cmd_run_distributed(args) -> int:
     # instead of being silently ignored (or hanging the rendezvous)
     if args.parallel_mode == "pipeline" and args.dim_axes:
         print("--dim-axes applies to domain mode only", file=sys.stderr)
+        return 2
+    if args.parallel_mode == "pipeline" and args.comm_overlap:
+        print("--comm-overlap applies to domain mode only",
+              file=sys.stderr)
         return 2
     if args.parallel_mode == "domain" and (args.split_at or
                                            args.optimize_cuts):
@@ -559,7 +564,8 @@ def _cmd_run_distributed(args) -> int:
                 return 2
         else:
             axes = (None, "x", "y")
-        outputs = run_sharded_chain(program, mesh, axes, inputs)
+        outputs = run_sharded_chain(program, mesh, axes, inputs,
+                                    comm_overlap=args.comm_overlap)
     print(f"ran {args.parallel_mode} over {args.devices} devices "
           f"(mesh {dict(mesh.shape)})")
 
@@ -817,6 +823,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host: total number of processes")
     p.add_argument("--host-id", type=int, default=None,
                    help="multi-host: this process's id (0-based)")
+    p.add_argument("--comm-overlap", action="store_true",
+                   help="domain mode: evaluate the block interior with no "
+                        "data dependency on the halo ppermutes (ICI "
+                        "latency hiding at the cost of strip overcompute)")
     p.set_defaults(fn=_cmd_run_distributed)
 
     return ap

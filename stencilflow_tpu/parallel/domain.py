@@ -171,6 +171,140 @@ def _local_forward(plan: DomainDecomposition, graph: ChainGraph,
     return {n: arr[core].reshape(local_raw) for n, arr in results.items()}
 
 
+def _block_origin(plan: DomainDecomposition):
+    """Global element offset of this device's (unwidened) block."""
+    origin = []
+    for d in range(3):
+        ax = plan.dim_axes[d]
+        idx = lax.axis_index(ax) if ax is not None else 0
+        origin.append(jnp.int32(idx * plan.block[d]))
+    return origin
+
+
+def _local_forward_overlap(plan: DomainDecomposition, graph: ChainGraph,
+                           inputs: Dict[str, Any]) -> Dict[str, Any]:
+    """Comm/compute-overlapped per-device body (fused-XLA tile evaluator).
+
+    The interior of the local block — cells at least the cumulative halo
+    away from every sharded block edge — depends only on local data, so it
+    is evaluated directly on the UNWIDENED block with no data dependency on
+    the ppermute halo slabs; XLA's async collective scheduler is then free
+    to keep the permutes in flight behind the interior evaluation.  Thin
+    boundary strips (3h-thick input slabs producing h output planes per
+    face, spanning the full widened extent of every other dim so corners
+    are covered) are evaluated from the widened array afterwards and
+    stitched over the interior pass's invalid rim.
+
+    Overcompute vs the blocking body: the interior pass wastes its rim
+    (2h/B per sharded dim) and each face re-evaluates a 3h slab — worth it
+    when ICI latency is exposed, which only a real multi-chip profile can
+    decide; hence opt-in (``comm_overlap=True``).
+
+    The reference has no analogue (its SMI FIFO streams overlap by
+    construction, /root/reference/stencilflow/sdfg_generator.py:848-963);
+    this is the TPU-idiomatic equivalent of that elastic overlap for the
+    lockstep-collective halo exchange.
+    """
+    program = plan.program
+    halo, B = plan.halo, plan.block
+    origin = _block_origin(plan)
+
+    # interior pass: raw local tiles, no exchange.  Wrap-around reads in
+    # sharded dims land on wrong-neighbor cells, so the outermost
+    # cumulative-halo rim is invalid (overwritten by strips below);
+    # unsharded dims keep the single-chip invariant (wraps land on
+    # globally-OOB cells that the BC masks fix).
+    outs = dict(evaluate_chain_tile(program, graph, dict(inputs), origin,
+                                    (0, 0, 0)))
+
+    # widened arrays for the strips (the data the interior did not wait on)
+    tiles_w, _ = _widen_and_origin(plan, inputs)
+
+    for d in [d for d in range(3) if halo[d] > 0]:
+        h = halo[d]
+        for side in (0, 1):
+            strip_tiles: Dict[str, Any] = {}
+            for name, spec in program.inputs.items():
+                arr = tiles_w[name]
+                if spec.is_scalar or not spec.dim_mask[d]:
+                    strip_tiles[name] = arr
+                    continue
+                pos = sum(spec.dim_mask[:d])
+                ext = arr.shape[pos]          # B_d + 2h
+                lo = 0 if side == 0 else ext - 3 * h
+                strip_tiles[name] = lax.slice_in_dim(arr, lo, lo + 3 * h,
+                                                     axis=pos)
+            so = list(origin)
+            if side == 1:
+                so[d] = so[d] + jnp.int32(B[d] - h)
+            res = evaluate_chain_tile(program, graph, strip_tiles, so, halo)
+            for n, arr in res.items():
+                core = [slice(halo[dd], halo[dd] + B[dd]) for dd in range(3)]
+                core[d] = slice(h, 2 * h)
+                dst = [slice(0, B[dd]) for dd in range(3)]
+                dst[d] = slice(0, h) if side == 0 else slice(B[d] - h, B[d])
+                outs[n] = outs[n].at[tuple(dst)].set(arr[tuple(core)])
+
+    raw = program.raw_dimensions
+    local_raw = tuple(B[3 - len(raw) + i] for i in range(len(raw)))
+    return {n: arr.reshape(local_raw) for n, arr in outs.items()}
+
+
+def _local_forward_stream_overlap(plan: DomainDecomposition,
+                                  interior, strip,
+                                  inputs: Dict[str, Any],
+                                  pools: Dict[str, Any]) -> Dict[str, Any]:
+    """Comm/compute-overlapped per-device body, streaming Pallas kernels
+    (i-sharding only).  ``interior``/``strip`` are ``(stream_fn,
+    extra_j_pad)`` pairs: the interior kernel covers local output planes
+    [h, B0-h) reading only the raw local block (independent of the
+    exchange), the strip kernel covers h output planes from a 3h-plane
+    input slab of the widened array and runs twice (lo/hi faces).  Pool
+    entries are prefixed "i$"/"s$" per kernel."""
+    program = plan.program
+    h = plan.halo[0]
+    B0 = plan.block[0]
+    (int_fn, int_pad), (strip_fn, strip_pad) = interior, strip
+    pools_i = {k[2:]: v for k, v in pools.items() if k.startswith("i$")}
+    pools_s = {k[2:]: v for k, v in pools.items() if k.startswith("s$")}
+    start = _block_origin(plan)[0]
+
+    def run(fn, pad, tiles, origin0):
+        tiles = pad_j_tiles(program, tiles, pad)
+        return fn(jnp.stack([origin0, jnp.int32(0), jnp.int32(0)]),
+                  tiles, pools_i if fn is int_fn else pools_s)
+
+    # interior: raw local block IS the widened input of the (B0-2h)-plane
+    # core (core [start+h, start+B0-h) reads planes [start, start+B0))
+    res_int = run(int_fn, int_pad, dict(inputs), start)
+
+    # strips read from the i-widened exchange
+    tiles_w, _ = _widen_and_origin(plan, inputs)
+
+    def i_slab(lo):
+        out = {}
+        for name, spec in program.inputs.items():
+            arr = tiles_w[name]
+            if spec.is_scalar or not spec.dim_mask[0]:
+                out[name] = arr
+            else:
+                out[name] = lax.slice_in_dim(arr, lo, lo + 3 * h, axis=0)
+        return out
+
+    res_lo = run(strip_fn, strip_pad, i_slab(0), start - h)
+    res_hi = run(strip_fn, strip_pad, i_slab(B0 - h), start + B0 - 2 * h)
+
+    raw = program.raw_dimensions
+    local_raw = tuple(plan.block[3 - len(raw) + i] for i in range(len(raw)))
+    outs = {}
+    for n in res_int:
+        parts = [res_lo[n].reshape((h,) + plan.block[1:]),
+                 res_int[n].reshape((B0 - 2 * h,) + plan.block[1:]),
+                 res_hi[n].reshape((h,) + plan.block[1:])]
+        outs[n] = jnp.concatenate(parts, axis=0).reshape(local_raw)
+    return outs
+
+
 def pad_j_tiles(program: ir.Program, tiles: Dict[str, Any],
                 extra_j_pad: int) -> Dict[str, Any]:
     """Widen every j-spanning input by ``extra_j_pad`` rows on both sides
@@ -387,7 +521,8 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
                           mxu_min_footprint: int = 12,
                           mxu_precision: str = "split",
                           spill: str = "auto",
-                          vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET):
+                          vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET,
+                          comm_overlap: bool = False):
     """Build a jitted, mesh-sharded ``fn(inputs) -> outputs`` for the chain.
 
     ``local_backend``: per-shard compute path — "stream" (the streaming
@@ -400,6 +535,14 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
     per-shard streaming kernel, with origin-aware per-shard band matrices
     delivered through shard_map (sharded leading dims); configurations
     are preferred untiled+MXU > j-tiled+MXU > untiled VPU > j-tiled VPU.
+
+    ``comm_overlap=True`` restructures the per-device body so the block
+    interior is evaluated with no data dependency on the halo ppermutes
+    (XLA can keep them in flight behind it) and only thin boundary strips
+    wait for neighbor slabs — at the cost of rim/strip overcompute.  The
+    streaming backend supports it for i-only sharding; any-dim sharding is
+    supported through the fused-XLA body.  Opt-in: whether latency hiding
+    beats the overcompute is a per-topology measurement.
     """
     analysis = analysis or ChainAnalysis.run(program)
     plan = DomainDecomposition.plan(program, mesh, dim_axes, analysis)
@@ -410,11 +553,54 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
     if local_backend == "auto":
         on_cpu = jax.devices()[0].platform == "cpu"
         local_backend = "xla" if (interpret or on_cpu) else "stream"
+    if comm_overlap and not any(h > 0 for h in plan.halo):
+        comm_overlap = False    # no exchange to hide
     compile_sharded_chain.last_config = {"backend": local_backend,
-                                         "jtiles": 0, "mxu_stages": []}
+                                         "jtiles": 0, "mxu_stages": [],
+                                         "comm_overlap": comm_overlap}
     pool_globals: Dict[str, Any] = {}
     pool_pspecs: Dict[str, P] = {}
-    if local_backend == "stream":
+    if local_backend == "stream" and comm_overlap:
+        if plan.halo[1] or plan.halo[2]:
+            raise ValueError(
+                "comm_overlap with the streaming local backend supports "
+                "i-only sharding; use local_backend='xla' for j/k-sharded "
+                "overlap, or comm_overlap=False")
+        h, B0 = plan.halo[0], plan.block[0]
+        if B0 <= 2 * h:
+            raise ValueError(
+                f"comm_overlap needs an interior: local i-block {B0} must "
+                f"exceed twice the halo {h} (use fewer shards)")
+        got_i = plan_local_stream(
+            program, analysis,
+            dataclasses.replace(plan, block=(B0 - 2 * h,) + plan.block[1:]),
+            interpret=interpret, mxu=mxu,
+            mxu_min_footprint=mxu_min_footprint,
+            mxu_precision=mxu_precision, spill=spill,
+            vmem_budget=vmem_budget)
+        got_s = plan_local_stream(
+            program, analysis,
+            dataclasses.replace(plan, block=(h,) + plan.block[1:]),
+            interpret=interpret, mxu=mxu,
+            mxu_min_footprint=mxu_min_footprint,
+            mxu_precision=mxu_precision, spill=spill,
+            vmem_budget=vmem_budget)
+        if got_i is None or got_s is None:
+            local_backend = "xla"   # fall through to the tile-eval overlap
+        else:
+            int_fn, int_pad, pool_i, pspec_i, cfg = got_i
+            strip_fn, strip_pad, pool_s, pspec_s, cfg_s = got_s
+            pool_globals = {**{"i$" + k: v for k, v in pool_i.items()},
+                            **{"s$" + k: v for k, v in pool_s.items()}}
+            pool_pspecs = {**{"i$" + k: v for k, v in pspec_i.items()},
+                           **{"s$" + k: v for k, v in pspec_s.items()}}
+            body = functools.partial(_local_forward_stream_overlap, plan,
+                                     (int_fn, int_pad),
+                                     (strip_fn, strip_pad))
+            cfg = dict(cfg, comm_overlap=True,
+                       strip_jtiles=cfg_s.get("jtiles", 0))
+            compile_sharded_chain.last_config = cfg
+    elif local_backend == "stream":
         got = plan_local_stream(program, analysis, plan,
                                 interpret=interpret, mxu=mxu,
                                 mxu_min_footprint=mxu_min_footprint,
@@ -426,14 +612,21 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
             body = functools.partial(_local_forward, plan, graph)
             local_backend = "xla"
             compile_sharded_chain.last_config = {
-                "backend": "xla", "jtiles": 0, "mxu_stages": []}
+                "backend": "xla", "jtiles": 0, "mxu_stages": [],
+                "comm_overlap": False}
         else:
             stream_fn, extra_j_pad, pool_globals, pool_pspecs, cfg = got
             body = functools.partial(_local_forward_stream, plan,
                                      stream_fn, extra_j_pad)
-            compile_sharded_chain.last_config = cfg
+            compile_sharded_chain.last_config = dict(cfg,
+                                                     comm_overlap=False)
     if local_backend != "stream":
-        body = functools.partial(_local_forward, plan, graph)
+        body = functools.partial(
+            _local_forward_overlap if comm_overlap else _local_forward,
+            plan, graph)
+        compile_sharded_chain.last_config = {
+            "backend": "xla", "jtiles": 0, "mxu_stages": [],
+            "comm_overlap": comm_overlap}
         sm = shard_map(body, mesh=mesh, in_specs=(in_specs,),
                        out_specs=out_specs, check_vma=False)
         return jax.jit(sm), plan
@@ -479,11 +672,13 @@ def place_global_inputs(program: ir.Program,
 def run_sharded_chain(program: ir.Program, mesh: Mesh,
                       dim_axes: Sequence[Optional[str]],
                       inputs: Dict[str, Any],
-                      as_numpy: bool = True) -> Dict[str, Any]:
+                      as_numpy: bool = True,
+                      comm_overlap: bool = False) -> Dict[str, Any]:
     """One-shot sharded evaluation.  ``as_numpy=False`` returns the global
     jax Arrays (required on multi-host meshes, where a process can only
     convert its own shards — verify via ``arr.addressable_shards``)."""
-    fn, plan = compile_sharded_chain(program, mesh, dim_axes)
+    fn, plan = compile_sharded_chain(program, mesh, dim_axes,
+                                     comm_overlap=comm_overlap)
     out = fn(place_global_inputs(program, plan, inputs))
     if not as_numpy:
         return out

@@ -167,6 +167,20 @@ class TestCLI:
         assert rc == 0
         assert "OK" in capsys.readouterr().out
 
+    def test_run_distributed_domain_comm_overlap(self, j2d_file,
+                                                  capsys):
+        rc = cli_main(["run-distributed", j2d_file, "--devices", "4",
+                       "--comm-overlap", "--compare-to-reference"])
+        assert rc == 0
+        assert "OK" in capsys.readouterr().out
+
+    def test_comm_overlap_rejected_in_pipeline_mode(self, j2d_file,
+                                                    capsys):
+        rc = cli_main(["run-distributed", j2d_file, "--devices", "2",
+                       "--parallel-mode", "pipeline", "--comm-overlap"])
+        assert rc == 2
+        assert "domain mode only" in capsys.readouterr().err
+
     def test_run_distributed_pipeline(self, j2d_file, capsys):
         rc = cli_main(["run-distributed", j2d_file, "--devices", "2",
                        "--parallel-mode", "pipeline",
