@@ -149,6 +149,32 @@ class TestIterate:
                                            rtol=1e-5, atol=1e-6,
                                            err_msg=f"{k} fuse={fuse}")
 
+    def test_nonlinear_coupled_system(self):
+        """Gray–Scott reaction–diffusion (examples/gray_scott.py at small
+        size): a NONLINEAR two-field feed (u·v² cross-field product) with
+        copy (zero-flux) BCs; fused and unfused stepping agree with
+        oracle stepping."""
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "gs", os.path.join(os.path.dirname(__file__), "..",
+                               "examples", "gray_scott.py"))
+        gs = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(gs)
+        p = gs.build_program(n=24)
+        inputs = sft.load_input_arrays(p)
+        feed = {"u": "u1", "v": "v1"}
+        ref = {k: np.asarray(v) for k, v in inputs.items()}
+        for _ in range(8):
+            out = sft.run_interpreter(p, ref)
+            ref = {k: np.asarray(out[o]) for k, o in feed.items()}
+        for fuse in (1, 4):
+            state = iterate(p, inputs, steps=8, feed=feed, fuse=fuse,
+                            interpret=True, chunk=2)
+            for k in feed:
+                np.testing.assert_allclose(state[k], ref[k],
+                                           rtol=1e-5, atol=1e-6,
+                                           err_msg=f"{k} fuse={fuse}")
+
     def test_orbax_checkpoint_and_resume(self, tmp_path):
         """The orbax format: async device-sharded checkpoints; resume
         from the newest step matches the uninterrupted run."""
