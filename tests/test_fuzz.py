@@ -301,3 +301,54 @@ def test_random_program_all_engines(seed):
             continue
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6,
                                    err_msg=f"{name} backend")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_program_comm_overlap(seed):
+    """Random DAGs through the comm/compute-overlapped sharded bodies
+    (fused-XLA any-dim sharding; streaming i-only) vs the oracle —
+    the fuzz generalization of test_comm_overlap's crafted cases."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from stencilflow_tpu.backend.xla import chain_halo
+    from stencilflow_tpu.frontend.analysis import ChainAnalysis
+    from stencilflow_tpu.parallel.domain import compile_sharded_chain
+
+    rng = np.random.default_rng(9100 + seed)
+    spec = make_random_program(rng, seed)
+    p0 = sft.parse_program(spec, name=f"ov{seed}")
+    halo = chain_halo(ChainAnalysis.run(p0))
+    # re-dimension so every 2-way-sharded block keeps an interior
+    # (block = 2h+2 > 2*halo is required by the overlap bodies)
+    nd = len(spec["dimensions"])
+    spec["dimensions"] = [2 * (2 * h + 2) for h in halo[3 - nd:]]
+    p = sft.parse_program(spec, name=f"ov{seed}w")
+    inputs = sft.load_input_arrays(p, seed=seed)
+    out = p.outputs[0]
+    ref = np.asarray(sft.run_interpreter(p, inputs)[out], np.float64)
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("x", "y"))
+    fn, plan = compile_sharded_chain(p, mesh, (None, "x", "y"),
+                                     local_backend="xla",
+                                     comm_overlap=True)
+    sh = plan.input_shardings()
+    dev_in = {n: jax.device_put(jnp.asarray(v), sh[n])
+              for n, v in inputs.items()}
+    got = np.asarray(fn(dev_in)[out])
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6,
+                               err_msg="xla comm_overlap (j,k)")
+
+    if len(p.raw_dimensions) == 3 and halo[0] > 0:
+        mesh1 = Mesh(np.array(jax.devices()[:2]), ("x",))
+        fn1, plan1 = compile_sharded_chain(p, mesh1, ("x", None, None),
+                                           local_backend="stream",
+                                           interpret=True,
+                                           comm_overlap=True)
+        sh1 = plan1.input_shardings()
+        dev1 = {n: jax.device_put(jnp.asarray(v), sh1[n])
+                for n, v in inputs.items()}
+        got1 = np.asarray(fn1(dev1)[out])
+        np.testing.assert_allclose(got1, ref, rtol=2e-5, atol=1e-6,
+                                   err_msg="stream comm_overlap (i)")
