@@ -34,7 +34,8 @@ def main():
                          " ~0.94 of the VPU roofline vs ~0.79 at 256^3)")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--backend", default="auto",
-                    choices=["auto", "stream", "panel", "overlap", "pallas", "xla"])
+                    choices=["auto", "stream", "panel", "overlap", "pallas",
+                             "xla", "rows"])
     ap.add_argument("--panel", type=int, default=0,
                     help="panel size B for --backend panel (0 = auto)")
     ap.add_argument("--fast", default="auto",
@@ -97,6 +98,9 @@ def main():
     if args.backend in ("auto",):
         from stencilflow_tpu.backend import compile_chain_best
         fn, backend = compile_chain_best(program)
+    elif args.backend == "rows":
+        from stencilflow_tpu.backend import compile_chain_rows
+        fn, backend = compile_chain_rows(program, panel=args.panel)
     elif args.backend == "stream":
         from stencilflow_tpu.backend.stream import compile_chain_stream
         fn, backend = compile_chain_stream(program, fast=args.fast), "stream"

@@ -85,6 +85,14 @@ def _builders(program: ir.Program, analysis: ChainAnalysis,
         b[f"overlap:B={B}"] = (lambda B=B: compile_chain_overlap(
             program, analysis, panel=B, interpret=interpret,
             gate_frac=1.0))
+    if len(program.raw_dimensions) == 2:
+        from .backend import compile_chain_rows
+        b["rows:auto"] = lambda: compile_chain_rows(
+            program, interpret=interpret)[0]
+        for B in (16, 32, 64):
+            b[f"rows:B={B}"] = (lambda B=B: compile_chain_rows(
+                program, interpret=interpret, panel=B,
+                backend="panel")[0])
     b["pallas"] = lambda: compile_chain_pallas(
         program, analysis, interpret=interpret)
     b["xla"] = lambda: compile_chain(program, analysis)
@@ -92,7 +100,7 @@ def _builders(program: ir.Program, analysis: ChainAnalysis,
 
 
 DEFAULT_LABELS = ["stream", "stream:mxu=off", "panel:B=auto",
-                  "overlap:B=auto", "pallas", "xla"]
+                  "overlap:B=auto", "rows:auto", "pallas", "xla"]
 
 
 def build_from_label(program: ir.Program, label: str,

@@ -64,6 +64,37 @@ def _try_stacked(program, analysis, interpret):
         return None
 
 
+def compile_chain_rows(program, interpret: bool = False, panel: int = 0,
+                       backend: str = "auto"):
+    """Row-streaming lowering for 2-D programs: rotate the padded domain
+    ``(1, J, K) -> (J, 1, K)`` (frontend.canonicalize.rotate_2d_to_rows)
+    and stream ROWS through the 3-D backends — the panel lowering stacks
+    B rows per op, so large 2-D planes that would force j-tiling stream
+    untiled instead.  Returns ``(fn, "rows+<backend>")``; raises
+    ValueError when the program is not 2-D (callers fall back).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..frontend.canonicalize import rotate_2d_to_rows
+    rot = rotate_2d_to_rows(program)
+    if backend == "panel":
+        from .panel import compile_chain_panel
+        fn, name = (compile_chain_panel(rot, panel=panel,
+                                        interpret=interpret), "panel")
+    elif backend == "stream":
+        from .stream import compile_chain_stream
+        fn, name = compile_chain_stream(rot, interpret=interpret), "stream"
+    else:
+        fn, name = compile_chain_best(rot, interpret=interpret)
+    raw = program.raw_dimensions
+
+    def forward(inputs):
+        return {o: jnp.reshape(r, raw) for o, r in fn(inputs).items()}
+
+    return jax.jit(forward), "rows+" + name
+
+
 def compile_chain_best(program, analysis=None, interpret: bool = False,
                        mxu: str = "auto", mxu_precision: str = "split",
                        spill: str = "auto"):
@@ -104,6 +135,18 @@ def compile_chain_best(program, analysis=None, interpret: bool = False,
         return fn, "stream"
     except (ValueError, NotImplementedError):
         pass
+    if len(program.raw_dimensions) == 2:
+        # 2-D rescue: when no plane-streamer configuration fits (plane too
+        # wide for any j-tile / spill), rotate to row streaming before
+        # falling to the tile/XLA paths.  NOT the blind default — same-day
+        # A/Bs measured rows+panel TIED with the j-tiled streamer at both
+        # deep (8192^2 x8: 19.3-19.5 vs 19.95 GCell/s) and shallow
+        # (16384^2 x2: 41.6 vs 40.3) large 2-D, so the proven path keeps
+        # priority and rows is the rescue / autotune candidate.
+        try:
+            return compile_chain_rows(program, interpret=interpret)
+        except (ValueError, NotImplementedError):
+            pass
     try:
         from .pallas import compile_chain_pallas
         return (compile_chain_pallas(program, analysis,
@@ -113,4 +156,5 @@ def compile_chain_best(program, analysis=None, interpret: bool = False,
     return compile_chain(program, analysis), "xla"
 
 
-__all__ = ["chain_halo", "compile_chain", "run_chain", "compile_chain_best"]
+__all__ = ["chain_halo", "compile_chain", "run_chain", "compile_chain_best",
+           "compile_chain_rows"]

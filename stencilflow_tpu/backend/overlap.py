@@ -107,7 +107,7 @@ def _overlap_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     in_refs = refs[:n_in]
     out_refs = refs[n_in:n_in + n_out]
     streamed = [n for n, k in zip(input_names, input_kinds)
-                if k in ("stream", "stream_partial")]
+                if k in ("stream", "stream_rows", "stream_partial")]
     rings = dict(zip(streamed, refs[n_in + n_out:]))
     g = pl.program_id(0)
     q = g - 1              # output panel this step computes
@@ -126,7 +126,7 @@ def _overlap_kernel_body(program: ir.Program, analysis: ChainAnalysis,
 
     # 1. ingest this step's input panel into the 3-deep ring
     for name, kind, ref in zip(input_names, input_kinds, in_refs):
-        if kind not in ("stream", "stream_partial"):
+        if kind not in ("stream", "stream_rows", "stream_partial"):
             continue
 
         @pl.when(g < n_panels)

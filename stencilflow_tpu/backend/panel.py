@@ -313,7 +313,7 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     # 1. ingest this step's input panel
     n_panels = I // B
     for name, kind, ref in zip(input_names, input_kinds, in_refs):
-        if kind not in ("stream", "stream_partial"):
+        if kind not in ("stream", "stream_rows", "stream_partial"):
             continue
 
         @pl.when(g < n_panels)
@@ -373,7 +373,8 @@ def compile_chain_panel(program: ir.Program,
     analysis = analysis or ChainAnalysis.run(program)
     dims = program.dimensions
     I, J, K = dims
-    if panel <= 0:
+    auto = panel <= 0
+    if auto:
         # target ~1024 sublane rows per op (measured plateau: 128^3 B=4/8/16
         # all 17.3-17.4, 256^3 B=4/8 both ~20, 384^3 B=2 > B=1); J >= 512
         # stays at B=1 — single planes already saturate (1.05 roofline) and
@@ -385,14 +386,23 @@ def compile_chain_panel(program: ir.Program,
         raise ValueError(f"panel {panel} must divide I={I}")
     B = panel
     # every i-offset must fit within one neighboring panel
-    for kname, kspec in program.kernels.items():
-        for f, accs in kspec.accesses().items():
-            for a in accs:
-                if abs(a[0] or 0) > B:
-                    raise ValueError(
-                        f"i-offset {a[0]} exceeds panel size {B}")
+    moff = max((abs(a[0] or 0) for kspec in program.kernels.values()
+                for accs in kspec.accesses().values() for a in accs),
+               default=0)
     plan = PanelPlan.build(analysis, B)
     budget = gate_frac * vmem_budget
+    # auto panels cascade down (to the next divisor of I) until the rings
+    # fit the budget — deep chains and row-streamed 2-D domains (J = 1,
+    # where the sublane-row target alone would ask for B = 1024) land on
+    # the largest affordable panel instead of falling back
+    while (auto and B > max(1, moff)
+           and plan.vmem_bytes(program, J, K) > budget):
+        B = max(1, moff, B // 2)
+        while B > 1 and I % B:
+            B -= 1
+        plan = PanelPlan.build(analysis, B)
+    if moff > B:
+        raise ValueError(f"i-offset {moff} exceeds panel size {B}")
     if plan.vmem_bytes(program, J, K) > budget:
         raise ValueError("panel rings exceed the VMEM budget")
     shiftk = K >= 256
@@ -431,7 +441,7 @@ def compile_chain_panel(program: ir.Program,
     io_est = sum(2 * B * J * K *
                  np.dtype(program.field_dtype(n)).itemsize
                  for n, k in zip(input_names, input_kinds)
-                 if k in ("stream", "stream_partial"))
+                 if k in ("stream", "stream_rows", "stream_partial"))
     io_est += sum(2 * B * J * K * np.dtype(
         jax.dtypes.canonicalize_dtype(program.kernels[o].dtype)).itemsize
         for o in program.outputs)

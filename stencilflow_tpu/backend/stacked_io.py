@@ -8,7 +8,11 @@ enter the kernel and how results leave it is identical:
   static) and the matching BlockSpecs — including the Mosaic workaround
   for partial-rank i-spanning inputs, whose (B, jk) block violates the
   last-two-dims divisibility rule when B % 8 != 0, so the (small) whole
-  array ships instead and rows are sliced in-kernel with ``pl.ds``;
+  array ships instead and rows are sliced in-kernel with ``pl.ds``.
+  When the block IS legal (B a sublane multiple, 4-byte dtype) the
+  partial input streams per-panel instead ("stream_rows") — required
+  for row-streamed 2-D programs (rotate_2d_to_rows), whose main input
+  is (i, k)-masked and would otherwise ship whole into VMEM;
 * panel materialization on ingest (reshape full blocks, row-slice +
   broadcast partial ones);
 * the k-axis shift-in-fill read (one slice + one concat with exact
@@ -22,6 +26,7 @@ from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -49,6 +54,21 @@ def build_input_specs(program: ir.Program, input_names, B: int,
                     lambda g, np_=n_panels:
                         (jnp.minimum(g, np_ - 1), 0, 0),
                     memory_space=pltpu.VMEM))
+            elif (any(spec.dim_mask[1:]) and B % 8 == 0
+                  and np.dtype(spec.dtype).itemsize == 4):
+                # (B, jk...) blocks satisfy Mosaic's last-two-dims rule:
+                # stream panels instead of shipping the whole array.
+                # (i,)-only rank-1 inputs stay on the whole-array path —
+                # they are I*itemsize bytes, and a 1-D block window is
+                # not worth the Mosaic edge case.
+                input_kinds.append("stream_rows")
+                jk = [d for d in (1, 2) if spec.dim_mask[d]]
+                blk = (B,) + tuple((J, K)[d - 1] for d in jk)
+                in_specs.append(pl.BlockSpec(
+                    blk,
+                    lambda g, np_=n_panels, n=len(jk):
+                        (jnp.minimum(g, np_ - 1),) + (0,) * n,
+                    memory_space=pltpu.VMEM))
             else:
                 input_kinds.append("stream_partial")
                 jk = [d for d in (1, 2) if spec.dim_mask[d]]
@@ -74,7 +94,10 @@ def ingest_panel(spec: ir.InputSpec, kind: str, ref, g, B: int, dims):
         return ref[...].reshape(B * J, K)
     pj = J if spec.dim_mask[1] else 1
     pk = K if spec.dim_mask[2] else 1
-    rows = ref[pl.ds(g * B, B)]
+    if kind == "stream_rows":
+        rows = ref[...]          # the block IS this panel's rows
+    else:
+        rows = ref[pl.ds(g * B, B)]
     return jnp.broadcast_to(rows.reshape(B, pj, pk),
                             (B, J, K)).reshape(B * J, K)
 

@@ -940,3 +940,104 @@ def test_overlap_static_inputs_dont_bound_panel():
     # and the auto policy routes this shallow chain to overlap
     fn, name = _try_stacked(p, ChainAnalysis.run(p), interpret=True)
     assert name == "overlap"
+
+
+class TestRowStreaming2D:
+    """rotate_2d_to_rows + compile_chain_rows: 2-D programs stream as
+    rows of the rotated (J, 1, K) domain."""
+
+    def _mixed_2d(self, n=48):
+        spec = {
+            "inputs": {
+                "a": {"data": "random:-1,1", "data_type": "float32"},
+                "col": {"data": "random:-1,1", "data_type": "float32",
+                        "input_dims": ["j"]},
+                "row": {"data": "random:-1,1", "data_type": "float32",
+                        "input_dims": ["k"]},
+                "sc": {"data": 0.5, "data_type": "float32",
+                       "input_dims": []},
+            },
+            "outputs": ["c"],
+            "dimensions": [n, n],
+            "program": {
+                "b": {"computation_string":
+                      "b = 0.25*(a[j-1,k]+a[j+1,k]+a[j,k-1]+a[j,k+1])"
+                      " + col[j] + row[k-1]*sc",
+                      "boundary_conditions": {
+                          "a": {"type": "constant", "value": 1.0},
+                          "col": {"type": "constant", "value": 0.0},
+                          "row": {"type": "constant", "value": 0.0}},
+                      "data_type": "float32"},
+                "c": {"computation_string":
+                      "c = b[j,k] - 0.5*(b[j-2,k+1] + b[j+1,k-2])",
+                      "boundary_conditions": {"b": {"type": "copy"}},
+                      "data_type": "float32"},
+            },
+        }
+        return sft.parse_program(spec, name="mixed2d")
+
+    def test_rotated_oracle_bit_exact(self):
+        """The rotation is a pure iteration-space relabeling: the oracle
+        on the rotated program equals the unrotated oracle bitwise."""
+        from stencilflow_tpu.frontend.canonicalize import rotate_2d_to_rows
+        p = self._mixed_2d()
+        rot = rotate_2d_to_rows(p)
+        assert rot.dimensions == (48, 1, 48)
+        ins = sft.load_input_arrays(p, seed=3)
+        ref = np.asarray(sft.run_interpreter(p, ins)["c"])
+        got = np.asarray(sft.run_interpreter(rot, ins)["c"])
+        np.testing.assert_array_equal(got.reshape(ref.shape), ref)
+
+    @pytest.mark.parametrize("backend", ["panel", "stream"])
+    def test_rows_backends_match_oracle(self, backend):
+        """Mixed-rank inputs (j-span -> i-span rings, k-span, scalar),
+        copy BC, asymmetric offsets through both row backends."""
+        from stencilflow_tpu.backend import compile_chain_rows
+        p = self._mixed_2d()
+        ins = sft.load_input_arrays(p, seed=3)
+        ref = np.asarray(sft.run_interpreter(p, ins)["c"], np.float64)
+        fn, name = compile_chain_rows(p, interpret=True, backend=backend)
+        assert name == f"rows+{backend}"
+        got = np.asarray(fn({k: jnp.asarray(v) for k, v in ins.items()})["c"])
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+    def test_rows_jacobi2d_reference_shape(self):
+        from stencilflow_tpu.backend import compile_chain_rows
+        p = sft.parse_program(jacobi(2, 64, iterations=4), name="j2d")
+        ins = sft.load_input_arrays(p, seed=0)
+        out = p.outputs[0]
+        ref = np.asarray(sft.run_interpreter(p, ins)[out], np.float64)
+        fn, _ = compile_chain_rows(p, interpret=True, backend="panel")
+        got = np.asarray(fn({k: jnp.asarray(v) for k, v in ins.items()})[out])
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+    def test_rejects_non_2d(self):
+        from stencilflow_tpu.frontend.canonicalize import rotate_2d_to_rows
+        p3 = sft.parse_program(jacobi(3, 8, iterations=2), name="j3")
+        with pytest.raises(ValueError):
+            rotate_2d_to_rows(p3)
+
+    def test_panel_auto_cascades_under_budget(self):
+        """Auto panels step down to the largest affordable divisor of I
+        instead of raising — rotated 2-D domains (J=1) would otherwise
+        ask for B=1024 and always overflow the ring budget."""
+        from stencilflow_tpu.backend.panel import compile_chain_panel
+        from stencilflow_tpu.frontend.canonicalize import rotate_2d_to_rows
+        p = sft.parse_program(jacobi(2, 64, iterations=4), name="j2c")
+        rot = rotate_2d_to_rows(p)
+        # generous budget: B = min(1024, I//2) = 32 fits outright
+        compile_chain_panel(rot, interpret=True)
+        assert compile_chain_panel.last_config["panel"] == 32
+        # tight budget: cascade to a smaller divisor, still compiles
+        fn = compile_chain_panel(rot, interpret=True,
+                                 vmem_budget=1 << 16)
+        b = compile_chain_panel.last_config["panel"]
+        assert 1 <= b < 32 and 64 % b == 0
+        ins = sft.load_input_arrays(p, seed=0)
+        out = p.outputs[0]
+        ref = np.asarray(sft.run_interpreter(p, ins)[out], np.float64)
+        got = np.asarray(fn({k: jnp.asarray(v) for k, v in
+                             ins.items()})[out])
+        np.testing.assert_allclose(got.reshape(ref.shape), ref,
+                                   rtol=2e-5, atol=1e-6)
