@@ -597,7 +597,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--repetitions", type=int, default=1)
     p.add_argument("--backend", default="auto",
                    choices=["auto", "autotuned", "stream", "panel",
-                            "overlap", "pallas", "xla", "interpreter"])
+                            "overlap", "rows", "pallas", "xla",
+                            "interpreter"])
     p.add_argument("--host-chunks", type=int, default=0, metavar="N",
                    help="out-of-core: stream the domain through the "
                         "device in N i-chunks (for domains larger than "

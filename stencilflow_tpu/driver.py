@@ -166,6 +166,9 @@ def run_program(stencil_file, mode: str = "emulation",
             fn, bname = (compile_chain_overlap(program, analysis,
                                                interpret=interpret),
                          "overlap")
+        elif backend == "rows":
+            from .backend import compile_chain_rows
+            fn, bname = compile_chain_rows(program, interpret=interpret)
         elif backend == "pallas":
             from .backend.pallas import compile_chain_pallas
             fn, bname = (compile_chain_pallas(program, analysis,
