@@ -88,11 +88,15 @@ def _builders(program: ir.Program, analysis: ChainAnalysis,
     if len(program.raw_dimensions) == 2:
         from .backend import compile_chain_rows
         b["rows:auto"] = lambda: compile_chain_rows(
-            program, interpret=interpret)[0]
+            program, interpret=interpret, mxu=mxu,
+            mxu_precision=mxu_precision, spill=spill)[0]
         for B in (16, 32, 64):
+            # explicit rows panels relax the gate like every other
+            # explicit panel/overlap candidate (autotune catches Mosaic
+            # failures itself)
             b[f"rows:B={B}"] = (lambda B=B: compile_chain_rows(
                 program, interpret=interpret, panel=B,
-                backend="panel")[0])
+                backend="panel", gate_frac=1.0)[0])
     b["pallas"] = lambda: compile_chain_pallas(
         program, analysis, interpret=interpret)
     b["xla"] = lambda: compile_chain(program, analysis)

@@ -65,28 +65,39 @@ def _try_stacked(program, analysis, interpret):
 
 
 def compile_chain_rows(program, interpret: bool = False, panel: int = 0,
-                       backend: str = "auto"):
+                       backend: str = "auto", mxu: str = "auto",
+                       mxu_precision: str = "split", spill: str = "auto",
+                       gate_frac: float = 0.7):
     """Row-streaming lowering for 2-D programs: rotate the padded domain
     ``(1, J, K) -> (J, 1, K)`` (frontend.canonicalize.rotate_2d_to_rows)
     and stream ROWS through the 3-D backends — the panel lowering stacks
     B rows per op, so large 2-D planes that would force j-tiling stream
     untiled instead.  Returns ``(fn, "rows+<backend>")``; raises
     ValueError when the program is not 2-D (callers fall back).
+    ``mxu``/``mxu_precision``/``spill`` forward to the inner lowering
+    (so ``run --no-mxu --backend rows`` is honored); ``gate_frac``
+    scales the panel VMEM gate (autotune passes 1.0, see panel.py).
     """
     import jax
     import jax.numpy as jnp
 
     from ..frontend.canonicalize import rotate_2d_to_rows
     rot = rotate_2d_to_rows(program)
-    if backend == "panel":
+    if backend == "panel" or (backend == "auto" and panel > 0):
         from .panel import compile_chain_panel
         fn, name = (compile_chain_panel(rot, panel=panel,
-                                        interpret=interpret), "panel")
+                                        interpret=interpret,
+                                        gate_frac=gate_frac), "panel")
     elif backend == "stream":
         from .stream import compile_chain_stream
-        fn, name = compile_chain_stream(rot, interpret=interpret), "stream"
+        fn, name = (compile_chain_stream(rot, interpret=interpret,
+                                         mxu=mxu,
+                                         mxu_precision=mxu_precision,
+                                         spill=spill), "stream")
     else:
-        fn, name = compile_chain_best(rot, interpret=interpret)
+        fn, name = compile_chain_best(rot, interpret=interpret, mxu=mxu,
+                                      mxu_precision=mxu_precision,
+                                      spill=spill)
     raw = program.raw_dimensions
 
     def forward(inputs):

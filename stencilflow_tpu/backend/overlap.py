@@ -59,8 +59,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import config, ir
 from ..config import JUNK_VAL
 from ..frontend.analysis import ChainAnalysis
-from .stacked_io import (build_input_specs, ingest_panel, make_forward,
-                         shift_fill_k)
+from .stacked_io import (build_input_specs, has_partial_rank_risk,
+                         ingest_panel, input_resident_bytes,
+                         make_forward, shift_fill_k)
 from .tile_eval import eval_kernel_statements
 
 
@@ -324,23 +325,32 @@ def compile_chain_overlap(program: ir.Program,
     # Mosaic)
     isz = {f: np.dtype(program.field_dtype(f)).itemsize
            for f in list(program.inputs) + list(program.kernels)}
+    input_names_all = list(program.inputs)
     c1 = (sum(3 * J * K * isz[f] for f in streamed)
           + sum(J * K * isz[f] for f in needs if f in program.kernels)
-          + sum(2 * J * K * isz[f]
-                for f in list(streamed) + list(program.outputs)))
+          + sum(2 * J * K * isz[f] for f in program.outputs))
     c0 = sum((lo + hi) * J * K * isz[f]
              for f, (lo, hi) in needs.items() if f in program.kernels)
 
     def est_for(b: int) -> int:
-        return c0 + c1 * b
+        # rings + temporaries (affine in b) + the input blocks the
+        # BlockSpecs keep resident — whole arrays for stream_partial
+        # inputs (kind depends on b % 8; previously un-counted, ADVICE r2)
+        return (c0 + c1 * b
+                + input_resident_bytes(program, input_names_all, b, dims))
 
     if panel <= 0:
         # big panels amortize the halo recompute ((B+2H)/B per stage);
         # same ~1024-sublane-row op target as panel mode, floored at 4H
-        # so the waste stays <= 50%; smallest divisor of I that fits
+        # so the waste stays <= 50%; smallest divisor of I that fits —
+        # preferring sublane multiples (B % 8 == 0) when a partial-rank
+        # input would otherwise ship whole-array (stream_partial)
         target = max(1, 4 * H, (1024 // J) if J < 512 else 1)
         cands = [d for d in range(1, I + 1)
                  if I % d == 0 and d >= min(target, I)]
+        if has_partial_rank_risk(program):
+            c8 = [d for d in cands if d % 8 == 0]
+            cands = c8 or cands
         panel = min(cands) if cands else I
         # Do NOT step the panel down to a smaller divisor when the
         # estimate exceeds the budget: halo recompute+re-read scale as

@@ -50,8 +50,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import config, ir
 from ..config import JUNK_VAL
 from ..frontend.analysis import ChainAnalysis
-from .stacked_io import (build_input_specs, ingest_panel, make_forward,
-                         shift_fill_k)
+from .stacked_io import (build_input_specs, has_partial_rank_risk,
+                         ingest_panel, input_resident_bytes,
+                         make_forward, shift_fill_k)
 from .tile_eval import eval_kernel_statements
 
 
@@ -374,14 +375,27 @@ def compile_chain_panel(program: ir.Program,
     dims = program.dimensions
     I, J, K = dims
     auto = panel <= 0
+    prefer8 = has_partial_rank_risk(program)
+
+    def _divisor_at_most(ceiling: int) -> int:
+        """Largest divisor of I <= ceiling; prefers sublane multiples
+        (B % 8 == 0) when a partial-rank input would otherwise fall off
+        the stream_rows path onto whole-array stream_partial."""
+        ceiling = max(1, min(ceiling, I))
+        divs = [d for d in range(1, ceiling + 1) if I % d == 0]
+        if prefer8:
+            d8 = [d for d in divs if d % 8 == 0]
+            if d8:
+                return d8[-1]
+        return divs[-1]
+
     if auto:
         # target ~1024 sublane rows per op (measured plateau: 128^3 B=4/8/16
         # all 17.3-17.4, 256^3 B=4/8 both ~20, 384^3 B=2 > B=1); J >= 512
         # stays at B=1 — single planes already saturate (1.05 roofline) and
         # B=2 rings at (1024, 512) push Mosaic compile past 5 minutes
-        panel = max(1, min(1024 // J if J < 512 else 1, I // 2)) or 1
-        while panel > 1 and I % panel:
-            panel -= 1
+        panel = _divisor_at_most(
+            max(1, min(1024 // J if J < 512 else 1, I // 2)) or 1)
     if I % panel or panel < 1:
         raise ValueError(f"panel {panel} must divide I={I}")
     B = panel
@@ -391,23 +405,31 @@ def compile_chain_panel(program: ir.Program,
                default=0)
     plan = PanelPlan.build(analysis, B)
     budget = gate_frac * vmem_budget
+    input_names = list(program.inputs)
+
+    def _state_bytes(plan_, B_):
+        # rings + the input blocks the BlockSpecs keep resident (whole
+        # arrays for stream_partial — previously un-counted, ADVICE r2)
+        return (plan_.vmem_bytes(program, J, K)
+                + input_resident_bytes(program, input_names, B_, dims))
+
     # auto panels cascade down (to the next divisor of I) until the rings
     # fit the budget — deep chains and row-streamed 2-D domains (J = 1,
     # where the sublane-row target alone would ask for B = 1024) land on
     # the largest affordable panel instead of falling back
     while (auto and B > max(1, moff)
-           and plan.vmem_bytes(program, J, K) > budget):
-        B = max(1, moff, B // 2)
-        while B > 1 and I % B:
-            B -= 1
+           and _state_bytes(plan, B) > budget):
+        nb = _divisor_at_most(max(1, B // 2))
+        if nb >= B:
+            break   # no smaller divisor of I exists
+        B = nb
         plan = PanelPlan.build(analysis, B)
     if moff > B:
         raise ValueError(f"i-offset {moff} exceeds panel size {B}")
-    if plan.vmem_bytes(program, J, K) > budget:
+    if _state_bytes(plan, B) > budget:
         raise ValueError("panel rings exceed the VMEM budget")
     shiftk = K >= 256
 
-    input_names = list(program.inputs)
     n_panels = I // B
     input_kinds, in_specs = build_input_specs(program, input_names, B,
                                               dims, n_panels)
@@ -438,10 +460,7 @@ def compile_chain_panel(program: ir.Program,
     # blocks + pair-stack/eval temporaries (~8 panels); limits above
     # 64 MiB measurably halve DMA throughput (config.vmem_limit_for)
     panel_b = B * J * K * 4
-    io_est = sum(2 * B * J * K *
-                 np.dtype(program.field_dtype(n)).itemsize
-                 for n, k in zip(input_names, input_kinds)
-                 if k in ("stream", "stream_rows", "stream_partial"))
+    io_est = input_resident_bytes(program, input_names, B, dims)
     io_est += sum(2 * B * J * K * np.dtype(
         jax.dtypes.canonicalize_dtype(program.kernels[o].dtype)).itemsize
         for o in program.outputs)

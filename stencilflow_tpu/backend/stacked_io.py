@@ -33,6 +33,68 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import ir
 
 
+def classify_input(spec: ir.InputSpec, B: int) -> str:
+    """Kind of BlockSpec an input gets at panel size ``B``: ``scalar``,
+    full-rank per-panel ``stream``, partial-rank per-panel
+    ``stream_rows`` (legal only when B is a sublane multiple and the
+    dtype is 4-byte — Mosaic's last-two-dims divisibility rule),
+    whole-array ``stream_partial``, or i-invariant ``static``."""
+    if spec.is_scalar:
+        return "scalar"
+    if spec.dim_mask[0]:
+        if spec.dim_mask[1] and spec.dim_mask[2]:
+            return "stream"
+        if (any(spec.dim_mask[1:]) and B % 8 == 0
+                and np.dtype(spec.dtype).itemsize == 4):
+            return "stream_rows"
+        return "stream_partial"
+    return "static"
+
+
+def input_resident_bytes(program: ir.Program, input_names, B: int,
+                         dims) -> int:
+    """VMEM bytes the input BlockSpecs keep resident at panel size B:
+    2x the per-panel block for streamed kinds (Pallas double-buffers),
+    but the WHOLE array for ``stream_partial`` — its block IS the full
+    (I, jk) array, which for large odd-factor domains (e.g. rotated
+    4500^2 f32 -> 81 MiB) dwarfs the rings; un-counted it let the gate
+    pass and the kernel die inside Mosaic at first call (ADVICE r2).
+    ``static`` inputs keep their full (jk) plane."""
+    I, J, K = dims
+    total = 0
+    for name in input_names:
+        spec = program.inputs[name]
+        kind = classify_input(spec, B)
+        if kind == "scalar":
+            continue
+        isz = np.dtype(spec.dtype).itemsize
+        if kind in ("stream", "stream_rows"):
+            jk = 1
+            for d in (1, 2):
+                if spec.dim_mask[d]:
+                    jk *= dims[d]
+            total += 2 * B * jk * isz
+        else:  # stream_partial / static: whole spanned array resident
+            n = 1
+            for d in range(3):
+                if spec.dim_mask[d]:
+                    n *= dims[d]
+            total += n * isz
+    return total
+
+
+def has_partial_rank_risk(program: ir.Program) -> bool:
+    """True when some input would classify ``stream_partial`` at a
+    non-sublane-multiple B but ``stream_rows`` at B % 8 == 0 — i.e. the
+    auto-panel cascade should prefer sublane-multiple divisors."""
+    return any(
+        not sp.is_scalar and sp.dim_mask[0]
+        and not (sp.dim_mask[1] and sp.dim_mask[2])
+        and any(sp.dim_mask[1:])
+        and np.dtype(sp.dtype).itemsize == 4
+        for sp in program.inputs.values())
+
+
 def build_input_specs(program: ir.Program, input_names, B: int,
                       dims, n_panels: int
                       ) -> Tuple[List[str], List[Any]]:
@@ -42,43 +104,38 @@ def build_input_specs(program: ir.Program, input_names, B: int,
     in_specs: List[Any] = []
     for name in input_names:
         spec = program.inputs[name]
-        if spec.is_scalar:
-            input_kinds.append("scalar")
+        kind = classify_input(spec, B)
+        input_kinds.append(kind)
+        if kind == "scalar":
             in_specs.append(pl.BlockSpec((1, 1), lambda g: (0, 0),
                                          memory_space=pltpu.SMEM))
-        elif spec.dim_mask[0]:
-            if spec.dim_mask[1] and spec.dim_mask[2]:
-                input_kinds.append("stream")
-                in_specs.append(pl.BlockSpec(
-                    (B, J, K),
-                    lambda g, np_=n_panels:
-                        (jnp.minimum(g, np_ - 1), 0, 0),
-                    memory_space=pltpu.VMEM))
-            elif (any(spec.dim_mask[1:]) and B % 8 == 0
-                  and np.dtype(spec.dtype).itemsize == 4):
-                # (B, jk...) blocks satisfy Mosaic's last-two-dims rule:
-                # stream panels instead of shipping the whole array.
-                # (i,)-only rank-1 inputs stay on the whole-array path —
-                # they are I*itemsize bytes, and a 1-D block window is
-                # not worth the Mosaic edge case.
-                input_kinds.append("stream_rows")
-                jk = [d for d in (1, 2) if spec.dim_mask[d]]
-                blk = (B,) + tuple((J, K)[d - 1] for d in jk)
-                in_specs.append(pl.BlockSpec(
-                    blk,
-                    lambda g, np_=n_panels, n=len(jk):
-                        (jnp.minimum(g, np_ - 1),) + (0,) * n,
-                    memory_space=pltpu.VMEM))
-            else:
-                input_kinds.append("stream_partial")
-                jk = [d for d in (1, 2) if spec.dim_mask[d]]
-                sizes = [I] + [(J, K)[d - 1] for d in jk]
-                in_specs.append(pl.BlockSpec(
-                    tuple(sizes),
-                    lambda g, n=len(jk): (0,) * (n + 1),
-                    memory_space=pltpu.VMEM))
-        else:
-            input_kinds.append("static")
+        elif kind == "stream":
+            in_specs.append(pl.BlockSpec(
+                (B, J, K),
+                lambda g, np_=n_panels:
+                    (jnp.minimum(g, np_ - 1), 0, 0),
+                memory_space=pltpu.VMEM))
+        elif kind == "stream_rows":
+            # (B, jk...) blocks satisfy Mosaic's last-two-dims rule:
+            # stream panels instead of shipping the whole array.
+            # (i,)-only rank-1 inputs stay on the whole-array path —
+            # they are I*itemsize bytes, and a 1-D block window is
+            # not worth the Mosaic edge case.
+            jk = [d for d in (1, 2) if spec.dim_mask[d]]
+            blk = (B,) + tuple((J, K)[d - 1] for d in jk)
+            in_specs.append(pl.BlockSpec(
+                blk,
+                lambda g, np_=n_panels, n=len(jk):
+                    (jnp.minimum(g, np_ - 1),) + (0,) * n,
+                memory_space=pltpu.VMEM))
+        elif kind == "stream_partial":
+            jk = [d for d in (1, 2) if spec.dim_mask[d]]
+            sizes = [I] + [(J, K)[d - 1] for d in jk]
+            in_specs.append(pl.BlockSpec(
+                tuple(sizes),
+                lambda g, n=len(jk): (0,) * (n + 1),
+                memory_space=pltpu.VMEM))
+        else:  # static
             spanned = [d for d in (1, 2) if spec.dim_mask[d]]
             in_specs.append(pl.BlockSpec(
                 tuple((J, K)[d - 1] for d in spanned),

@@ -25,8 +25,9 @@ def _offset_str(iters, offs):
     return "[" + ", ".join(parts) + "]"
 
 
-def make_random_program(rng: np.random.Generator, seed_id: int):
-    ndim = int(rng.integers(2, 4))
+def make_random_program(rng: np.random.Generator, seed_id: int,
+                        ndim: int = 0):
+    ndim = ndim or int(rng.integers(2, 4))
     dims = [int(rng.integers(4, 9)) for _ in range(ndim)]
     iters = ["i", "j", "k"][3 - ndim:]
     n_stages = int(rng.integers(2, 6))
@@ -301,6 +302,69 @@ def test_random_program_all_engines(seed):
             continue
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6,
                                    err_msg=f"{name} backend")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_2d_program_rows(seed):
+    """2-D random DAGs through the row-streaming engine
+    (rotate_2d_to_rows + panel / plane streamer) vs the oracle.  Rows is
+    the RESCUE path — it fires exactly when no other 2-D configuration
+    fits — so it gets the same zero-failure fuzz bar as the engines in
+    test_random_program_all_engines (VERDICT r2 weak #5)."""
+    import jax.numpy as jnp
+
+    from stencilflow_tpu.backend import compile_chain_rows
+
+    rng = np.random.default_rng(4200 + seed)
+    spec = make_random_program(rng, seed, ndim=2)
+    p = sft.parse_program(spec, name=f"rows{seed}")
+    inputs = sft.load_input_arrays(p, seed=seed)
+    jins = {k: jnp.asarray(v) for k, v in inputs.items()}
+    out = p.outputs[0]
+    ref = np.asarray(sft.run_interpreter(p, inputs)[out], np.float64)
+
+    # the plane streamer must always be in scope for a rotated 2-D
+    # program (rows' rescue contract); panel may reject odd row counts
+    fn, name = compile_chain_rows(p, interpret=True, backend="stream")
+    got = np.asarray(fn(jins)[out])
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6,
+                               err_msg=f"{name}")
+    for panel in (0, 2):
+        try:
+            fnp, namep = compile_chain_rows(p, interpret=True,
+                                            backend="panel", panel=panel)
+        except ValueError:
+            continue   # panel must divide the row count
+        gotp = np.asarray(fnp(jins)[out])
+        np.testing.assert_allclose(gotp, ref, rtol=2e-5, atol=1e-6,
+                                   err_msg=f"{namep} panel={panel}")
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_random_2d_rows_outofcore_composition(seed):
+    """Out-of-core host chunking composes with row rotation: the rotated
+    program's row axis is the chunked i axis, so arbitrarily tall 2-D
+    domains stream through bounded device memory."""
+    from stencilflow_tpu.backend.xla import chain_halo
+    from stencilflow_tpu.frontend.analysis import ChainAnalysis
+    from stencilflow_tpu.frontend.canonicalize import rotate_2d_to_rows
+    from stencilflow_tpu.outofcore import run_chunked
+
+    rng = np.random.default_rng(4300 + seed)
+    spec = make_random_program(rng, seed, ndim=2)
+    # each of the 2 chunks must keep an interior after halo widening
+    rot0 = rotate_2d_to_rows(sft.parse_program(spec, name="probe"))
+    h = chain_halo(ChainAnalysis.run(rot0))[0]
+    spec["dimensions"] = [2 * (h + 2), int(spec["dimensions"][1])]
+    p = sft.parse_program(spec, name=f"rowsooc{seed}")
+    inputs = sft.load_input_arrays(p, seed=seed)
+    out = p.outputs[0]
+    ref = np.asarray(sft.run_interpreter(p, inputs)[out], np.float64)
+
+    rot = rotate_2d_to_rows(p)
+    got = run_chunked(rot, inputs, chunks=2, backend="xla")[out]
+    np.testing.assert_allclose(got.reshape(ref.shape), ref,
+                               rtol=2e-5, atol=1e-6)
 
 
 @pytest.mark.parametrize("seed", range(4))
