@@ -396,6 +396,10 @@ def _cmd_partition(args) -> int:
         if len(segments) != args.devices:
             print(f"note: {len(segments)} segments from --at; pass "
                   f"--devices {len(segments)} to run-distributed")
+    elif args.cut:
+        from .parallel.pipeline import split_kernels_at_cut
+        segments = split_kernels_at_cut(
+            graph, [k.strip() for k in args.cut.split(",")])
     elif args.optimize:
         from .parallel.pipeline import optimize_split
         segments, stats = optimize_split(program, graph, args.devices)
@@ -482,10 +486,10 @@ def _cmd_run_distributed(args) -> int:
         print("--comm-overlap applies to domain mode only",
               file=sys.stderr)
         return 2
-    if args.parallel_mode == "domain" and (args.split_at or
+    if args.parallel_mode == "domain" and (args.split_at or args.cut or
                                            args.optimize_cuts):
-        print("--split-at/--optimize-cuts apply to pipeline mode only "
-              "(pass --parallel-mode pipeline)", file=sys.stderr)
+        print("--split-at/--cut/--optimize-cuts apply to pipeline mode "
+              "only (pass --parallel-mode pipeline)", file=sys.stderr)
         return 2
     if multihost and args.parallel_mode != "domain":
         print("multi-host supports --parallel-mode domain",
@@ -547,6 +551,8 @@ def _cmd_run_distributed(args) -> int:
             program, mesh, "p", num_chunks=args.num_chunks,
             split_at=([k.strip() for k in args.split_at.split(",")]
                       if args.split_at else None),
+            cut=([k.strip() for k in args.cut.split(",")]
+                 if args.cut else None),
             optimize_cuts=args.optimize_cuts)
         out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
         outputs = {k: np.asarray(v) for k, v in out.items()}
@@ -787,6 +793,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--at", default=None,
                    help="comma-separated kernel names to cut after "
                         "(named-stream split) instead of auto-balancing")
+    p.add_argument("--cut", default=None,
+                   help="comma-separated kernel names forming one "
+                        "downward-closed cut set (may be non-prefix on "
+                        "forked chains; see --enumerate-cuts)")
     p.add_argument("--optimize", action="store_true",
                    help="search cuts minimizing the bottleneck segment "
                         "load, tie-breaking on inter-device traffic")
@@ -804,6 +814,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pipeline mode: comma-separated kernel names to "
                         "cut after (the reference's split at a named "
                         "stream); cuts+1 must equal --devices")
+    p.add_argument("--cut", default=None,
+                   help="pipeline mode (2 devices): comma-separated "
+                        "kernel names forming a downward-closed cut set "
+                        "(any 'partition --enumerate-cuts' member, "
+                        "non-prefix fork cuts included)")
     p.add_argument("--optimize-cuts", action="store_true",
                    help="pipeline mode: search cuts minimizing the "
                         "bottleneck segment load")
@@ -835,7 +850,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except ValueError as exc:
+        # configuration errors (invalid cuts/segments, bad chunk counts,
+        # malformed programs) exit 2 with a message on every subcommand
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +73,67 @@ def split_kernels_at(graph: ChainGraph,
                          f"{order[-1]!r}: the tail segment would be empty")
     bounds = [0] + [i + 1 for i in idxs] + [len(order)]
     return [order[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
+
+
+def split_kernels_at_cut(graph: ChainGraph,
+                         before: Sequence[str]) -> List[List[str]]:
+    """Segments ``[before, after]`` for an ARBITRARY downward-closed cut
+    set — any member of ``graph.enumerate_cuts()``, including cuts that
+    are not a prefix of the global topological order (forks with
+    interleaved branches).  Each segment is the topological order
+    restricted to its side, which is a valid order of the induced
+    subgraph, so the wavefront executor runs it unchanged (the
+    reference's cut-at-any-stream, sdfg_generator.py:782)."""
+    order = graph.kernel_order
+    bset = set(before)
+    unknown = sorted(bset - set(order))
+    if unknown:
+        raise ValueError(f"unknown cut kernel(s): {unknown}; "
+                         f"kernels are {order}")
+    if not bset or len(bset) == len(order):
+        raise ValueError("cut must be a non-trivial kernel subset")
+    for k in sorted(bset):
+        for p in graph.producers(k):
+            if p in graph.program.kernels and p not in bset:
+                raise ValueError(
+                    f"cut is not downward-closed: {k!r} (inside) reads "
+                    f"{p!r} (outside); valid cuts are "
+                    "graph.enumerate_cuts() members")
+    return [[k for k in order if k in bset],
+            [k for k in order if k not in bset]]
+
+
+def validate_segments(graph: ChainGraph,
+                      segments: Sequence[Sequence[str]]
+                      ) -> List[List[str]]:
+    """Check an explicit segment partition: every kernel exactly once and
+    no dependency from a later segment back into an earlier one.  Returns
+    the segments re-ordered internally by the global topological order
+    (any such subsequence is a valid order of the induced subgraph)."""
+    order = graph.kernel_order
+    seg_of: Dict[str, int] = {}
+    for si, seg in enumerate(segments):
+        for k in seg:
+            if k in seg_of:
+                raise ValueError(f"kernel {k!r} appears in segments "
+                                 f"{seg_of[k]} and {si}")
+            seg_of[k] = si
+    missing = [k for k in order if k not in seg_of]
+    extra = sorted(set(seg_of) - set(order))
+    if missing or extra:
+        raise ValueError(f"segments must partition the kernels; "
+                         f"missing={missing} unknown={extra}")
+    if any(not s for s in segments):
+        raise ValueError("empty pipeline segment")
+    for k in order:
+        for p in graph.producers(k):
+            if p in seg_of and seg_of[p] > seg_of[k]:
+                raise ValueError(
+                    f"segment {seg_of[k]} kernel {k!r} reads {p!r} from "
+                    f"later segment {seg_of[p]}: each segment's producers "
+                    "must live in the same or an earlier segment")
+    return [[k for k in order if seg_of[k] == si]
+            for si in range(len(segments))]
 
 
 def optimize_split(program: ir.Program, graph: ChainGraph,
@@ -192,14 +253,17 @@ def _segment_eval(program, graph, segment, tiles, origin, halo):
 
 
 def _segment_program(program: ir.Program, graph: ChainGraph,
-                     segment: List[str]) -> ir.Program:
+                     segment: List[str], seg_idx: int,
+                     later_kernels: Set[str]) -> ir.Program:
     """Stand-alone sub-program for one pipeline segment.
 
     Upstream kernel fields the segment reads become full-3D inputs (their
     widened tiles arrive in the pipeline carry); outputs are the segment's
-    kernels consumed by later segments or by the program itself.  Global
-    ``dimensions`` are kept — boundary-condition masks must see global
-    coordinates (the widened-tile origin is supplied at run time)."""
+    kernels consumed by ``later_kernels`` (membership in later segments —
+    NOT topological position, so non-prefix downward-closed cuts work) or
+    by the program itself.  Global ``dimensions`` are kept — boundary-
+    condition masks must see global coordinates (the widened-tile origin
+    is supplied at run time)."""
     seg_set = set(segment)
     kernels = {k: program.kernels[k] for k in segment}
     inputs: Dict[str, ir.InputSpec] = {}
@@ -212,16 +276,13 @@ def _segment_program(program: ir.Program, graph: ChainGraph,
             else:
                 inputs[f] = ir.InputSpec(f, program.kernels[f].dtype,
                                          (True, True, True), None)
-    order = graph.kernel_order
-    idx = {k: i for i, k in enumerate(order)}
-    last = max(idx[k] for k in segment)
     later_reads = set()
-    for k in order:
-        if idx[k] > last:
-            later_reads.update(program.kernels[k].accesses())
+    for k in later_kernels:
+        later_reads.update(program.kernels[k].accesses())
     outs = [k for k in segment
             if k in later_reads or k in program.outputs]
-    return dataclasses.replace(program, name=f"{program.name}_seg{last}",
+    return dataclasses.replace(program,
+                               name=f"{program.name}_seg{seg_idx}",
                                inputs=inputs, outputs=outs, kernels=kernels)
 
 
@@ -245,8 +306,9 @@ def _segment_stream_fns(program: ir.Program, graph: ChainGraph,
     widened = (chunk + 2 * halo[0], dims[1] + 2 * halo[1],
                dims[2] + 2 * halo[2])
     fns = []
-    for segment in segments:
-        subp = _segment_program(program, graph, segment)
+    for seg_idx, segment in enumerate(segments):
+        later: Set[str] = {k for s in segments[seg_idx + 1:] for k in s}
+        subp = _segment_program(program, graph, segment, seg_idx, later)
         suba = ChainAnalysis.run(subp)
         splan = StreamPlan.build(suba, local_jk=(widened[1], widened[2]),
                                  halo_jk=(0, 0))
@@ -651,6 +713,9 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
                            mxu_precision: str = "split",
                            vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET,
                            split_at: Optional[Sequence[str]] = None,
+                           cut: Optional[Sequence[str]] = None,
+                           segments: Optional[Sequence[Sequence[str]]]
+                           = None,
                            optimize_cuts: bool = False,
                            io: str = "auto"):
     """Jitted wavefront-pipelined chain over ``mesh.shape[axis]`` devices.
@@ -669,21 +734,37 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
     a streaming Pallas kernel over the widened chunk tile (the production
     TPU path, with the MXU lowering for wide affine stages), "xla" the
     fused tile evaluator (runs anywhere), "auto" picks by platform.
+
+    Partition selection (at most one): ``split_at`` cuts after named
+    kernels in the global topological order; ``cut`` realizes ONE
+    arbitrary downward-closed cut set (any ``enumerate_cuts()`` member —
+    forks may interleave, the cut need not be an order prefix);
+    ``segments`` gives the full partition explicitly (validated);
+    ``optimize_cuts`` searches contiguous cuts for minimal bottleneck.
     Returns ``(fn, plan)``.
     """
     analysis = analysis or ChainAnalysis.run(program)
     graph = analysis.graph
     S = mesh.shape[axis]
-    if split_at is not None:
+    if sum(x is not None for x in (split_at, cut, segments)) > 1:
+        raise ValueError("pass at most one of split_at / cut / segments")
+    if segments is not None:
+        # explicit partition: any order-respecting assignment, including
+        # non-prefix downward-closed cuts on forked chains
+        segments = validate_segments(graph, segments)
+    elif cut is not None:
+        # one arbitrary downward-closed cut set (enumerate_cuts member)
+        segments = split_kernels_at_cut(graph, cut)
+    elif split_at is not None:
         segments = split_kernels_at(graph, split_at)
-        if len(segments) != S:
-            raise ValueError(
-                f"{len(split_at)} cut(s) give {len(segments)} segments "
-                f"but mesh axis {axis!r} has {S} devices")
     elif optimize_cuts:
         segments, _stats = optimize_split(program, graph, S)
     else:
         segments = split_kernels(graph, S)
+    if len(segments) != S:
+        raise ValueError(
+            f"partition gives {len(segments)} segments but mesh axis "
+            f"{axis!r} has {S} devices")
     halo = chain_halo(analysis)
     dims = program.dimensions
     # the sharded body packs every cut-crossing field into ONE stacked
@@ -756,9 +837,10 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
 def run_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
                        inputs: Dict[str, Any],
                        num_chunks: Optional[int] = None,
-                       split_at: Optional[Sequence[str]] = None
+                       split_at: Optional[Sequence[str]] = None,
+                       cut: Optional[Sequence[str]] = None
                        ) -> Dict[str, np.ndarray]:
     fn, _ = compile_pipeline_split(program, mesh, axis, num_chunks,
-                                   split_at=split_at)
+                                   split_at=split_at, cut=cut)
     out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
     return {k: np.asarray(v) for k, v in out.items()}
