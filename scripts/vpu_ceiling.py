@@ -1,0 +1,181 @@
+"""Measure the real v5e VPU elementwise ceiling (VERDICT r2 next #1).
+
+The previous comparator (config.TPU_VPU_ELEMOPS = 8*128 lanes x 940 MHz
+x 1 op) is a one-ALU-per-lane model that round-2 kernels EXCEEDED by up
+to 2.87x — real v5e VPUs issue multiple elementwise ops per lane-cycle,
+so the model measured nothing.  This script measures the sustainable
+rate directly:
+
+* a Pallas kernel holds a VMEM-resident f32 accumulator block and
+  applies U unrolled elementwise ops per grid step — no HBM traffic in
+  the steady state, so the rate is pure VPU issue;
+* each op is a whole-block elementwise op (block >> 8x128), so
+  cross-step dependencies are hidden by intra-op pipelining;
+* two grid lengths are differenced (the repo's standard tunnel-safe
+  methodology) and a host readback closes each timing.
+
+Measured quantities:
+  add   : a = a + c            (1 flop/elem)
+  mul   : a = a * c            (1 flop/elem)
+  fma   : a = a * c + d        (2 flops/elem, 1 instr if Mosaic fuses)
+  mixed : alternating add/mul  (1 flop/elem)
+
+Output: elem-ops/s per op kind, the implied ops/lane/cycle at 940 MHz,
+and whether fma issues as one instruction (fma elem rate ~= add elem
+rate) — the numbers that set config.TPU_VPU_* for the recalibrated
+roofline.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# block: 512 x 1024 f32 = 2 MiB accumulator (+2 operand blocks) — far
+# larger than one (8,128) vreg so every op is ~512 vector instructions
+ROWS, COLS = 512, 1024
+
+
+def _kernel(op: str, unroll: int, x_ref, o_ref, acc, c, d):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        acc[...] = x_ref[...]
+        c[...] = x_ref[...] * 0.999993
+        d[...] = x_ref[...] * 1e-7
+
+    a = acc[...]
+    cc = c[...]
+    dd = d[...]
+    for u in range(unroll):
+        if op == "add":
+            a = a + (cc if u % 2 == 0 else dd)
+        elif op == "add2":            # 2-operand traffic probe
+            a = a + a
+        elif op == "mul":
+            a = a * (cc if u % 2 == 0 else dd)
+        elif op == "fma":
+            a = a * cc + dd
+        elif op == "mixed":
+            a = (a + dd) if u % 2 == 0 else (a * cc)
+        elif op == "div":
+            a = (cc if u % 2 == 0 else dd) / a
+        elif op == "divc":            # divide by constant (foldable?)
+            a = a / (1.0000001 if u % 2 == 0 else 0.9999999)
+        elif op == "sqrt":
+            a = jnp.sqrt(a)           # converges to 1.0 (timing is
+            #                           value-independent on the VPU)
+        elif op == "exp":
+            a = jnp.exp(-a)           # bounded fixed-point iteration
+        elif op == "select":
+            a = jnp.where(a > cc, dd, a)   # cmp + select, 2 passes
+        elif op == "min":
+            a = jnp.minimum(a, cc if u % 2 == 0 else dd)
+        elif op == "sin":
+            a = jnp.sin(a)
+        elif op == "cos":
+            a = jnp.cos(a)
+        elif op == "tan":
+            a = jnp.tan(a * 1e-3)     # decays to 0 (one extra mul pass)
+        elif op == "tanh":
+            a = jnp.tanh(a)
+        elif op == "log":
+            a = jnp.log(a + 1.0)      # (0,1] -> (0,0.7]: one extra add
+        elif op == "abs":
+            a = jnp.abs(a)
+        else:
+            raise ValueError(op)
+    acc[...] = a
+
+    @pl.when(g == pl.num_programs(0) - 1)
+    def _out():
+        o_ref[...] = acc[...]
+
+
+def build(op: str, unroll: int, steps: int):
+    kernel = functools.partial(_kernel, op, unroll)
+    return pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[pl.BlockSpec((ROWS, COLS), lambda g: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((ROWS, COLS), lambda g: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ROWS, COLS), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((ROWS, COLS), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )
+
+
+def time_op(op: str, unroll: int, x, trials: int = 5):
+    """Seconds per grid step (differenced), ops/elem = unroll."""
+
+    def timed(steps: int) -> float:
+        fn = jax.jit(build(op, unroll, steps))
+        np.asarray(fn(x))  # warm-up + force remote compile, readback
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            np.asarray(fn(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    big, small = 4096, 512
+    dt = (timed(big) - timed(small)) / (big - small)
+    return dt
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--unroll", type=int, default=64)
+    ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--ops", default=None,
+                    help="comma-separated subset (default: all)")
+    args = ap.parse_args()
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({dev.platform})", flush=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0.5, 1.0, (ROWS, COLS)), jnp.float32)
+
+    elems = ROWS * COLS
+    results = {}
+    default_ops = ("add", "add2", "mul", "fma", "mixed", "div", "divc",
+                   "sqrt", "exp", "select", "min", "sin", "cos", "tan",
+                   "tanh", "log", "abs")
+    for op in (args.ops.split(",") if args.ops else default_ops):
+        dt = time_op(op, args.unroll, x, args.trials)
+        # ops issued per grid step: unroll whole-block elementwise ops
+        # (fma counts 1 issue, 2 flops)
+        issues = args.unroll * elems
+        flops = issues * (2 if op == "fma" else 1)
+        ops_s = issues / dt
+        lanes = 8 * 128
+        per_lane_cycle = ops_s / lanes / 940e6
+        results[op] = (ops_s, flops / dt, per_lane_cycle)
+        print(f"{op:6s}: {ops_s/1e12:7.3f} Tissue/s  "
+              f"{flops/dt/1e12:7.3f} Tflop/s  "
+              f"{per_lane_cycle:5.2f} issues/lane/cycle @940MHz",
+              flush=True)
+
+    add_rate = results["add"][0]
+    fma_rate = results["fma"][0]
+    print(f"\nfma/add issue-rate ratio: {fma_rate/add_rate:.2f} "
+          f"({'fused (1 instr)' if fma_rate > 0.8 * add_rate else 'NOT fused'})")
+    print("\nsuggested config:")
+    best = max(r[0] for r in results.values())
+    print(f"  TPU_VPU_ELEMOPS = {best:.3e}  # measured, this script")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

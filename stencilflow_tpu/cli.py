@@ -354,6 +354,20 @@ def _cmd_report(args) -> int:
               f"{s['t_step_s']*1e6:.1f} us  "
               f"-> {s['scaled_gcell_s']:.1f} GCell/s, "
               f"efficiency {s['parallel_efficiency']:.2f}")
+        if args.comm_overlap:
+            o = s["comm_overlap"]
+            print(f"  --comm-overlap: interior {o['t_interior_s']*1e6:.1f}"
+                  f" us (hides {o['hidden_ici_s']*1e6:.1f} us of ICI, "
+                  f"{o['exposed_ici_s']*1e6:.1f} us exposed) + strips "
+                  f"{o['t_strips_s']*1e6:.1f} us "
+                  f"({o['strip_cells']/1e6:.2f} Mcell overcompute) = "
+                  f"{o['t_step_s']*1e6:.1f} us -> "
+                  f"{o['scaled_gcell_s']:.1f} GCell/s")
+            be = o["break_even_ici_s"]
+            print(f"  verdict: overlap "
+                  f"{'WINS' if o['wins'] else 'loses'} at this topology "
+                  f"(pays above {be*1e6:.1f} us exchange; modeled "
+                  f"{s['t_ici_s']*1e6:.1f} us)")
     return 0
 
 
@@ -767,6 +781,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-axes", default="none,x,y",
                    help="mesh axis sharding each padded dim (i,j,k); "
                         "'none' leaves a dim unsharded")
+    p.add_argument("--comm-overlap", action="store_true",
+                   help="with --mesh: print the comm/compute-overlap "
+                        "tradeoff (hidden exchange vs strip overcompute) "
+                        "and the per-topology break-even")
     p.set_defaults(fn=_cmd_report)
 
     p = sub.add_parser("synthesize", help="generate a benchmark program")

@@ -204,6 +204,50 @@ class Report:
         t_ici = ici_bytes / ici_bandwidth
         t_step = t_comp + t_ici          # no compute/comm overlap assumed
         t_single = self.roofline_time_s()
+
+        # --comm-overlap variant (parallel/domain.py overlap bodies): the
+        # interior evaluates the UNWIDENED local block with no dependency
+        # on the ppermute slabs (so the exchange hides behind it), then
+        # per sharded face a 3h-thick strip re-evaluates from the widened
+        # array — strips span the widened extents of every other dim
+        # (corner coverage).  Overcompute per sharded dim = interior rim
+        # (2h wasted planes inside the unwidened pass) + 2 x 3h strip
+        # planes, i.e. ~ (B + 6h) vs the blocking body's (B + 2h).
+        per_cell = t_comp / (np.prod(local) * widened)   # cost/evaluated cell
+        interior_cells = float(np.prod(local))
+        strip_cells = 0.0
+        for d in range(3):
+            if shards[d] <= 1 or not halo[d]:
+                continue
+            face = 1.0
+            for o in range(3):
+                if o == d:
+                    continue
+                face *= local[o] + (2 * halo[o]
+                                    if shards[o] > 1 and halo[o] else 0)
+            strip_cells += 2 * 3 * halo[d] * face
+        t_int = per_cell * interior_cells
+        t_strips = per_cell * strip_cells
+        t_step_ov = max(t_int, t_ici) + t_strips
+        overlap = {
+            "interior_cells": interior_cells,
+            "strip_cells": strip_cells,
+            "t_interior_s": t_int,
+            "t_strips_s": t_strips,
+            "t_step_s": t_step_ov,
+            "hidden_ici_s": min(t_ici, t_int),
+            "exposed_ici_s": max(0.0, t_ici - t_int),
+            "parallel_efficiency": t_single / (n_dev * t_step_ov)
+            if t_step_ov > 0 else 1.0,
+            "scaled_gcell_s":
+                self.program.total_elements / t_step_ov / 1e9
+                if t_step_ov > 0 else float("inf"),
+            "wins": t_step_ov < t_step,
+            # ICI time above which overlap pays: overcompute cost =
+            # t_int + t_strips - t_comp; overlap wins when the hidden
+            # exchange exceeds it (t_ici <= t_int regime)
+            "break_even_ici_s": max(0.0, t_int + t_strips - t_comp),
+        }
         return {
             "devices": n_dev,
             "mesh": dict(mesh_dims),
@@ -217,6 +261,7 @@ class Report:
             "parallel_efficiency": t_single / (n_dev * t_step),
             "scaled_gcell_s":
                 self.program.total_elements / t_step / 1e9,
+            "comm_overlap": overlap,
         }
 
     # -- output --------------------------------------------------------------

@@ -82,6 +82,57 @@ def test_ici_bytes_multi_input_program():
         measured, model["ici_bytes_per_device"])
 
 
+@pytest.mark.parametrize("pa,mshape,axes", CONFIGS[:2])
+def test_comm_overlap_model_terms(pa, mshape, axes):
+    """The --comm-overlap model (VERDICT r2 next #7): the strip-
+    overcompute term is pinned to the overlap body's actual geometry
+    (per sharded face, a 3h-thick strip spanning the widened extents of
+    the other dims; interior = the unwidened block), and the exchange
+    itself is unchanged — the overlap body's compiled collective-permute
+    bytes equal the model's ICI term."""
+    p = sft.parse_program(
+        jacobi(pa["nd"], pa["size"], iterations=pa["iters"]),
+        name=f"ov_{pa['nd']}_{pa['size']}_{pa['iters']}_{mshape}")
+    n = int(np.prod(mshape))
+    mesh = Mesh(np.array(jax.devices()[:n]).reshape(mshape), ("x", "y"))
+    fn, plan = compile_sharded_chain(p, mesh, axes, comm_overlap=True)
+    model = Report.build(p).mesh_scaling(
+        {"x": mshape[0], "y": mshape[1]}, dim_axes=axes)
+    ov = model["comm_overlap"]
+
+    # geometry pin: strips from the plan's own halo/block
+    expect_strips = 0.0
+    shards = [p.dimensions[d] // plan.block[d] for d in range(3)]
+    for d in range(3):
+        if shards[d] <= 1 or not plan.halo[d]:
+            continue
+        face = 1.0
+        for o in range(3):
+            if o == d:
+                continue
+            face *= plan.block[o] + (2 * plan.halo[o]
+                                     if shards[o] > 1 and plan.halo[o]
+                                     else 0)
+        expect_strips += 2 * 3 * plan.halo[d] * face
+    assert ov["strip_cells"] == pytest.approx(expect_strips)
+    assert ov["interior_cells"] == pytest.approx(
+        float(np.prod(plan.block)))
+
+    # the exchange is the same collective: HLO bytes match the model
+    ins = place_global_inputs(p, plan, sft.load_input_arrays(p, seed=0))
+    measured = _collective_permute_bytes(fn, ins)
+    assert measured == model["ici_bytes_per_device"]
+
+    # cost identities: overlap step = max(interior, ici) + strips;
+    # break-even is the overcompute cost vs the blocking body
+    assert ov["t_step_s"] == pytest.approx(
+        max(ov["t_interior_s"], model["t_ici_s"]) + ov["t_strips_s"])
+    assert ov["break_even_ici_s"] == pytest.approx(max(
+        0.0, ov["t_interior_s"] + ov["t_strips_s"]
+        - model["t_compute_s"]))
+    assert ov["wins"] == (ov["t_step_s"] < model["t_step_s"])
+
+
 def test_compute_term_reduces_to_roofline_at_p1():
     p = sft.parse_program(jacobi(3, 32, iterations=2), name="mm_p1")
     rep = Report.build(p)
