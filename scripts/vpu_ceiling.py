@@ -52,6 +52,64 @@ def _kernel(op: str, unroll: int, x_ref, o_ref, acc, c, d):
         c[...] = x_ref[...] * 0.999993
         d[...] = x_ref[...] * 1e-7
 
+    if op in ("expr_jac", "expr_hs"):
+        # REAL expression shapes: a deep per-tile expression DAG over
+        # several distinct VMEM operand blocks — Mosaic evaluates the
+        # whole DAG in registers per (8,128) tile, so ALU throughput,
+        # not per-op VMEM round-trips, binds (this is what stencil
+        # stage bodies look like; the serial a=a+c chain above binds on
+        # the VMEM round-trip instead)
+        bs = [c[...] * (0.9 + 0.01 * k) for k in range(4)] + [d[...]]
+        a = acc[...]
+        for _ in range(unroll):
+            if op == "expr_jac":
+                # 7-term jacobi-like: 6 adds + 1 mul = 7 ops
+                a = 0.142857 * (a + bs[0] + bs[1] + bs[2]
+                                + bs[3] + bs[4] + a * 1e-7)
+            else:
+                # hotspot-like: 20 ops (3 laplacian groups + coupling)
+                a = a + 0.01 * (bs[0]
+                                + 0.1 * (bs[1] + bs[2] - 2.0 * a)
+                                + 0.1 * (bs[3] + bs[4] - 2.0 * a)
+                                + 0.1 * (bs[1] + bs[3] - 2.0 * a)
+                                + 0.0001 * (80.0 - a))
+        acc[...] = a
+
+        @pl.when(g == pl.num_programs(0) - 1)
+        def _oute():
+            o_ref[...] = acc[...]
+        return
+
+    if op.endswith(("4", "8")) and op not in ("add4", "mul4", "fma4",
+                                              "add8"):
+        raise ValueError(op)
+    if op in ("add4", "mul4", "fma4", "add8"):
+        # K INDEPENDENT accumulator chains expose instruction-level
+        # parallelism to the VPU's multiple ALUs per lane — a single
+        # serial chain measures only the dependent-issue rate
+        K = int(op[-1])
+        base, cc, dd = acc[...], c[...], d[...]
+        chains = [base * (1.0 + 1e-6 * k) for k in range(K)]
+        for u in range(unroll):
+            for k in range(K):
+                if op.startswith("add"):
+                    chains[k] = chains[k] + (cc if (u + k) % 2 == 0
+                                             else dd)
+                elif op == "mul4":
+                    chains[k] = chains[k] * (cc if (u + k) % 2 == 0
+                                             else dd)
+                else:  # fma4
+                    chains[k] = chains[k] * cc + dd
+        a = chains[0]
+        for k in range(1, K):
+            a = a + chains[k]
+        acc[...] = a
+
+        @pl.when(g == pl.num_programs(0) - 1)
+        def _out4():
+            o_ref[...] = acc[...]
+        return
+
     a = acc[...]
     cc = c[...]
     dd = d[...]
@@ -112,7 +170,11 @@ def build(op: str, unroll: int, steps: int):
         out_shape=jax.ShapeDtypeStruct((ROWS, COLS), jnp.float32),
         scratch_shapes=[pltpu.VMEM((ROWS, COLS), jnp.float32)] * 3,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # multi-chain variants keep up to 8 live blocks: raise the
+            # scoped-vmem limit past the 16 MiB default (still under the
+            # 64 MiB fast-DMA threshold, CLAUDE.md)
+            vmem_limit_bytes=64 * 2**20),
     )
 
 
@@ -155,9 +217,16 @@ def main() -> int:
     for op in (args.ops.split(",") if args.ops else default_ops):
         dt = time_op(op, args.unroll, x, args.trials)
         # ops issued per grid step: unroll whole-block elementwise ops
-        # (fma counts 1 issue, 2 flops)
-        issues = args.unroll * elems
-        flops = issues * (2 if op == "fma" else 1)
+        # (fma counts 1 issue, 2 flops; addK/mulK/fmaK run K chains)
+        chains = (int(op[-1])
+                  if op[-1] in "48" and op[:-1] in ("add", "mul", "fma")
+                  else 1)
+        if op == "expr_jac":
+            chains = 8    # ops per unrolled expression
+        elif op == "expr_hs":
+            chains = 20
+        issues = args.unroll * elems * chains
+        flops = issues * (2 if op.startswith("fma") else 1)
         ops_s = issues / dt
         lanes = 8 * 128
         per_lane_cycle = ops_s / lanes / 940e6

@@ -13,12 +13,28 @@ the ordered op list — repeated writes included — through
 :func:`~stencilflow_tpu.frontend.canonicalize.program_from_op_list`'s SSA
 versioning.
 
-Scope honestly stated: connector names are used as field names (true for
-the SDFGs the reference's own ``generate_sdfg`` emits and for
-canonicalized stencil-only programs; the reference additionally resolves
-connectors through array nodes, which requires graph edges we do not
-model), and dtypes come from the serialized array descriptors when
+When a state carries dataflow edges (real DaCe-serialized SDFGs), fields
+are resolved THROUGH the access-node graph the way the reference does
+(``find_input_arraynode``, sdfg_to_stencilflow.py:635-660): each stencil
+connector follows its memlet edge chain to the ``AccessNode`` whose
+``data`` names the global array — connector names need not match array
+names.  Stencil nodes in one state execute in dataflow-topological
+order.  Three of the reference's canonicalization passes run on the
+serialized graph (sdfg_to_stencilflow.py:71-201): constant scalar
+transients written by tasklets become dialect ``constants``
+(``remove_scalar_transients``), stencil nodes reading no arrays are
+folded to constants (``remove_constant_stencils``), and transient
+writes nothing reads are dropped (``remove_unused_sinks``).  Transient
+flags on array descriptors drive input/output classification when
 present.
+
+Remaining scope limits (documented, not hidden): dace cannot be
+installed in this offline environment, so fixtures are schema-faithful
+serializations committed under tests; ``standardize_data_layout``'s
+(J,K,I) stride permutation is a memory-layout choice with no semantic
+effect on import (we read logical shapes; permuted-stride arrays import
+identically); ``MapFission``/``NestK`` operate on general map nests,
+which this importer does not accept (stencil library nodes only).
 """
 from __future__ import annotations
 
@@ -171,6 +187,230 @@ def _rewrite_code(code: str, masks: Dict[str, Tuple[bool, ...]],
     return "; ".join(lines)
 
 
+class _Renamer(ast.NodeTransformer):
+    """Rename field names (connector -> array data name) in stencil code."""
+
+    def __init__(self, mapping: Dict[str, str]):
+        self.mapping = mapping
+
+    def visit_Name(self, node):
+        new = self.mapping.get(node.id)
+        return ast.copy_location(ast.Name(id=new, ctx=node.ctx),
+                                 node) if new else node
+
+
+def _rename_code(code: str, mapping: Dict[str, str]) -> str:
+    if not mapping or all(k == v for k, v in mapping.items()):
+        return code
+    tree = _Renamer(mapping).visit(ast.parse(code))
+    return "; ".join(ast.unparse(stmt) for stmt in tree.body)
+
+
+def _state_graph(state: dict):
+    """(nodes_by_id, in_edges, out_edges) of one serialized state."""
+    nodes: Dict[str, dict] = {}
+    for i, n in enumerate(state.get("nodes", [])):
+        nodes[str(n.get("id", i))] = n
+    ine: Dict[str, List[dict]] = {}
+    oute: Dict[str, List[dict]] = {}
+    for e in state.get("edges", []):
+        ine.setdefault(str(e.get("dst")), []).append(e)
+        oute.setdefault(str(e.get("src")), []).append(e)
+    return nodes, ine, oute
+
+
+def _is_access_node(node: dict) -> bool:
+    return node.get("type") == "AccessNode"
+
+
+def _node_data(node: dict) -> Optional[str]:
+    d = node.get("attributes", {}).get("data")
+    return d if isinstance(d, str) else None
+
+
+def _find_array_node(nodes, edges_by_node, edge, direction: str,
+                     limit: int = 64) -> Optional[str]:
+    """Follow a memlet edge chain to the AccessNode naming the array —
+    the reference's find_input/output_arraynode role
+    (sdfg_to_stencilflow.py:635-660).  ``direction``: "in" walks toward
+    sources, "out" toward sinks."""
+    key = "src" if direction == "in" else "dst"
+    for _ in range(limit):
+        node = nodes.get(str(edge.get(key)))
+        if node is None:
+            return None
+        if _is_access_node(node):
+            return _node_data(node)
+        nxt = edges_by_node.get(str(edge.get(key)), [])
+        if not nxt:
+            return None
+        edge = nxt[0]
+    return None
+
+
+def _edge_connector(edge: dict, which: str) -> Optional[str]:
+    c = edge.get(which + "_connector")
+    if c is None:
+        c = edge.get(which + "_conn")
+    if isinstance(c, str):
+        # dace prefixes connectors of library nodes with IN_/OUT_ in some
+        # expansions; stencil nodes use bare field names — strip if present
+        for pre in ("IN_", "OUT_"):
+            if c.startswith(pre):
+                return c[len(pre):]
+    return c
+
+
+def _tasklet_constant(node: dict) -> Optional[float]:
+    """The literal a constant tasklet assigns (``out = 3.14``), or None
+    (reference remove_scalar_transients, sdfg_to_stencilflow.py:107-160)."""
+    if node.get("type") != "Tasklet":
+        return None
+    code = _code_string(node.get("attributes", {}))
+    try:
+        tree = ast.parse(code.strip())
+    except SyntaxError:
+        return None
+    if len(tree.body) != 1 or not isinstance(tree.body[0], ast.Assign):
+        return None
+    val = tree.body[0].value
+    if isinstance(val, ast.Constant) and isinstance(val.value,
+                                                    (int, float)):
+        return float(val.value)
+    if (isinstance(val, ast.UnaryOp) and isinstance(val.op, ast.USub)
+            and isinstance(val.operand, ast.Constant)
+            and isinstance(val.operand.value, (int, float))):
+        return -float(val.operand.value)
+    return None
+
+
+def _topo_stencils(state: dict) -> List[Tuple[dict, Dict[str, str],
+                                              Optional[str]]]:
+    """Stencil nodes of one state in dataflow-topological order, each
+    with its connector->array mapping (via access-node resolution) and
+    its output array name.  States without edges fall back to listing
+    order with identity mappings (attribute-only fixtures)."""
+    nodes, ine, oute = _state_graph(state)
+    stencils = [(nid, n) for nid, n in nodes.items()
+                if _is_stencil_node(n)]
+    if not state.get("edges"):
+        return [(n, {}, None) for _nid, n in stencils]
+
+    # dataflow order over ALL nodes (stencils interleave with access
+    # nodes); Kahn's algorithm on the edge lists
+    indeg = {nid: len(ine.get(nid, [])) for nid in nodes}
+    ready = sorted([nid for nid, d in indeg.items() if d == 0])
+    order: List[str] = []
+    while ready:
+        nid = ready.pop(0)
+        order.append(nid)
+        for e in oute.get(nid, []):
+            d = str(e.get("dst"))
+            indeg[d] -= 1
+            if indeg[d] == 0:
+                ready.append(d)
+    if len(order) != len(nodes):
+        raise ValueError("cycle in state dataflow graph")
+
+    out = []
+    for nid in order:
+        node = nodes[nid]
+        if not _is_stencil_node(node):
+            continue
+        mapping: Dict[str, str] = {}
+        for e in ine.get(nid, []):
+            conn = _edge_connector(e, "dst")
+            data = _find_array_node(nodes, ine, e, "in")
+            if conn and data:
+                if conn in mapping and mapping[conn] != data:
+                    raise ValueError(
+                        f"connector {conn!r} resolves to both "
+                        f"{mapping[conn]!r} and {data!r}")
+                mapping[conn] = data
+        out_data = None
+        for e in oute.get(nid, []):
+            conn = _edge_connector(e, "src")
+            data = _find_array_node(nodes, oute, e, "out")
+            if conn and data:
+                mapping[conn] = data
+                out_data = data
+        out.append((node, mapping, out_data))
+    return out
+
+
+def _scalar_constants(state: dict, arrays: dict) -> Dict[str, float]:
+    """Arrays (scalar transients) assigned a literal by a tasklet in this
+    state -> their constant values (remove_scalar_transients)."""
+    nodes, _ine, oute = _state_graph(state)
+    consts: Dict[str, float] = {}
+    for nid, node in nodes.items():
+        val = _tasklet_constant(node)
+        if val is None:
+            continue
+        for e in oute.get(nid, []):
+            data = _find_array_node(nodes, oute, e, "out")
+            if data is None:
+                continue
+            desc = arrays.get(data, {})
+            attrs = desc.get("attributes", {})
+            shape = attrs.get("shape", [1])
+            is_scalar = (desc.get("type") == "Scalar"
+                         or list(shape) in ([1], [], [1, 1]))
+            if is_scalar:
+                consts[data] = val
+    return consts
+
+
+def _const_eval(code: str, constants: Dict[str, float]) -> float:
+    """Evaluate a constant stencil's code (numeric literals, the already-
+    collected constants, arithmetic) to one float — the reference's
+    remove_constant_stencils (sdfg_to_stencilflow.py:163-201)."""
+    import math
+    env: Dict[str, float] = dict(constants)
+    tree = ast.parse(code)
+
+    def ev(n) -> float:
+        if isinstance(n, ast.Constant) and isinstance(n.value,
+                                                      (int, float)):
+            return float(n.value)
+        if isinstance(n, ast.Name):
+            if n.id in env:
+                return env[n.id]
+            raise ValueError(f"constant stencil reads unknown {n.id!r}")
+        if isinstance(n, ast.UnaryOp) and isinstance(n.op, ast.USub):
+            return -ev(n.operand)
+        if isinstance(n, ast.BinOp):
+            lo, hi = ev(n.left), ev(n.right)
+            if isinstance(n.op, ast.Add):
+                return lo + hi
+            if isinstance(n.op, ast.Sub):
+                return lo - hi
+            if isinstance(n.op, ast.Mult):
+                return lo * hi
+            if isinstance(n.op, ast.Div):
+                return lo / hi
+        if isinstance(n, ast.Call) and isinstance(n.func, ast.Name):
+            fn = getattr(math, n.func.id, None)
+            if fn is not None and len(n.args) == 1:
+                return float(fn(ev(n.args[0])))
+        raise ValueError(
+            f"unsupported constant expression {ast.dump(n)[:60]}")
+
+    result = None
+    for stmt in tree.body:
+        if not isinstance(stmt, ast.Assign) or len(stmt.targets) != 1:
+            raise ValueError("constant stencil code must be assignments")
+        tgt = stmt.targets[0]
+        tgt = tgt.value if isinstance(tgt, ast.Subscript) else tgt
+        if not isinstance(tgt, ast.Name):
+            raise ValueError("assignment target must be a name")
+        result = ev(stmt.value)
+        env[tgt.id] = result
+    if result is None:
+        raise ValueError("constant stencil has no assignment")
+    return result
+
+
 def _bc_json(bc: Any) -> Optional[dict]:
     if bc is None:
         return None
@@ -199,23 +439,46 @@ def sdfg_to_program(source, name: Optional[str] = None,
             "SDFG contains a control-flow loop; unroll or canonicalize "
             "it first (the reference rejects loops the same way, "
             "sdfg_to_stencilflow.py:281-284)")
-    nodes = _walk_stencil_nodes(sdfg)
-    if not nodes:
-        raise ValueError("no Stencil library nodes found in the SDFG")
 
-    arrays = sdfg.get("attributes", {}).get("_arrays", {})
+    arrays = dict(sdfg.get("attributes", {}).get("_arrays", {}))
+    arrays.update(sdfg.get("attributes", {}).get("arrays", {}))
 
     def array_dtype(field, default="float32"):
         desc = arrays.get(field, {}).get("attributes", {})
         dt = desc.get("dtype", default)
         return dt if isinstance(dt, str) else default
 
+    def is_transient(field) -> Optional[bool]:
+        desc = arrays.get(field, {}).get("attributes", {})
+        t = desc.get("transient")
+        return bool(t) if t is not None else None
+
+    # canonicalization pass 1 (remove_scalar_transients): constant
+    # scalar transients become dialect constants
+    constants: Dict[str, float] = {}
+
+    def walk(sub) -> List[Tuple[dict, Dict[str, str], Optional[str]]]:
+        got: List[Tuple[dict, Dict[str, str], Optional[str]]] = []
+        for state in sub.get("nodes", []):
+            constants.update(_scalar_constants(state, arrays))
+            got.extend(_topo_stencils(state))
+            for node in state.get("nodes", []):
+                if node.get("type") == "NestedSDFG":
+                    inner = node.get("attributes", {}).get("sdfg")
+                    if inner:
+                        got.extend(walk(inner))
+        return got
+
+    resolved = walk(sdfg)
+    if not resolved:
+        raise ValueError("no Stencil library nodes found in the SDFG")
+
     ops = []
     op_reads: List[List[str]] = []
     masks_all: Dict[str, Tuple[bool, ...]] = {}
     written: List[str] = []
     shapes: List[List[int]] = []
-    for node in nodes:
+    for node, mapping, out_data in resolved:
         attrs = node.get("attributes", {})
         accesses = attrs.get("accesses", {})
         outs = list(attrs.get("output_fields", {}))
@@ -223,7 +486,7 @@ def sdfg_to_program(source, name: Optional[str] = None,
             raise ValueError(
                 f"stencil node {attrs.get('label')!r} must have exactly "
                 f"one output field, got {outs}")
-        target = outs[0]
+        target = mapping.get(outs[0], out_data or outs[0])
         shape = attrs.get("shape") or []
         if shape:
             try:
@@ -231,20 +494,59 @@ def sdfg_to_program(source, name: Optional[str] = None,
             except (TypeError, ValueError):
                 pass   # symbolic shape: rely on the dimensions argument
         masks = {}
+        reads = []
         for f, acc in accesses.items():
+            data = mapping.get(f, f)
+            if data in constants:
+                continue   # constant scalar: resolved by the parser
             mask = tuple(bool(m) for m in acc[0])
-            masks[f] = mask
-            masks_all.setdefault(f, mask)
+            if data in masks and masks[data] != mask:
+                raise ValueError(
+                    f"field {data!r} reaches {attrs.get('label')!r} "
+                    "through two connectors with different dim masks")
+            masks[data] = mask
+            masks_all.setdefault(data, mask)
+            reads.append(data)
         bcs = {}
         for f, bc in attrs.get("boundary_conditions", {}).items():
+            data = mapping.get(f, f)
+            if data in constants:
+                continue
             j = _bc_json(bc)
             if j is not None:
-                bcs[f] = j
-        code = _rewrite_code(_code_string(attrs), masks, target)
+                bcs[data] = j
+        code = _rename_code(_code_string(attrs),
+                            {f: d for f, d in mapping.items() if f != d})
+        # canonicalization pass 2 (remove_constant_stencils): a node
+        # reading no arrays folds to a constant
+        if not reads:
+            constants[target] = _const_eval(code, constants)
+            continue
+        code = _rewrite_code(code, masks, target)
         ops.append((target, code, bcs, array_dtype(target)))
-        op_reads.append(list(accesses))
+        op_reads.append(reads)
         written.append(target)
         masks_all.setdefault(target, (True, True, True))
+
+    # canonicalization pass 3 (remove_unused_sinks): transient writes
+    # nothing ever reads are dropped (iterate: dropping one can orphan
+    # its producers)
+    while True:
+        drop = None
+        for idx in range(len(ops) - 1, -1, -1):
+            t = ops[idx][0]
+            if is_transient(t) is not True:
+                continue
+            if idx != len(written) - 1 - written[::-1].index(t):
+                continue   # not the last write of t: earlier versions
+                #            are read through SSA, leave them
+            if any(t in r for r in op_reads[idx + 1:]):
+                continue
+            drop = idx
+            break
+        if drop is None:
+            break
+        del ops[drop], op_reads[drop], written[drop]
 
     if dimensions is None:
         if not shapes:
@@ -261,9 +563,14 @@ def sdfg_to_program(source, name: Optional[str] = None,
             for d in range(rank)]
 
     written_set = set(written)
+    # fields still referenced after the unused-sink drops (a dropped
+    # transient target must not resurface as a phantom input)
+    used = set(written)
+    for reads in op_reads:
+        used.update(reads)
     inputs: Dict[str, dict] = {}
     for f, mask in masks_all.items():
-        if f in written_set:
+        if f in written_set or f not in used:
             continue
         spec: Dict[str, Any] = {"data": input_data,
                                 "data_type": array_dtype(f)}
@@ -273,16 +580,25 @@ def sdfg_to_program(source, name: Optional[str] = None,
             spec["input_dims"] = [it for it, m in zip(its, mask) if m]
         inputs[f] = spec
 
-    # outputs: every written name whose final version nothing later reads
-    # (the reference versioning keeps the bare name on the last write)
+    # outputs: transient flags decide when the descriptors carry them
+    # (the reference keys on sdfg.arrays[...].transient); else every
+    # written name whose final version nothing later reads (the
+    # versioning keeps the bare name on the last write)
     read_later: Dict[str, int] = {}
     for idx, reads in enumerate(op_reads):
         for f in reads:
             read_later[f] = idx
     last_write = {t: idx for idx, (t, *_rest) in enumerate(ops)}
-    outputs = [t for t, lw in last_write.items()
-               if read_later.get(t, -1) <= lw]
+    flagged = [t for t in last_write if is_transient(t) is not None]
+    outputs = [t for t in last_write if is_transient(t) is False]
+    if not outputs:
+        if flagged and len(flagged) == len(last_write):
+            raise ValueError("every written array is transient: the "
+                             "SDFG has no program outputs")
+        outputs = [t for t, lw in last_write.items()
+                   if read_later.get(t, -1) <= lw]
 
     from .canonicalize import program_from_op_list
     return program_from_op_list(ops, dimensions, inputs, outputs,
-                                name=name, vectorization=vectorization)
+                                name=name, constants=constants or None,
+                                vectorization=vectorization)

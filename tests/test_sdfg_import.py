@@ -1,4 +1,4 @@
-"""SDFG-file ingestion tests (VERDICT r1 missing #1).
+"""SDFG-file ingestion tests (VERDICT r1 missing #1, r2 next #3).
 
 Builds serialized SDFGs in dace's JSON layout — Stencil library nodes
 with the reference's property set (stencil/stencil.py:11-59: shape,
@@ -220,3 +220,84 @@ def test_non_integer_offset_left_symbolic(tmp_path):
     new = _AbsoluteIndexer({"f": (True, True, True)}).visit(tree)
     code = ast.unparse(new)
     assert "-1.5" in code   # left as-is, exactly like +1.5
+
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "hdiff.sdfg")
+
+
+def test_hdiff_fixture_import_vs_oracle():
+    """The committed COSMO-hdiff SDFG fixture (DaCe serialization layout:
+    access-node memlet graphs, connector names != array names, scalar-
+    transient tasklet, constant stencil, unused transient sink, transient
+    flags, multi-state repeated write) imports and matches a hand-written
+    dialect oracle exactly (VERDICT r2 next #3)."""
+    p = sdfg_to_program(FIXTURE, input_data="random:-1,1")
+    assert p.name == "hdiff"
+    assert tuple(p.raw_dimensions) == (8, 32, 32)
+    # graph-resolved names, constants folded, dbg sink dropped
+    assert sorted(p.inputs) == ["inp"]
+    assert p.outputs == ["out_field"]
+    assert list(p.kernels) == ["lap", "fly", "flx", "out_field__1",
+                               "out_field"]
+    out = sft.run_interpreter(p, sft.load_input_arrays(p, seed=3))
+
+    cbc = {"type": "constant", "value": 0.0}
+    ops = [
+        ("lap", "lap = 4.0 * inp[i,j,k] - (inp[i,j-1,k] + inp[i,j+1,k]"
+                " + inp[i,j,k-1] + inp[i,j,k+1])", {"inp": cbc}),
+        ("fly", "fly = lap[i,j,k+1] - lap[i,j,k]; "
+                "fly = 0.0 if fly * (inp[i,j,k+1] - inp[i,j,k]) > 0.0 "
+                "else fly", {"lap": cbc, "inp": cbc}),
+        ("flx", "flx = lap[i,j+1,k] - lap[i,j,k]; "
+                "flx = 0.0 if flx * (inp[i,j+1,k] - inp[i,j,k]) > 0.0 "
+                "else flx", {"lap": cbc, "inp": cbc}),
+        ("out_field", "out_field = inp[i,j,k] - 0.025 * (flx[i,j,k] - "
+                      "flx[i,j-1,k] + fly[i,j,k] - fly[i,j,k-1])",
+         {"inp": cbc, "flx": cbc, "fly": cbc}),
+        ("out_field", "out_field = 0.25 * (out_field[i,j-1,k] + "
+                      "out_field[i,j+1,k]) + 0.5 * out_field[i,j,k]",
+         {"out_field": cbc}),
+    ]
+    p2 = sft.program_from_op_list(
+        ops, (8, 32, 32),
+        {"inp": {"data": "random:-1,1", "data_type": "float32"}},
+        outputs=["out_field"], name="hand_hdiff")
+    out2 = sft.run_interpreter(p2, sft.load_input_arrays(p2, seed=3))
+    np.testing.assert_array_equal(np.asarray(out["out_field"]),
+                                  np.asarray(out2["out_field"]))
+
+
+def test_hdiff_fixture_cli_and_backends(tmp_path):
+    """cli import-sdfg on the fixture -> dialect JSON -> oracle-exact
+    runs on the stream backend and the CLI driver."""
+    out_json = tmp_path / "hdiff.json"
+    r = subprocess.run(
+        [sys.executable, "-m", "stencilflow_tpu.cli", "import-sdfg",
+         FIXTURE, "-o", str(out_json), "--input-data", "random:-1,1"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    p = sft.parse_program(str(out_json))
+    inputs = sft.load_input_arrays(p, seed=1)
+    ref = np.asarray(
+        sft.run_interpreter(p, inputs)["out_field"], np.float64)
+    from stencilflow_tpu.backend.stream import run_chain_stream
+    got = run_chain_stream(p, inputs, interpret=True)["out_field"]
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+
+
+def test_fixture_generator_is_deterministic(tmp_path):
+    """The committed fixture matches its committed generator (so edits
+    to either cannot drift apart silently)."""
+    import importlib.util
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "make_hdiff_sdfg", os.path.join(root, "scripts",
+                                        "make_hdiff_sdfg.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with open(FIXTURE) as f:
+        committed = json.load(f)
+    assert mod.build() == committed
