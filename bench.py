@@ -5,12 +5,16 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GCell/s", "vs_baseline": N}
 
 ``vs_baseline`` is the fraction of the chip's analytic roofline achieved.
-The roofline is the max of the HBM ceiling (minimum traffic — every input +
-output moved exactly once, the reference's minimum-communication-volume
-model, /root/reference/stencilflow/kernel_chain_graph.py:749-768) and the
-VPU ceiling (one weighted elementwise op per lane per cycle); deep chains
-like this one are VPU-bound.  The reference repo publishes no measured
-numbers (see BASELINE.md), so roofline fraction is the honest comparator.
+The roofline is the HBM floor (minimum traffic — every input + output
+moved exactly once, the reference's minimum-communication-volume model,
+/root/reference/stencilflow/kernel_chain_graph.py:749-768) vs the faster
+compute strategy: the MEASURED VPU ALU ceiling (4 issues/lane/cycle,
+scripts/vpu_ceiling.py — recalibrated round 3; the r1/r2 one-ALU model
+was exceeded 2.9x by real kernels) over measured per-op costs, or the
+banded-MXU executed-flops model for MXU-eligible chains
+(report.mxu_model).  Nothing measured exceeds 1.0 of this roofline; the
+reference repo publishes no numbers (BASELINE.md), so roofline fraction
+is the honest comparator.
 
 Timing: the chain is applied in a data-dependent on-device loop (output
 feeds input) and two loop lengths are differenced, cancelling dispatch and

@@ -325,6 +325,11 @@ def save_result(program: ir.Program, res: AutotuneResult,
     dev = jax.devices()[0]
     cache[cache_key(program, interpret, **settings)] = {
         "label": res.label,
+        # explicit-B winners were built with gate_frac=1.0 (past the
+        # blind policy's 0.7 VMEM gate) — safe to serve blind because
+        # they MEASURED (compiled + executed) on this device during
+        # tuning; recorded so `run --backend autotuned` users can see it
+        "over_gate": ":B=" in res.label,
         "seconds": res.seconds,
         "timings": {l: (None if not np.isfinite(t) else t)
                     for l, t in res.timings.items()},

@@ -241,6 +241,50 @@ def assets_extra_vmem(plan, transform_keys, pool_keys, pool_arrays) -> int:
     return extra
 
 
+def mxu_flops_per_cell(plane, pool_keys, pool_arrays, transform_keys,
+                       mxu_precision: str = "split") -> float:
+    """EXECUTED MXU flops per domain cell of one streaming evaluation —
+    the banded-matmul ceiling model (VERDICT r2 next #5; the reference's
+    peak-performance role, /root/reference/bin/report.py:42-43).
+
+    Each unique ``(field, L, R)`` transform is computed ONCE per source
+    plane (cached in a transform ring) as up to two matmul applications:
+    ``L @ P`` costs ``2 * contraction`` flops per plane cell where the
+    contraction length is the full plane extent for a plain banded
+    matrix or the blocked window width Twin for a blocked one
+    (``_blocked_rows``); split precision multiplies by the number of
+    bf16 passes (2, +1 when a ``__lo`` residual matrix exists); "exact"
+    (Precision.HIGHEST) costs 6 bf16-rate passes."""
+    pj, pk = plane
+    arr = dict(zip(pool_keys, pool_arrays))
+
+    def side_flops(key, full_n):
+        if key is None:
+            return 0.0
+        a = arr.get(key)
+        if a is None:
+            return 2.0 * full_n
+        shp = a.shape
+        if key.startswith(("Lb", "Rb")):
+            contraction = shp[-1] if key.startswith("Lb") else shp[-2]
+        else:
+            contraction = shp[-1]
+        # MXU contraction granularity is 128 lanes: a narrower blocked
+        # window still costs a full 128-chunk (CLAUDE.md / RESULTS.md
+        # blocked-banded deployment rule)
+        contraction = -(-contraction // 128) * 128
+        if mxu_precision == "exact":
+            passes = 6
+        else:
+            passes = 2 + (1 if key + "__lo" in arr else 0)
+        return passes * 2.0 * contraction
+
+    total = 0.0
+    for _field, lkey, rkey in transform_keys:
+        total += side_flops(lkey, pj) + side_flops(rkey, pk)
+    return total
+
+
 def is_stacked_key(key: str) -> bool:
     """True for pool entries holding one slice per tile/shard instance
     (leading dim selected by BlockSpec index map or sharding)."""

@@ -750,8 +750,13 @@ def build_parser() -> argparse.ArgumentParser:
                             "device and cache the winner for "
                             "`run --backend autotuned`")
     p.add_argument("stencil_file")
-    p.add_argument("--sweep", action="store_true",
-                   help="also sweep panel/overlap block sizes")
+    p.add_argument("--sweep", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="sweep explicit panel/overlap/rows block sizes, "
+                        "including over-gate configs the blind policy "
+                        "won't touch (measured +18%% at (128,768,768)x2 "
+                        "— RESULTS.md); --no-sweep tunes only the "
+                        "auto-policy candidates")
     p.add_argument("--trials", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--emulation", action="store_true",

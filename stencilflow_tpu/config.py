@@ -61,10 +61,22 @@ TPU_HBM_BYTES = 16 * 2**30      # v5e: 16 GiB per chip (out-of-core gate)
 # Conservative per-core VMEM budget; real chips have 64-128 MiB but the
 # compiler needs headroom for pipelining buffers.
 TPU_VMEM_BYTES = 32 * 2**20
-# VPU lane throughput (elementwise ops/s): 8x128 lanes at ~0.94 GHz.
-# Calibrated against measured streaming-kernel throughput (jacobi3d chain
-# runs at ~0.5-0.8 of this bound including shifts/selects).
-TPU_VPU_ELEMOPS = 8 * 128 * 940e6
+# VPU elementwise ceiling (ops/s) — MEASURED, round 3 (scripts/
+# vpu_ceiling.py; RESULTS.md "VPU ceiling recalibration").  The r1/r2
+# one-ALU-per-lane model (8*128 x 940 MHz = 0.96e12) was EXCEEDED by
+# real kernels (hotspot panel: 2.77e12 counted ops/s), which proves
+# > 2 ALUs per lane; the v5e VPU has 4 ALUs/lane, giving the issue
+# ceiling 8*128*4 x 940 MHz.  No measured kernel exceeds it (best:
+# 0.72).  This is the "peak performance" term of the reference's model
+# (/root/reference/bin/report.py:42-43) made un-exceedable.
+TPU_VPU_ELEMOPS = 8 * 128 * 4 * 940e6          # 3.85e12, ALU-issue peak
+# Sustained whole-plane single-op rate (one elementwise op over a VMEM-
+# resident (512,1024) f32 block, serial chain): measured 1.85e12 —
+# VMEM-pass bound at ~2 issues/lane/cycle.  Deep fused expressions
+# evaluate per-tile in registers and land between the two; use this as
+# the EXPECTATION for shallow mask/shift-heavy kernels, and ELEMOPS as
+# the ceiling.
+TPU_VPU_PASS_RATE = 1.85e12
 TPU_VPU_FLOPS = TPU_VPU_ELEMOPS  # alias
 TPU_MXU_BF16_FLOPS = 197e12     # v5e peak bf16
 # Physical per-core VMEM (v5e: 128 MiB) — the hard cap for Mosaic's

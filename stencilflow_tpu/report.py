@@ -27,10 +27,19 @@ from . import config
 from .frontend.analysis import ChainAnalysis
 from .ir import Program
 
-# ops that cost more than one VPU pass (transcendentals etc.); rough factors
+# per-op cost in add-equivalents — MEASURED on a v5e where noted
+# (scripts/vpu_ceiling.py, RESULTS.md round 3): div 3.9, sqrt 4.3,
+# exp 1.21 (hardware-assisted, NOT the FPGA-style 6-12x), sin 45
+# (full range reduction — far above the old guess of 8), cmp+select
+# 2.6.  Unmeasured entries are scaled from their Mosaic lowering
+# class: cos ~ sin; tan ~ sin/cos; sinh/cosh/tanh ~ exp ratios;
+# log ~ exp.
 _OP_COST = {
-    "div": 4, "sqrt": 4, "sin": 8, "cos": 8, "tan": 12, "sinh": 10,
-    "cosh": 10, "tanh": 10, "exp": 6, "log": 6,
+    "div": 4, "sqrt": 4,                      # measured
+    "exp": 1.5,                               # measured 1.21
+    "sin": 45, "cos": 45,                     # sin measured 45
+    "tan": 90, "sinh": 4, "cosh": 4, "tanh": 3, "log": 2,  # scaled
+    "cond": 1.6,   # select pass (cmp counts separately: 2.6 total)
 }
 
 
@@ -38,6 +47,7 @@ _OP_COST = {
 class HardwareModel:
     hbm_bandwidth: float = config.TPU_HBM_BANDWIDTH
     vpu_elemops: float = config.TPU_VPU_ELEMOPS
+    mxu_flops: float = config.TPU_MXU_BF16_FLOPS
     vmem_bytes: int = config.TPU_VMEM_BYTES
     hbm_bytes: int = config.TPU_HBM_BYTES
     name: str = "tpu-v5e"
@@ -112,12 +122,67 @@ class Report:
     def vpu_time_s(self) -> float:
         return self.total_ops() / self.hw.vpu_elemops
 
+    def mxu_model(self) -> Optional[Dict]:
+        """Banded-MXU strategy model for the chain's MXU-eligible stages
+        (None when the planner takes nothing): executed matmul flops per
+        cell (band windows, split-precision passes — the real cost, not
+        the stencil's nominal ops), the stages moved, and the residual
+        VPU ops of the remaining stages.  Cached per Report."""
+        if hasattr(self, "_mxu_model"):
+            return self._mxu_model
+        from .backend.linear import (MatrixPool, finalize_pool,
+                                     mxu_flops_per_cell,
+                                     plan_all_stages)
+        from .frontend.analysis import operation_count
+        p = self.program
+        dims = p.dimensions
+        plane = (dims[1], dims[2])
+        pool = MatrixPool()
+        plans = plan_all_stages(p, plane, dims, pool, 12)
+        if not plans:
+            self._mxu_model = None
+            return None
+        pkeys, parrs, _pmeta, tkeys = finalize_pool(plans, pool, p)
+        fpc = mxu_flops_per_cell(plane, pkeys, parrs, tkeys)
+        vpu_rest = 0.0
+        for kname, kspec in p.kernels.items():
+            if kname in plans:
+                # residual VPU work of an MXU stage: combining its
+                # i-offset group planes (adds) + bias
+                vpu_rest += max(0, len(plans[kname].groups) - 1) + 1
+                continue
+            for op, c in operation_count(kspec).items():
+                vpu_rest += c * _OP_COST.get(op, 1)
+        n = p.total_elements
+        self._mxu_model = {
+            "stages": sorted(plans),
+            "mxu_flops_per_cell": fpc,
+            "mxu_time_s": fpc * n / self.hw.mxu_flops,
+            "vpu_rest_ops_per_cell": vpu_rest,
+            "vpu_rest_time_s": vpu_rest * n / self.hw.vpu_elemops,
+        }
+        return self._mxu_model
+
     def roofline_time_s(self) -> float:
-        """Runtime lower bound: max of the HBM and VPU ceilings."""
-        return max(self.hbm_time_s(), self.vpu_time_s(), 1e-12)
+        """Runtime lower bound: HBM floor vs the faster of the two
+        compute strategies — all-VPU, or banded-MXU for eligible stages
+        plus VPU for the rest (the engine the backend actually picks)."""
+        compute = self.vpu_time_s()
+        m = self.mxu_model()
+        if m is not None:
+            compute = min(compute,
+                          m["mxu_time_s"] + m["vpu_rest_time_s"])
+        return max(self.hbm_time_s(), compute, 1e-12)
 
     def bound(self) -> str:
-        return ("vpu" if self.vpu_time_s() > self.hbm_time_s() else "hbm")
+        hbm = self.hbm_time_s()
+        m = self.mxu_model()
+        vpu = self.vpu_time_s()
+        if m is not None:
+            mt = m["mxu_time_s"] + m["vpu_rest_time_s"]
+            if mt < vpu:
+                return "mxu" if mt > hbm else "hbm"
+        return "vpu" if vpu > hbm else "hbm"
 
     def roofline_gcell_s(self) -> float:
         return self.program.total_elements / self.roofline_time_s() / 1e9
@@ -286,6 +351,7 @@ class Report:
             "suggested_host_chunks": self.suggested_host_chunks(),
             "hbm_time_s": self.hbm_time_s(),
             "vpu_time_s": self.vpu_time_s(),
+            "mxu_model": self.mxu_model(),
             "roofline_time_s": self.roofline_time_s(),
             "bound_by": self.bound(),
             "roofline_gcell_s": self.roofline_gcell_s(),
