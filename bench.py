@@ -45,6 +45,13 @@ def main():
     ap.add_argument("--fast", default="auto",
                     help="interior-read mode for --backend stream"
                          " (auto/off/shift/j/jk — see backend/stream.py)")
+    ap.add_argument("--stage-major", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="micro-step order for --backend stream: batched"
+                         " block-wide MXU band transforms (stream.py)")
+    ap.add_argument("--block", type=int, default=0,
+                    help="planes per grid step for --backend stream"
+                         " (0 = auto)")
     ap.add_argument("--workload", default="jacobi",
                     choices=["jacobi", "jacobi2d", "box", "hotspot",
                              "hdiff"],
@@ -107,7 +114,10 @@ def main():
         fn, backend = compile_chain_rows(program, panel=args.panel)
     elif args.backend == "stream":
         from stencilflow_tpu.backend.stream import compile_chain_stream
-        fn, backend = compile_chain_stream(program, fast=args.fast), "stream"
+        fn = compile_chain_stream(program, fast=args.fast,
+                                  stage_major=args.stage_major,
+                                  block=args.block, interpret=not on_tpu)
+        backend = "stream"
     elif args.backend == "panel":
         from stencilflow_tpu.backend.panel import compile_chain_panel
         fn, backend = compile_chain_panel(program, panel=args.panel), "panel"

@@ -52,6 +52,7 @@ class StreamPlan:
     lag_max: int               # output skew; grid = I + lag_max
     halo_jk: Tuple[int, int]   # plane widening in (j, k)
     plane: Tuple[int, int]     # widened plane shape (PJ, PK)
+    stage_major: bool = False  # micro-step order: stages outer, planes inner
 
     @classmethod
     def build(cls, analysis: ChainAnalysis,
@@ -59,7 +60,8 @@ class StreamPlan:
               halo_jk: Tuple[int, int] = (0, 0),
               block: int = 1,
               min_lag_max: int = 0,
-              direct_emit: bool = True) -> "StreamPlan":
+              direct_emit: bool = True,
+              stage_major: bool = False) -> "StreamPlan":
         # Single chip: planes span the full (J, K) domain, unwidened —
         # circular-roll wrap-around of a j/k-offset read lands exactly on
         # the cells whose global index is out of domain, and every read
@@ -102,6 +104,10 @@ class StreamPlan:
         # (HBM-bound) chains.
         streamed = [n for n, sp in program.inputs.items()
                     if not sp.is_scalar and sp.dim_mask[0]]
+        # stage-major micro-steps (MXU transform batching): a producer
+        # writes its whole block of planes before any consumer reads, so
+        # consumed rings retain block-1 extra planes
+        extra = (block - 1) if stage_major else 0
         ring: Dict[str, int] = {}
         for f in streamed + list(program.kernels):
             depth = 1
@@ -110,17 +116,18 @@ class StreamPlan:
                 if c not in program.kernels:
                     continue
                 consumed = True
-                depth = max(depth, 1 + lag[c] - i_range(c, f)[0] - lag[f])
+                depth = max(depth,
+                            1 + lag[c] - i_range(c, f)[0] - lag[f] + extra)
             if f in program.outputs:
                 aligned = direct_emit and lag[f] % block == 0
                 if not aligned:
-                    depth = max(depth, 1 + lag_max - lag[f])
+                    depth = max(depth, 1 + lag_max - lag[f] + extra)
                 elif not consumed:
                     continue   # pure output: emitted directly, no ring
             ring[f] = depth
         lj, lk = local_jk or (dims[1], dims[2])
         return cls(lag, ring, lag_max, (hj, hk),
-                   (lj + 2 * hj, lk + 2 * hk))
+                   (lj + 2 * hj, lk + 2 * hk), stage_major)
 
     def vmem_bytes(self, program: ir.Program, compute_dtype=None) -> int:
         pj, pk = self.plane
@@ -474,14 +481,34 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             blocks.append(acc)
         return jnp.concatenate(blocks, axis=0 if side == "L" else 1)
 
-    def apply_transform(val, lkey, rkey):
-        if not hasattr(val, "shape") or val.shape != plan.plane:
-            val = jnp.broadcast_to(val, plan.plane)
+    def apply_transform_block(vals, lkey, rkey):
+        """(L, R) band transforms of ``len(vals)`` planes as ONE wide
+        matmul per side: the free (non-contracted) axis of the planes is
+        concatenated — k for L (M @ [v0|v1|..]), j for R ([v0/v1/..] @ M)
+        — so the MXU sees a B-times-wider operand instead of B separate
+        passes (stage-major micro-steps; per-element math is identical to
+        the per-plane path, the contraction order does not change)."""
+        pj_, pk_ = plan.plane
+        vals = [v if hasattr(v, "shape") and v.shape == plan.plane
+                else jnp.broadcast_to(v, plan.plane) for v in vals]
         if lkey is not None:
-            val = _band_dot(lkey, val, "L")
+            cat = vals[0] if len(vals) == 1 else \
+                jnp.concatenate(vals, axis=1)
+            res = _band_dot(lkey, cat, "L")
+            vals = [jax.lax.slice(res, (0, m * pk_),
+                                  (res.shape[0], (m + 1) * pk_))
+                    for m in range(len(vals))]
         if rkey is not None:
-            val = _band_dot(rkey, val, "R")
-        return val
+            cat = vals[0] if len(vals) == 1 else \
+                jnp.concatenate(vals, axis=0)
+            res = _band_dot(rkey, cat, "R")
+            vals = [jax.lax.slice(res, (m * pj_, 0),
+                                  ((m + 1) * pj_, res.shape[1]))
+                    for m in range(len(vals))]
+        return vals
+
+    def apply_transform(val, lkey, rkey):
+        return apply_transform_block([val], lkey, rkey)[0]
 
     def write_transforms(field, slot, plane_f32):
         for tkey in transform_keys:
@@ -489,6 +516,22 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 continue
             t = apply_transform(plane_f32, tkey[1], tkey[2])
             transform_rings[tkey][pl.ds(slot, 1)] = t[None]
+
+    def write_transforms_batch(field, items):
+        """Batched ``write_transforms`` over one block of planes:
+        ``items`` is ``[(slot, guard, plane), ...]`` — stores are guarded
+        per micro-step (warmup / drain planes compute junk transforms that
+        are simply not stored)."""
+        keys = [t for t in transform_keys if t[0] == field]
+        if not keys:
+            return
+        for tkey in keys:
+            ts = apply_transform_block([p for _s, _g, p in items],
+                                       tkey[1], tkey[2])
+            for (slot, guard, _p), t in zip(items, ts):
+                @pl.when(guard)
+                def _(tkey=tkey, slot=slot, t=t):
+                    transform_rings[tkey][pl.ds(slot, 1)] = t[None]
 
     # g-independent caches: scalars and non-streamed ("static") planes
     plane_cache: Dict[str, Any] = {}
@@ -780,95 +823,139 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     out_ref_of = dict(zip(program.outputs, out_refs))
 
     # ---- micro-steps: block planes per grid step --------------------------
-    for m in range(block):
-        g = gb * jnp.int32(block) + jnp.int32(m)
+    # Two drive orders over the (micro-step, work-item) product:
+    #   plane-major (default): for each plane m — ingest, every stage,
+    #     emit.  Matches the reference pipeline's one-plane-at-a-time
+    #     semantics directly.
+    #   stage-major (plan.stage_major, MXU chains): ingest ALL block
+    #     planes, then advance each stage across the whole block, with
+    #     the (L, R) band transforms batched into one block-wide matmul
+    #     per side (apply_transform_block) — B-times-wider MXU operands.
+    #     Ring depths carry the +block-1 planes this ordering needs
+    #     (StreamPlan.build).
+    ring_outs = [(f, out_ref_of[f]) for f in program.outputs
+                 if f not in direct_set]
 
-        # 0. start this micro-step's spilled-ring reads (distinct slots
-        #    from any write this step, so they overlap freely)
-        if spill_reads:
-            spill_prefetch(g, m)
-
-        # 1. ingest plane m of this input block (partial planes broadcast
-        #    to the full widened-plane shape)
+    def ingest_one(m, g, collect=None):
+        """Ingest plane m of this input block (partial planes broadcast
+        to the full widened-plane shape)."""
         for name, kind, ref in zip(input_names, input_kinds, in_refs):
             if kind not in ("stream", "stream_partial"):
                 continue
+            if kind == "stream":
+                plane = ref[m]
+            else:
+                dmask = program.inputs[name].dim_mask
+                shape = (plan.plane[0] if dmask[1] else 1,
+                         plan.plane[1] if dmask[2] else 1)
+                plane = jnp.broadcast_to(ref[m].reshape(shape),
+                                         plan.plane)
+            slot = jax.lax.rem(g, jnp.int32(plan.ring[name]))
 
             @pl.when(g < I)
-            def _(name=name, kind=kind, ref=ref, m=m, g=g):
-                slot = jax.lax.rem(g, jnp.int32(plan.ring[name]))
-                if kind == "stream":
-                    plane = ref[m]
-                else:
-                    mask = program.inputs[name].dim_mask
-                    shape = (plan.plane[0] if mask[1] else 1,
-                             plan.plane[1] if mask[2] else 1)
-                    plane = jnp.broadcast_to(ref[m].reshape(shape),
-                                             plan.plane)
+            def _(name=name, plane=plane, slot=slot):
                 if name in spill_reads:
                     spill_write(name, slot, plane)
                 else:
                     ring_store(name, slot, plane)
-                write_transforms(name, slot, plane)
+                if collect is None:
+                    write_transforms(name, slot, plane)
 
-        # 2. advance every stage one plane
-        for kname in analysis.graph.kernel_order:
-            kspec = program.kernels[kname]
-            q = g - jnp.int32(plan.lag[kname])
-            if kname in mxu_plans:
-                result = mxu_eval(mxu_plans[kname], q)
-            else:
-                result = eval_kernel_statements(
-                    kspec, make_read(kname, q, m))
-            result = jnp.asarray(result)
-            if result.shape != plan.plane:
-                result = jnp.broadcast_to(result, plan.plane)
-            result = result.astype(
-                compute_dtype or
-                jax.dtypes.canonicalize_dtype(kspec.dtype))
+            if collect is not None:
+                collect.setdefault(name, []).append((slot, g < I, plane))
 
-            if kname in plan.ring:
-                @pl.when(q >= 0)
-                def _(kname=kname, result=result, q=q):
-                    slot = jax.lax.rem(q, jnp.int32(plan.ring[kname]))
-                    if kname in spill_reads:
-                        spill_write(kname, slot, result)
-                    else:
-                        ring_store(kname, slot, result)
+    def advance_one(kname, m, g, collect=None):
+        """Advance stage ``kname`` one plane (micro-step m)."""
+        kspec = program.kernels[kname]
+        q = g - jnp.int32(plan.lag[kname])
+        if kname in mxu_plans:
+            result = mxu_eval(mxu_plans[kname], q)
+        else:
+            result = eval_kernel_statements(
+                kspec, make_read(kname, q, m))
+        result = jnp.asarray(result)
+        if result.shape != plan.plane:
+            result = jnp.broadcast_to(result, plan.plane)
+        result = result.astype(
+            compute_dtype or
+            jax.dtypes.canonicalize_dtype(kspec.dtype))
+
+        if kname in plan.ring:
+            Wc = jnp.int32(plan.ring[kname])
+            slot = jax.lax.rem(jax.lax.rem(q, Wc) + Wc, Wc)
+
+            @pl.when(q >= 0)
+            def _(kname=kname, result=result, slot=slot):
+                if kname in spill_reads:
+                    spill_write(kname, slot, result)
+                else:
+                    ring_store(kname, slot, result)
+                if collect is None:
                     write_transforms(kname, slot, result)
 
-            if kname in direct_set:
-                # result IS output plane q = (gb - lag/block)*block + m —
-                # exactly position m of the block this step's out index
-                # map selected; guard against warmup (q < 0) and the
-                # drain steps that revisit the (clamped) last block
-                oref = out_ref_of[kname]
-                core = jax.lax.slice(result, (hj, hk),
-                                     (hj + core_j, hk + core_k))
+            if collect is not None:
+                collect.setdefault(kname, []).append((slot, q >= 0,
+                                                      result))
 
-                @pl.when((q >= 0) & (q < I))
-                def _(oref=oref, core=core, m=m):
-                    oref[pl.ds(m, 1)] = core.reshape(
-                        1, core_j, core_k).astype(oref.dtype)
+        if kname in direct_set:
+            # result IS output plane q = (gb - lag/block)*block + m —
+            # exactly position m of the block this step's out index
+            # map selected; guard against warmup (q < 0) and the
+            # drain steps that revisit the (clamped) last block
+            oref = out_ref_of[kname]
+            core = jax.lax.slice(result, (hj, hk),
+                                 (hj + core_j, hk + core_k))
 
-        # 3. ring-emitting outputs: plane m of the output block at index
-        #    max(gb - lagB, 0) (clamped during warmup; the final write to
-        #    each block wins).  With an i-halo (emit_off, sharded
-        #    i-decomposition, block == 1) the emitted ring plane is offset
-        #    into the core region.
-        ring_outs = [(f, out_ref_of[f]) for f in program.outputs
-                     if f not in direct_set]
-        if ring_outs:
-            p_out = (jnp.maximum(gb - jnp.int32(lagB + emit_off), 0)
-                     + jnp.int32(emit_off)) * jnp.int32(block) \
-                + jnp.int32(m)
-            for out_name, ref in ring_outs:
-                oslot = jax.lax.rem(p_out, jnp.int32(plan.ring[out_name]))
-                plane = ring_core(out_name, oslot)
-                core = jax.lax.slice(plane, (hj, hk),
-                                     (hj + core_j, hk + core_k))
-                ref[pl.ds(m, 1)] = core.reshape(1, core_j, core_k).astype(
-                    ref.dtype)
+            @pl.when((q >= 0) & (q < I))
+            def _(oref=oref, core=core, m=m):
+                oref[pl.ds(m, 1)] = core.reshape(
+                    1, core_j, core_k).astype(oref.dtype)
+
+    def emit_rings(m):
+        """Ring-emitting outputs: plane m of the output block at index
+        max(gb - lagB, 0) (clamped during warmup; the final write to
+        each block wins).  With an i-halo (emit_off, sharded
+        i-decomposition, block == 1) the emitted ring plane is offset
+        into the core region."""
+        if not ring_outs:
+            return
+        p_out = (jnp.maximum(gb - jnp.int32(lagB + emit_off), 0)
+                 + jnp.int32(emit_off)) * jnp.int32(block) \
+            + jnp.int32(m)
+        for out_name, ref in ring_outs:
+            oslot = jax.lax.rem(p_out, jnp.int32(plan.ring[out_name]))
+            plane = ring_core(out_name, oslot)
+            core = jax.lax.slice(plane, (hj, hk),
+                                 (hj + core_j, hk + core_k))
+            ref[pl.ds(m, 1)] = core.reshape(1, core_j, core_k).astype(
+                ref.dtype)
+
+    gs = [gb * jnp.int32(block) + jnp.int32(m) for m in range(block)]
+    if plan.stage_major:
+        assert not spill_reads, "stage-major excludes spilled rings"
+        coll: Dict[str, list] = {}
+        for m, g in enumerate(gs):
+            ingest_one(m, g, coll)
+        for name, items in coll.items():
+            write_transforms_batch(name, items)
+        for kname in analysis.graph.kernel_order:
+            kcoll: Dict[str, list] = {}
+            for m, g in enumerate(gs):
+                advance_one(kname, m, g, kcoll)
+            for f, items in kcoll.items():
+                write_transforms_batch(f, items)
+        for m in range(block):
+            emit_rings(m)
+    else:
+        for m, g in enumerate(gs):
+            # 0. start this micro-step's spilled-ring reads (distinct
+            #    slots from any write this step, so they overlap freely)
+            if spill_reads:
+                spill_prefetch(g, m)
+            ingest_one(m, g)
+            for kname in analysis.graph.kernel_order:
+                advance_one(kname, m, g)
+            emit_rings(m)
 
 
 def choose_spill(program: ir.Program, analysis: ChainAnalysis,
@@ -930,6 +1017,7 @@ def compile_chain_stream(program: ir.Program,
                          block: int = 0,
                          spill: str = "auto",
                          fast: str = "auto",
+                         stage_major: str = "auto",
                          compute_dtype=None):
     """Build a jitted ``fn(inputs) -> outputs`` around the streaming kernel.
 
@@ -943,9 +1031,12 @@ def compile_chain_stream(program: ir.Program,
     accumulation via hi/lo operand splitting (near-f32 accuracy, ~3x the
     throughput); "exact" uses full f32 (HIGHEST) passes.  ``block``: planes per grid step
     (0 = auto: more micro-steps for small planes, where per-grid-step
-    pipeline overhead dominates).  Raises ValueError when the program shape
-    doesn't fit this lowering (callers fall back to the overlapped-tile
-    backend).
+    pipeline overhead dominates).  ``stage_major``: "auto" (default) runs
+    MXU chains with stages-outer micro-steps so the band transforms batch
+    into block-wide matmuls (falls back to plane-major when the deeper
+    rings overflow the VMEM budget); "on"/"off" force it.  Raises
+    ValueError when the program shape doesn't fit this lowering (callers
+    fall back to the overlapped-tile backend).
     """
     analysis = analysis or ChainAnalysis.run(program)
     dims = program.dimensions
@@ -1055,8 +1146,14 @@ def compile_chain_stream(program: ir.Program,
             # padding overflow the budget
             block = 8 if area <= 128 * 128 else 4
             block = max(1, min(block, I))
+    # stage-major micro-steps batch the MXU band transforms into
+    # block-wide matmuls — only meaningful when transform rings exist;
+    # costs block-1 extra planes per consumed ring (audited below, and
+    # "auto" falls back to plane-major before shrinking the block)
+    use_sm = (stage_major != "off" and bool(transform_keys)
+              and block > 1 and not spilled_reads)
     plan = StreamPlan.build(analysis, local_jk=tile_jk, halo_jk=halo_jk,
-                            block=block)
+                            block=block, stage_major=use_sm)
     # Fast-read policy, measured on chip (same-day A/B with scaled loop
     # lengths, 512^3/256^3/128^3 jacobi chains — see RESULTS.md round-2
     # corrected table):
@@ -1099,9 +1196,16 @@ def compile_chain_stream(program: ir.Program,
             fast_pad_extra_bytes(program, plan, fast_fields, compute_dtype)
         if total <= budget:
             break
-        block = block // 2
+        if use_sm and stage_major == "auto":
+            # the deeper stage-major rings overflowed: plane-major at the
+            # same block beats batched transforms at a halved block
+            use_sm = False
+        else:
+            block = block // 2
+            use_sm = use_sm and block > 1
         plan = StreamPlan.build(analysis, local_jk=tile_jk,
-                                halo_jk=halo_jk, block=block)
+                                halo_jk=halo_jk, block=block,
+                                stage_major=use_sm)
         fast_fields = plan_fast(plan)
     # pads that still overflow at block=1: drop the fast path, keep masks
     if fast_fields and plan.vmem_bytes(program, compute_dtype) + \
@@ -1116,6 +1220,7 @@ def compile_chain_stream(program: ir.Program,
     compile_chain_stream.last_config = {
         "jtiles": jtiles, "tile_jk": tile_jk, "halo_jk": halo_jk,
         "mxu_stages": sorted(mxu_plans),
+        "stage_major": use_sm, "block": block,
         "spilled": sorted(spilled_reads),
         "fast_fields": sorted(fast_fields),
         "fast_mode": ("shift" if use_shift else

@@ -355,3 +355,69 @@ class TestLinearPlannerEdgeCases:
         p = sft.parse_program(spec, name="intaffine")
         assert plan_all_stages(p, (16, 16), (4, 16, 16), MatrixPool(),
                                min_footprint=9) == {}
+
+
+class TestStageMajor:
+    """Stage-major micro-steps: band transforms batched into block-wide
+    matmuls (stream.py apply_transform_block).  Must be oracle-exact under
+    the same tolerance as the plane-major MXU path, and "auto" must engage
+    it exactly when transform rings exist and block > 1."""
+
+    def _program(self, num_stages=3, dims=(12, 16, 24), extent=1,
+                 bval=0.3):
+        spec = synthesize_stencil(
+            num_stages=num_stages, dimensions=dims, shape="box",
+            extent=extent, boundary="constant", boundary_value=bval)
+        return sft.parse_program(spec, name=f"sm{num_stages}x{extent}")
+
+    @pytest.mark.parametrize("block", [2, 3, 4])
+    def test_on_matches_oracle(self, block):
+        p = self._program()
+        inputs = sft.load_input_arrays(p, seed=7)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s2"])
+        fn = compile_chain_stream(p, interpret=True, block=block,
+                                  stage_major="on")
+        assert compile_chain_stream.last_config["stage_major"]
+        got = np.asarray(fn({k: jnp.asarray(v)
+                             for k, v in inputs.items()})["s2"])
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+
+    def test_on_off_agree(self):
+        p = self._program(num_stages=2, extent=2, bval=0.0)
+        inputs = sft.load_input_arrays(p, seed=3)
+        outs = {}
+        for mode in ("on", "off"):
+            fn = compile_chain_stream(p, interpret=True, block=4,
+                                      stage_major=mode)
+            assert compile_chain_stream.last_config["stage_major"] == \
+                (mode == "on")
+            outs[mode] = np.asarray(
+                fn({k: jnp.asarray(v) for k, v in inputs.items()})["s1"])
+        # identical contraction math, only the free-dim width differs
+        np.testing.assert_allclose(outs["on"], outs["off"], rtol=1e-6)
+
+    def test_auto_engages_on_mxu_chains(self):
+        p = self._program()
+        inputs = sft.load_input_arrays(p, seed=1)
+        fn = compile_chain_stream(p, interpret=True, block=2)
+        cfg = dict(compile_chain_stream.last_config)
+        assert cfg["mxu_stages"] and cfg["stage_major"]
+        got = np.asarray(fn({k: jnp.asarray(v)
+                             for k, v in inputs.items()})["s2"])
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s2"])
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+        # VPU chains have no transform rings: auto stays plane-major
+        compile_chain_stream(p, interpret=True, block=2, mxu="off")
+        assert not compile_chain_stream.last_config["stage_major"]
+
+    def test_deep_ring_algebra(self):
+        """Depth-5 chain at block=4: consumed rings must retain the
+        block-1 extra planes the stage-major ordering needs."""
+        p = self._program(num_stages=5, dims=(16, 16, 16))
+        inputs = sft.load_input_arrays(p, seed=9)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s4"])
+        fn = compile_chain_stream(p, interpret=True, block=4,
+                                  stage_major="on")
+        got = np.asarray(fn({k: jnp.asarray(v)
+                             for k, v in inputs.items()})["s4"])
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
