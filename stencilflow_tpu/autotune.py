@@ -68,6 +68,14 @@ def _builders(program: ir.Program, analysis: ChainAnalysis,
         b["stream:mxu=off"] = lambda: compile_chain_stream(
             program, analysis, interpret=interpret, mxu="off",
             spill=spill)
+        # micro-step drive order for MXU chains: "auto" engages
+        # stage-major (block-wide batched band transforms); measure the
+        # plane-major order too so the cache records which one this
+        # (program, device) pair actually prefers
+        b["stream:sm=off"] = lambda: compile_chain_stream(
+            program, analysis, interpret=interpret, mxu=mxu,
+            mxu_precision=mxu_precision, spill=spill,
+            stage_major="off")
     b["panel:B=auto"] = lambda: compile_chain_panel(
         program, analysis, interpret=interpret)
     # explicit panels relax the VMEM gate to the full budget: the 0.7
@@ -103,8 +111,9 @@ def _builders(program: ir.Program, analysis: ChainAnalysis,
     return b
 
 
-DEFAULT_LABELS = ["stream", "stream:mxu=off", "panel:B=auto",
-                  "overlap:B=auto", "rows:auto", "pallas", "xla"]
+DEFAULT_LABELS = ["stream", "stream:mxu=off", "stream:sm=off",
+                  "panel:B=auto", "overlap:B=auto", "rows:auto", "pallas",
+                  "xla"]
 
 
 def build_from_label(program: ir.Program, label: str,
