@@ -67,14 +67,25 @@ def build(mode: str, nops: int, planes: int):
     )
 
 
-def timed(fn, x, trials):
-    np.asarray(fn(x)).ravel()[0]
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        np.asarray(fn(x)).ravel()[0]
-        best = min(best, time.perf_counter() - t0)
-    return best
+def timed(fn, x, trials, n1=4, n2=12):
+    """Per-application seconds via the on-device differenced-loop method
+    (CLAUDE.md): the kernel is passthrough-shaped, so an on-device
+    lax.fori_loop feeds output->input; two loop lengths differenced
+    cancel dispatch/readback, a scalar readback forces completion."""
+    def make(n):
+        @jax.jit
+        def run(v):
+            return jax.lax.fori_loop(0, n, lambda i, u: fn(u), v)
+        return run
+    r1, r2 = make(n1), make(n2)
+    best = [float("inf"), float("inf")]
+    for k, r in enumerate((r1, r2)):
+        np.asarray(r(x).ravel()[0])       # warm-up forces remote compile
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            np.asarray(r(x).ravel()[0])
+            best[k] = min(best[k], time.perf_counter() - t0)
+    return max(best[1] - best[0], 1e-9) / (n2 - n1)
 
 
 def main() -> int:
@@ -90,8 +101,7 @@ def main() -> int:
     for mode, nops in [("dep", 0), ("indep", 0), ("indep", 4),
                        ("indep", 8), ("indep", 16), ("dep", 4),
                        ("dep", 8), ("dep", 16)]:
-        fn = jax.jit(build(mode, nops, args.planes))
-        dt = timed(fn, x, args.trials)
+        dt = timed(build(mode, nops, args.planes), x, args.trials)
         print(f"{mode:6s} N={nops:3d}: {cells/dt/1e9:7.2f} GCell/s  "
               f"({dt*1e12/cells:6.2f} ps/cell)", flush=True)
     return 0
