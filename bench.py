@@ -138,10 +138,20 @@ def main():
     a = jnp.asarray(inputs[in_name])
     rest = {k: jnp.asarray(v) for k, v in inputs.items() if k != in_name}
 
+    # The loop body applies the chain TWICE per iteration.  With a single
+    # application, XLA pins the fori_loop carry to a fixed buffer and a
+    # pallas_call result cannot alias its operand, so every iteration
+    # pays a full extra HBM read+write copying the output back into the
+    # carry slot — measured to nearly double the apparent cost of
+    # HBM-bound kernels (passthrough: 43 GCell/s at U=1 vs 83.6 at U=2,
+    # scripts/loop_copy_probe.py).  At U=2 the second call's output lands
+    # directly in the freed carry buffer and the copy vanishes; this is
+    # also what any real fused time-stepping loop achieves.
     @jax.jit
     def loop(r):
         def body(_, x):
-            return fn({in_name: x, **rest})[out_name]
+            y = fn({in_name: x, **rest})[out_name]
+            return fn({in_name: y, **rest})[out_name]
         return jax.lax.fori_loop(0, r, body, a).sum()
 
     def timed(reps: int, trials: int) -> float:
@@ -161,11 +171,12 @@ def main():
     # "throughputs" up to 39x the roofline).
     cells = float(np.prod(program.dimensions))
     if not on_tpu:
-        small, big, trials = 2, 10, 3
+        small, big, trials = 1, 5, 3
     else:
-        big = int(min(3840, max(30, round(30 * (512**3 / cells)))))
-        small, trials = max(6, big // 5), 5
-    dt = (timed(big, trials) - timed(small, trials)) / (big - small)
+        big = int(min(1920, max(15, round(15 * (512**3 / cells)))))
+        small, trials = max(3, big // 5), 5
+    # two chain applications per loop iteration (see `loop` above)
+    dt = (timed(big, trials) - timed(small, trials)) / (2 * (big - small))
     gcell_s = cells / dt / 1e9
 
     report = Report.build(program)

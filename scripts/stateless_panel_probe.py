@@ -1,0 +1,166 @@
+"""Stateless overlapped-panel shallow-chain prototype (round 3, #2).
+
+The DMA probes show the shallow 512^3 plateau is the io pipe, with
+compute fully hidden; the streaming/overlap backends additionally pay a
+VMEM ingest copy (block -> ring) and run with "arbitrary" grid
+semantics because of the carried ring state.  This prototype removes
+the state entirely: the input window for output panel q (rows
+q*B-H .. q*B+B+H) arrives as THREE block specs over the same array —
+
+    top    (H, J, K)  at block index  max(q*B/H - 1, 0)
+    core   (B, J, K)  at block index  q
+    bottom (H, J, K)  at block index  min(q*B/H + B/H, I/H - 1)
+
+so every grid step is independent (no scratch, no skew): legal
+"parallel" dimension semantics, no ring writes, stages read straight
+from the io refs.  Edge steps clamp to in-range blocks; the stale rows
+only ever feed i-masked reads (overlap.py's _imask invariant).  Stages
+use slice-based i-offsets, shrinking the window by 2 rows per stage —
+no roll wrap, no wasted edge compute.
+
+Measures a realistic 2-stage jacobi3d chain (6-term star per stage,
+constant-0 BC, i/j/k masks) at 512^3 against the production overlap
+backend's measured ~41-45 GCell/s.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+J = K = 512
+H = 2                      # cumulative i-extent of the 2-stage chain
+
+
+def _stage(win, gfirst, I):
+    """One 6-point jacobi stage; row r of the (n-2, J, K) result is
+    global plane gfirst + 1 + r, computed from window rows r..r+2."""
+    n = win.shape[0]
+    c = jax.lax.slice_in_dim(win, 1, n - 1, axis=0)
+    ip = jax.lax.slice_in_dim(win, 2, n, axis=0)
+    im = jax.lax.slice_in_dim(win, 0, n - 2, axis=0)
+    gp = (jax.lax.broadcasted_iota(jnp.int32, (n - 2, 1, 1), 0)
+          + gfirst + 1)
+    ip = jnp.where(gp + 1 >= I, 0.0, ip)
+    im = jnp.where(gp - 1 < 0, 0.0, im)
+
+    jp = jnp.concatenate([c[:, 1:], jnp.zeros_like(c[:, :1])], axis=1)
+    jm = jnp.concatenate([jnp.zeros_like(c[:, :1]), c[:, :-1]], axis=1)
+    kp = jnp.concatenate([c[:, :, 1:], jnp.zeros_like(c[:, :, :1])],
+                         axis=2)
+    km = jnp.concatenate([jnp.zeros_like(c[:, :, :1]), c[:, :, :-1]],
+                         axis=2)
+    return (c + ip + im + jp + jm + kp + km) * jnp.float32(1.0 / 7.0)
+
+
+def _kernel(B, I, top_ref, core_ref, bot_ref, o_ref):
+    q = pl.program_id(0)
+    gfirst = q * B - H                   # global plane of window row 0
+    win = jnp.concatenate([top_ref[...], core_ref[...], bot_ref[...]],
+                          axis=0)
+    s1 = _stage(win, gfirst, I)          # rows: gfirst+1 .. gfirst+B+2
+    s2 = _stage(s1, gfirst + 1, I)       # rows: q*B .. q*B+B-1
+    o_ref[...] = s2
+
+
+def build(B: int, I: int, semantics: str, vmem_mib: int = 64):
+    nb = I // H
+
+    def top_map(q):
+        return (jnp.maximum(q * (B // H) - 1, 0), 0, 0)
+
+    def bot_map(q):
+        return (jnp.minimum(q * (B // H) + B // H, nb - 1), 0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, B, I),
+        grid=(I // B,),
+        in_specs=[
+            pl.BlockSpec((H, J, K), top_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, J, K), lambda q: (q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, J, K), bot_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, J, K), lambda q: (q, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((I, J, K), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(semantics,),
+            vmem_limit_bytes=vmem_mib * 2**20),
+    )
+
+
+def reference(x):
+    """Whole-domain oracle for the same 2-stage chain (constant-0 BC)."""
+    def stage(a):
+        z = np.zeros_like(a)
+        ip = np.concatenate([a[1:], z[:1]], axis=0)
+        im = np.concatenate([z[:1], a[:-1]], axis=0)
+        jp = np.concatenate([a[:, 1:], z[:, :1]], axis=1)
+        jm = np.concatenate([z[:, :1], a[:, :-1]], axis=1)
+        kp = np.concatenate([a[:, :, 1:], z[:, :, :1]], axis=2)
+        km = np.concatenate([z[:, :, :1], a[:, :, :-1]], axis=2)
+        return (a + ip + im + jp + jm + kp + km) * np.float32(1 / 7)
+    return stage(stage(x))
+
+
+def timed(fn, x, trials, n1=4, n2=12):
+    def make(n):
+        @jax.jit
+        def run(v):
+            return jax.lax.fori_loop(0, n, lambda i, u: fn(u), v)
+        return run
+    r1, r2 = make(n1), make(n2)
+    best = [float("inf"), float("inf")]
+    for k, r in enumerate((r1, r2)):
+        np.asarray(r(x).ravel()[0])
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            np.asarray(r(x).ravel()[0])
+            best[k] = min(best[k], time.perf_counter() - t0)
+    return max(best[1] - best[0], 1e-9) / (n2 - n1)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--size", type=int, default=512)
+    args = ap.parse_args()
+    print(f"device: {jax.devices()[0].device_kind}", flush=True)
+    rng = np.random.default_rng(0)
+
+    # correctness on a small grid first (interior + all 6 faces)
+    xs = rng.uniform(0.5, 1, (16, J, K)).astype(np.float32)
+    got = np.asarray(jax.jit(build(8, 16, "parallel"))(jnp.asarray(xs)))
+    err = np.max(np.abs(got - reference(xs)))
+    print(f"correctness (16 planes, B=8): max abs err {err:.2e}",
+          flush=True)
+    assert err < 1e-5
+
+    I = args.size
+    x = jnp.asarray(rng.uniform(0.5, 1, (I, J, K)), jnp.float32)
+    cells = I * J * K
+    for B in (4, 8, 16):
+        for sem in ("parallel", "arbitrary"):
+            lim = 64 if B <= 8 else 112
+            try:
+                dt = timed(build(B, I, sem, lim), x, args.trials)
+            except Exception as e:  # noqa: BLE001
+                print(f"B={B:2d} {sem:9s}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:100]})", flush=True)
+                continue
+            print(f"B={B:2d} {sem:9s} lim={lim}: "
+                  f"{cells/dt/1e9:7.2f} GCell/s  "
+                  f"({dt*1e12/cells:6.2f} ps/cell)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -128,9 +128,18 @@ def build_from_label(program: ir.Program, label: str,
 
 
 def _make_loop(fn, program: ir.Program, arrs: Dict[str, Any]):
-    """A jitted ``loop(r)`` applying ``fn`` r times with a data dependency
-    between iterations (so the device executes r sequential applications),
-    returning a cheap scalar."""
+    """A jitted ``loop(r)`` applying ``fn`` with a data dependency between
+    iterations (so the device executes sequential applications), returning
+    a cheap scalar.  Returns ``(loop, apps_per_rep)``.
+
+    When an output feeds an input, the body applies the chain TWICE per
+    iteration (``apps_per_rep == 2``): a single-application fori_loop body
+    pays a full extra HBM read+write per iteration copying the pallas
+    output back into the pinned carry buffer (a custom-call result cannot
+    alias its operand), nearly doubling the apparent cost of HBM-bound
+    candidates — measured 43 vs 83.6 GCell/s on a passthrough
+    (scripts/loop_copy_probe.py).  At two applications the second output
+    lands in the freed carry slot and the copy vanishes."""
     import jax
     import jax.numpy as jnp
 
@@ -161,10 +170,11 @@ def _make_loop(fn, program: ir.Program, arrs: Dict[str, Any]):
                 got = fn({i_n: x, **rest})
                 return carry + all_outputs_scalar(got), got[o_n]
             def step(_, c):
-                return body(*c)
+                return body(*body(*c))
             out = jax.lax.fori_loop(0, r, step,
                                     (jnp.float32(0.0), arrs[i_n]))
             return out[0] + out[1].ravel()[0].astype(jnp.float32)
+        return loop, 2
     else:
         # no shape-compatible (input, output) pair: thread a scalar carry
         # through one input at negligible weight — the data dependency
@@ -182,13 +192,13 @@ def _make_loop(fn, program: ir.Program, arrs: Dict[str, Any]):
                 return all_outputs_scalar(got)
             return jax.lax.fori_loop(0, r, body, jnp.float32(0.0))
 
-    return loop
+    return loop, 1
 
 
 def _time_fn(fn, program: ir.Program, arrs: Dict[str, Any],
              trials: int, on_tpu: bool) -> float:
     """Seconds per chain application (differenced on-device loop)."""
-    loop = _make_loop(fn, program, arrs)
+    loop, apps = _make_loop(fn, program, arrs)
 
     def timed(reps: int) -> float:
         np.asarray(loop(reps))  # warm up / force the remote compile
@@ -205,12 +215,13 @@ def _time_fn(fn, program: ir.Program, arrs: Dict[str, Any],
         small = max(6, big // 5)
     else:
         small, big = 2, 6
-    dt = (timed(big) - timed(small)) / (big - small)
+    big, small = max(big // apps, 2), max(small // apps, 1)
+    dt = (timed(big) - timed(small)) / (apps * (big - small))
     if dt <= 0:
         # differencing lost to timer jitter (tiny CPU/interpret runs):
         # fall back to the per-application upper bound so a noise-negative
         # candidate can never win (and never poisons the cache)
-        dt = timed(big) / big
+        dt = timed(big) / (apps * big)
     return dt
 
 

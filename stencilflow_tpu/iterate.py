@@ -323,7 +323,17 @@ def iterate(program: ir.Program, inputs: Dict[str, Any], steps: int,
     else:
         @jax.jit
         def run_chunk(state, n):
-            return lax.fori_loop(0, n, lambda _i, s: step(s), state)
+            # two steps per fori iteration: with a single-step body XLA
+            # pins the carry to fixed buffers and a pallas_call result
+            # cannot alias its operand, so every iteration pays a full
+            # extra HBM read+write copying each carried field back into
+            # its carry slot — ~2x apparent cost on HBM-bound kernels
+            # (scripts/loop_copy_probe.py).  With two steps the second
+            # output lands in the freed carry buffer: no copy.  An odd
+            # remainder step runs under a cond.
+            state = lax.fori_loop(0, n // 2,
+                                  lambda _i, s: step(step(s)), state)
+            return lax.cond(n % 2 == 1, step, lambda s: s, state)
 
     done = start
     try:
