@@ -70,17 +70,21 @@ def bench(program, fn, on_tpu, trials=5):
     rest = {k: jnp.asarray(v) for k, v in inputs.items() if k != in_name}
     cells = float(np.prod(program.dimensions))
 
+    # two applications per iteration: a single-application body pays a
+    # full extra HBM round-trip copying the output into the pinned carry
+    # buffer (scripts/loop_copy_probe.py; CLAUDE.md methodology rule)
     @jax.jit
     def loop(r):
         def body(_, x):
-            return fn({in_name: x, **rest})[out_name]
+            y = fn({in_name: x, **rest})[out_name]
+            return fn({in_name: y, **rest})[out_name]
         return jax.lax.fori_loop(0, r, body, a).sum()
 
     if on_tpu:
-        big = int(min(3840, max(30, round(30 * (512 ** 3 / cells)))))
-        small = max(6, big // 5)
+        big = int(min(1920, max(15, round(15 * (512 ** 3 / cells)))))
+        small = max(3, big // 5)
     else:
-        big, small, trials = 10, 2, 3
+        big, small, trials = 5, 1, 3
 
     def t(r):
         np.asarray(loop(r))   # warm-up with host readback (tunnel!)
@@ -91,7 +95,7 @@ def bench(program, fn, on_tpu, trials=5):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    dt = (t(big) - t(small)) / (big - small)
+    dt = (t(big) - t(small)) / (2 * (big - small))
     return cells / dt / 1e9, dt
 
 

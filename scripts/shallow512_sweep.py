@@ -50,9 +50,10 @@ def main() -> int:
     cells = float(S) ** 3
 
     def loop_time(one, x0, n):
+        # two applications per iteration (carry-copy rule, CLAUDE.md)
         @functools.partial(jax.jit, static_argnums=1)
         def loop(x, n):
-            return jax.lax.fori_loop(0, n, lambda _, t: one(t), x)
+            return jax.lax.fori_loop(0, n, lambda _, t: one(one(t)), x)
 
         def timed(n):
             t0 = time.perf_counter()
@@ -63,7 +64,7 @@ def main() -> int:
         timed(2)
         timed(n)
         best = min(timed(n) - timed(2) for _ in range(args.reps))
-        return best / (n - 2)
+        return best / (2 * (n - 2))
 
     cases = [("stream", None, None)]
     for b in (2, 4, 8):

@@ -112,10 +112,11 @@ def reference(x):
 
 
 def timed(fn, x, trials, n1=4, n2=12):
+    # two applications per iteration (carry-copy rule, CLAUDE.md)
     def make(n):
         @jax.jit
         def run(v):
-            return jax.lax.fori_loop(0, n, lambda i, u: fn(u), v)
+            return jax.lax.fori_loop(0, n, lambda i, u: fn(fn(u)), v)
         return run
     r1, r2 = make(n1), make(n2)
     best = [float("inf"), float("inf")]
@@ -125,7 +126,7 @@ def timed(fn, x, trials, n1=4, n2=12):
             t0 = time.perf_counter()
             np.asarray(r(x).ravel()[0])
             best[k] = min(best[k], time.perf_counter() - t0)
-    return max(best[1] - best[0], 1e-9) / (n2 - n1)
+    return max(best[1] - best[0], 1e-9) / (2 * (n2 - n1))
 
 
 def main() -> int:
