@@ -158,7 +158,18 @@ def finalize_pool(plans: Dict[str, "LinearStagePlan"], pool: "MatrixPool",
     stage plans: prune the pool to referenced matrices, order
     deterministically, collect the (field, L, R) derived-transform-ring
     keys, and — in split precision — decompose band matrices into bf16
-    hi (+ ``<key>__lo`` residual) pairs (correction planes stay f32)."""
+    hi (+ ``<key>__lo`` residual) pairs (correction planes stay f32).
+
+    ``mxu_precision="bf16"`` is the opt-in single-pass mode: band
+    matrices round to bf16 with NO residual, and the kernel rounds the
+    operand plane to bf16 too (one MXU pass per matmul instead of 2-3,
+    signalled by the ``"__precision__"`` sentinel in the returned meta
+    dict — matrix keys all start with L/R/corr so it cannot collide).
+    Accuracy drops from ~1e-7 to bf16-level (~1e-2 relative on deep
+    chains); never selected automatically."""
+    if mxu_precision not in ("split", "bf16", "exact"):
+        raise ValueError(f"unknown mxu_precision {mxu_precision!r} "
+                         "(expected split, bf16, or exact)")
     used = set()
     tkeys = set()
     for mp in plans.values():
@@ -175,7 +186,7 @@ def finalize_pool(plans: Dict[str, "LinearStagePlan"], pool: "MatrixPool",
     pkeys = sorted(used)
     parrs = [pool.items[k] for k in pkeys]
     pmeta = {k: pool.meta[k] for k in pkeys if k in pool.meta}
-    if mxu_precision == "split":
+    if mxu_precision in ("split", "bf16"):
         import ml_dtypes
         keys2, arrays2 = [], []
         for k, a in zip(pkeys, parrs):
@@ -184,13 +195,16 @@ def finalize_pool(plans: Dict[str, "LinearStagePlan"], pool: "MatrixPool",
                 lo = a - hi.astype(np.float32)
                 keys2.append(k)
                 arrays2.append(hi)
-                if np.any(lo):
+                if mxu_precision == "split" and np.any(lo):
                     keys2.append(k + "__lo")
                     arrays2.append(lo.astype(ml_dtypes.bfloat16))
             else:
                 keys2.append(k)
                 arrays2.append(a)
         pkeys, parrs = keys2, arrays2
+        if mxu_precision == "bf16":
+            pmeta = dict(pmeta)
+            pmeta["__precision__"] = "bf16"
     tkeys = sorted(tkeys, key=lambda t: (t[0], t[1] or "", t[2] or ""))
     return pkeys, parrs, pmeta, tkeys
 
@@ -275,6 +289,8 @@ def mxu_flops_per_cell(plane, pool_keys, pool_arrays, transform_keys,
         contraction = -(-contraction // 128) * 128
         if mxu_precision == "exact":
             passes = 6
+        elif mxu_precision == "bf16":
+            passes = 1
         else:
             passes = 2 + (1 if key + "__lo" in arr else 0)
         return passes * 2.0 * contraction

@@ -438,6 +438,12 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             lo_ref = pool.get(key + "__lo")
             if val.dtype == jnp.bfloat16:
                 vparts = [val]
+            elif pool_meta.get("__precision__") == "bf16":
+                # single-pass opt-in mode (finalize_pool sentinel): round
+                # the operand to bf16, one matmul per side, f32 accumulate
+                v32 = val.astype(jnp.float32)
+                vparts = [jax.lax.reduce_precision(v32, 8, 7) if interpret
+                          else v32.astype(jnp.bfloat16)]
             else:
                 vparts = _split_bf16(val.astype(jnp.float32))
             mats = [mref] + ([lo_ref] if lo_ref is not None else [])
@@ -1029,7 +1035,10 @@ def compile_chain_stream(program: ir.Program,
     "off" keeps everything on the VPU.  ``mxu_precision``: "split" (default)
     runs the band transforms as 2-3 single-pass bf16 matmuls with f32
     accumulation via hi/lo operand splitting (near-f32 accuracy, ~3x the
-    throughput); "exact" uses full f32 (HIGHEST) passes.  ``block``: planes per grid step
+    throughput); "bf16" rounds matrices AND operand planes to bf16 for ONE
+    pass per matmul (fastest; ~1e-2-level relative error — opt-in only,
+    never chosen automatically); "exact" uses full f32 (HIGHEST) passes.
+    ``block``: planes per grid step
     (0 = auto: more micro-steps for small planes, where per-grid-step
     pipeline overhead dominates).  ``stage_major``: "auto" (default) runs
     MXU chains with stages-outer micro-steps so the band transforms batch

@@ -35,7 +35,8 @@ def _cmd_run(args) -> int:
             spill="off" if args.no_spill else "auto",
             log_level=args.log_level,
             profile_dir=args.profile,
-            seed=args.seed)
+            seed=args.seed,
+            tolerance=args.tolerance)
     except VerificationError as exc:
         print(f"VERIFICATION FAILED: {exc}", file=sys.stderr)
         return 1
@@ -629,10 +630,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable HBM ring spilling (the memory optimizer's "
                         "fast->slow placement) when rings exceed VMEM")
     p.add_argument("--mxu-precision", default="split",
-                   choices=["split", "exact"],
+                   choices=["split", "bf16", "exact"],
                    help="band-transform matmul precision: split = bf16 "
                         "hi/lo operand splitting with f32 accumulation "
-                        "(near-f32, ~3x faster); exact = full-f32 passes")
+                        "(near-f32, ~3x faster); bf16 = single-pass bf16 "
+                        "operands (fastest, ~1e-2-level error — opt-in "
+                        "only; verification widens to its envelope, or "
+                        "set --tolerance); exact = full-f32 passes")
+    p.add_argument("--tolerance", type=float, default=None,
+                   help="relative verification tolerance for "
+                        "--compare-to-reference / --run-simulation "
+                        "(default: config.VERIFY_RTOL, widened "
+                        "automatically for MXU / bf16 runs)")
     p.add_argument("--print-result", action="store_true")
     p.add_argument("--generate-input", action="store_true",
                    help="replace file-backed inputs with constant data "
@@ -764,7 +773,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-mxu", action="store_true")
     p.add_argument("--no-spill", action="store_true")
     p.add_argument("--mxu-precision", default="split",
-                   choices=["split", "exact"])
+                   choices=["split", "bf16", "exact"])
     p.add_argument("--cache", help="cache file (default: "
                                    "~/.cache/stencilflow_tpu/autotune.json)")
     p.add_argument("--no-cache", action="store_true")

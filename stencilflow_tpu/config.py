@@ -45,6 +45,11 @@ VERIFY_RTOL = 1e-5
 # bf16 hi/lo passes); its guaranteed envelope is 3e-5 relative (enforced
 # by tests/test_fuzz.py) — the driver verifies MXU-lowered runs at this
 MXU_VERIFY_RTOL = 3e-5
+# opt-in single-pass bf16 band transforms (mxu_precision="bf16") round
+# matrices and operand planes to 8-bit mantissas: per-stage error ~2^-9
+# relative, compounding over the chain — the driver verifies such runs
+# at this envelope (tests/test_mxu.py::test_box_chain_bf16_single_pass)
+BF16_VERIFY_RTOL = 2e-2
 
 # Junk value written into shrink-boundary halo cells
 # (reference: /root/reference/stencilflow/stencil/_common.py:8).

@@ -67,9 +67,12 @@ def run_program(stencil_file, mode: str = "emulation",
                 print_result: bool = False,
                 log_level: int = 1,
                 profile_dir: Optional[str] = None,
-                raise_on_mismatch: bool = True) -> RunResult:
+                raise_on_mismatch: bool = True,
+                tolerance: Optional[float] = None) -> RunResult:
     """Run one stencil program end to end.  ``stencil_file`` may be a path,
-    a JSON dict, or an already-parsed Program."""
+    a JSON dict, or an already-parsed Program.  ``tolerance`` overrides
+    the relative verification tolerance (default: config.VERIFY_RTOL,
+    widened automatically for MXU / bf16-precision runs)."""
     from .utils.log import LogLevel, log
     if isinstance(stencil_file, ir.Program):
         program = stencil_file
@@ -226,14 +229,17 @@ def run_program(stencil_file, mode: str = "emulation",
 
     # MXU-lowered runs are exact only to their re-association envelope
     # (3e-5, the bound the fuzz suite enforces) — verifying them at 1e-5
-    # would raise spurious VerificationErrors on correct results
-    verify_rtol = VERIFY_RTOL
-    if "stream" in result.backend:
+    # would raise spurious VerificationErrors on correct results.  The
+    # opt-in single-pass bf16 mode widens to its documented bf16 envelope.
+    verify_rtol = tolerance if tolerance is not None else VERIFY_RTOL
+    if tolerance is None and "stream" in result.backend:
         try:
             from .backend.stream import compile_chain_stream as _ccs
             if getattr(_ccs, "last_config", {}).get("mxu_stages"):
-                from .config import MXU_VERIFY_RTOL
-                verify_rtol = MXU_VERIFY_RTOL
+                from .config import BF16_VERIFY_RTOL, MXU_VERIFY_RTOL
+                verify_rtol = (BF16_VERIFY_RTOL
+                               if mxu_precision == "bf16"
+                               else MXU_VERIFY_RTOL)
         except ImportError:   # pragma: no cover
             pass
 

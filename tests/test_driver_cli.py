@@ -274,6 +274,26 @@ class TestDriverReviewRegressions:
         assert compile_chain_stream.last_config["mxu_stages"]
         assert res.verified_against_reference
 
+    def test_bf16_mxu_runs_verify_at_bf16_envelope(self):
+        """The opt-in single-pass bf16 mode verifies at its documented
+        bf16 envelope (config.BF16_VERIFY_RTOL); an explicit tolerance
+        overrides any auto-widening."""
+        from stencilflow_tpu.backend.stream import compile_chain_stream
+        from stencilflow_tpu.driver import VerificationError, run_program
+        spec = synthesize_stencil(num_stages=2, dimensions=(4, 16, 16),
+                                  shape="box", extent=2,
+                                  seed_data="random:1,2")
+        p = sft.parse_program(spec, name="bf16verify")
+        res = run_program(p, mode="emulation", backend="stream",
+                          mxu_precision="bf16",
+                          compare_to_reference=True, save_results=False)
+        assert compile_chain_stream.last_config["mxu_stages"]
+        assert res.verified_against_reference
+        with pytest.raises(VerificationError):
+            run_program(p, mode="emulation", backend="stream",
+                        mxu_precision="bf16", tolerance=1e-7,
+                        compare_to_reference=True, save_results=False)
+
     def test_scalar_file_input_loads_zero_d(self, tmp_path):
         from stencilflow_tpu.data import load_array
         from stencilflow_tpu.ir import InputSpec

@@ -19,8 +19,9 @@ from stencilflow_tpu.synthesize import synthesize_stencil
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(program, inputs, mxu="auto"):
-    fn = compile_chain_stream(program, interpret=True, mxu=mxu)
+def _run(program, inputs, mxu="auto", mxu_precision="split"):
+    fn = compile_chain_stream(program, interpret=True, mxu=mxu,
+                              mxu_precision=mxu_precision)
     out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
     return {k: np.asarray(v) for k, v in out.items()}
 
@@ -70,6 +71,36 @@ class TestMXUvsOracle:
         ref = np.asarray(sft.run_interpreter(p, inputs)["s1"])
         got = _run(p, inputs)["s1"]
         np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
+
+    def test_box_chain_bf16_single_pass(self):
+        # opt-in single-pass mode: bf16-level accuracy, no __lo residual
+        # matrices, one matmul per side (linear.finalize_pool sentinel)
+        from stencilflow_tpu.backend.linear import (MatrixPool,
+                                                    finalize_pool,
+                                                    plan_all_stages)
+        spec = synthesize_stencil(
+            num_stages=2, dimensions=(10, 12, 16), shape="box", extent=2,
+            boundary="constant", boundary_value=0.3)
+        p = sft.parse_program(spec, name="boxbf16")
+        inputs = sft.load_input_arrays(p, seed=3)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s1"])
+        got = _run(p, inputs, mxu_precision="bf16")["s1"]
+        np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-3)
+        # and it is genuinely the reduced-precision path, not split
+        split = _run(p, inputs, mxu_precision="split")["s1"]
+        assert np.max(np.abs(got - split)) > 0
+        pool = MatrixPool()
+        plans = plan_all_stages(p, (12, 16), p.dimensions, pool, 9)
+        pkeys, _arrs, pmeta, _tk = finalize_pool(plans, pool, p, "bf16")
+        assert not any(k.endswith("__lo") for k in pkeys)
+        assert pmeta.get("__precision__") == "bf16"
+
+    def test_unknown_precision_raises(self):
+        spec = synthesize_stencil(num_stages=1, dimensions=(8, 12, 16),
+                                  shape="box", extent=1)
+        p = sft.parse_program(spec, name="badprec")
+        with pytest.raises(ValueError, match="mxu_precision"):
+            _run(p, sft.load_input_arrays(p), mxu_precision="fast")
 
     def test_cross_wide_is_rank2(self):
         spec = synthesize_stencil(num_stages=2, dimensions=(12, 16),
