@@ -240,6 +240,27 @@ def test_affine_mxu_configurations(seed):
 
 
 @pytest.mark.parametrize("seed", range(4))
+def test_affine_mxu_bf16_envelope(seed):
+    """The opt-in single-pass bf16 mode stays within its documented
+    envelope (config.BF16_VERIFY_RTOL + bf16-scale atol) on random
+    affine chains — the accuracy contract behind `--mxu-precision bf16`."""
+    import jax.numpy as jnp
+    from stencilflow_tpu.backend.stream import compile_chain_stream
+
+    rng = np.random.default_rng(7100 + seed)
+    spec = _affine_program(rng, int(rng.integers(2, 4)))
+    p = sft.parse_program(spec, name=f"affbf16_{seed}")
+    inputs = sft.load_input_arrays(p, seed=seed)
+    jins = {k: jnp.asarray(v) for k, v in inputs.items()}
+    out = p.outputs[0]
+    ref = np.asarray(sft.run_interpreter(p, inputs)[out], dtype=np.float64)
+    got = np.asarray(compile_chain_stream(p, interpret=True,
+                                          mxu_precision="bf16")(jins)[out])
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=5e-3,
+                               err_msg="bf16 single-pass stream")
+
+
+@pytest.mark.parametrize("seed", range(4))
 def test_random_multi_output_programs(seed):
     """Random DAGs exposing TWO outputs at different pipeline depths
     (multi-output emit paths in every engine)."""
