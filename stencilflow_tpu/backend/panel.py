@@ -204,9 +204,16 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     def _roll_k(x, o):
         return jnp.roll(x, -o, axis=1)
 
-    def make_read(kname, qp):
+    def make_read(kname, qp, with_imask=True):
         """Read fn for stage ``kname`` computing output panel ``qp``
-        (panel index; planes [qp*B, qp*B + B))."""
+        (panel index; planes [qp*B, qp*B + B)).
+
+        ``with_imask=False`` skips the global-i boundary selects: the
+        stage loop proves them all-false for interior panels (every
+        read's target plane is in [0, I)) and emits this cheaper body
+        there — i-selects are ~2 of the ~9 VPU pass-equivalents of a
+        star stage, paid on every step for a mask that only fires on
+        edge panels."""
         kspec = program.kernels[kname]
         bcs = kspec.boundary_conditions
 
@@ -236,7 +243,7 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                     # plane_cache entries are always (B*J, K): built by
                     # concatenating B copies (or J == B*J when B == 1)
                     masks.append(_jmask(oj))
-                if oi:
+                if oi and with_imask:
                     tgt = row_p + qp * B + oi
                     masks.append((tgt < 0) | (tgt >= I))
                 if ok:
@@ -271,7 +278,7 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                     val = _roll_k(val, ok)
                 m = None
                 for mm in ((_jmask(oj) if oj else None),
-                           (imask() if oi else None),
+                           (imask() if oi and with_imask else None),
                            (_kmask(ok, BJ) if ok else None)):
                     if mm is not None:
                         m = mm if m is None else (m | mm)
@@ -282,7 +289,7 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             if oj:
                 val = jnp.where(_jmask(oj),
                                 jnp.asarray(fillv, val.dtype), val)
-            if oi:
+            if oi and with_imask:
                 val = jnp.where(imask(),
                                 jnp.asarray(fillv, val.dtype), val)
             if ok:
@@ -340,13 +347,13 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         kspec = program.kernels[kname]
         qp = g - jnp.int32(plan.lagp[kname])
 
-        @pl.when((qp >= 0) & (qp < n_panels))
-        def _(kname=kname, kspec=kspec, qp=qp):
+        def stage_body(kname, kspec, qp, with_imask):
             pair_cache.clear()
             jmask_cache.clear()
             kmask_cache.clear()
             imask_cache.clear()
-            result = eval_kernel_statements(kspec, make_read(kname, qp))
+            result = eval_kernel_statements(
+                kspec, make_read(kname, qp, with_imask))
             result = jnp.asarray(result)
             if result.shape != (BJ, K):
                 result = jnp.broadcast_to(result, (BJ, K))
@@ -357,6 +364,36 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             if kname in out_ref_of:
                 oref = out_ref_of[kname]
                 oref[...] = result.reshape(B, J, K).astype(oref.dtype)
+
+        # interior/boundary split: a stage whose reads carry i-offsets
+        # pays its global-i boundary selects only on the edge panels
+        # where the mask can fire — panels in [qlo, qhi] prove every
+        # read's target plane in-range and take the select-free body
+        # (make_read's with_imask note).  Stale-ring reads stay guarded:
+        # the never-stored panels (< 0 or >= n_panels) are only reached
+        # from edge panels, which keep full masks, and j-seam rows are
+        # fixed by the always-on j masks.
+        offs = [a[0] or 0 for accs in kspec.accesses().values()
+                for a in accs]
+        neg = max((-o for o in offs if o < 0), default=0)
+        pos = max((o for o in offs if o > 0), default=0)
+        qlo = -(-neg // B)
+        qhi = n_panels - 1 - (-(-pos // B))
+        live = (qp >= 0) & (qp < n_panels)
+        if (neg or pos) and qlo <= qhi:
+            interior = (qp >= qlo) & (qp <= qhi)
+
+            @pl.when(live & interior)
+            def _(kname=kname, kspec=kspec, qp=qp):
+                stage_body(kname, kspec, qp, False)
+
+            @pl.when(live & jnp.logical_not(interior))
+            def _(kname=kname, kspec=kspec, qp=qp):
+                stage_body(kname, kspec, qp, True)
+        else:
+            @pl.when(live)
+            def _(kname=kname, kspec=kspec, qp=qp):
+                stage_body(kname, kspec, qp, True)
 
 
 def compile_chain_panel(program: ir.Program,

@@ -493,10 +493,20 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         concatenated — k for L (M @ [v0|v1|..]), j for R ([v0/v1/..] @ M)
         — so the MXU sees a B-times-wider operand instead of B separate
         passes (stage-major micro-steps; per-element math is identical to
-        the per-plane path, the contraction order does not change)."""
+        the per-plane path, the contraction order does not change).
+
+        Batching requires vreg-aligned planes: Mosaic's concatenate
+        rejects operands whose packed lane/sublane offsets differ
+        ("result/input offset mismatch on non-concat dimension"), which
+        happens whenever pk is not a lane multiple (128) or pj not a
+        sublane multiple (8) — planes then share vregs at nonzero
+        offsets.  Small planes fall back to per-plane transforms (their
+        matmuls gain nothing from batching anyway)."""
         pj_, pk_ = plan.plane
         vals = [v if hasattr(v, "shape") and v.shape == plan.plane
                 else jnp.broadcast_to(v, plan.plane) for v in vals]
+        if len(vals) > 1 and not interpret and (pk_ % 128 or pj_ % 8):
+            return [apply_transform(v, lkey, rkey) for v in vals]
         if lkey is not None:
             cat = vals[0] if len(vals) == 1 else \
                 jnp.concatenate(vals, axis=1)
