@@ -148,6 +148,12 @@ class PanelPlan:
         return total
 
 
+# A/B knob for the interior/boundary stage split (scripts study):
+# module-global so a study can toggle between compiles; production
+# always leaves it on (the split is semantics-preserving).
+INTERIOR_SPLIT = True
+
+
 def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                       plan: PanelPlan, input_names, input_kinds,
                       shiftk: bool, *refs):
@@ -380,7 +386,7 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         qlo = -(-neg // B)
         qhi = n_panels - 1 - (-(-pos // B))
         live = (qp >= 0) & (qp < n_panels)
-        if (neg or pos) and qlo <= qhi:
+        if INTERIOR_SPLIT and (neg or pos) and qlo <= qhi:
             interior = (qp >= qlo) & (qp <= qhi)
 
             @pl.when(live & interior)
