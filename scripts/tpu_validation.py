@@ -87,6 +87,11 @@ def main() -> int:
             (2, (100, 100), "box", 3),
             (2, (6, 24, 1000), "cross", 1),
             (2, (8, 24, 24), "hdiff", 1),
+            # MXU-eligible box on a vreg-UNALIGNED plane (33 % 8, 96+33
+            # % 128): compiled stage-major batch transforms must take
+            # the per-plane fallback (Mosaic concatenate rejects
+            # mismatched packed offsets — see RESULTS.md round 3)
+            (2, (6, 33, 96), "box", 2),
         ]
         for stages, dims, shape, extent in cases:
             spec = synthesize_stencil(num_stages=stages, dimensions=dims,
