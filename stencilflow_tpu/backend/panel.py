@@ -121,6 +121,12 @@ class PanelPlan:
         ring: Dict[str, int] = {}
         dims = program.dimensions
         for f in lagp:
+            if not any(c in program.kernels
+                       for c in analysis.graph.consumers(f)):
+                # pure output (or unused input): nothing ever reads it
+                # back, so it gets no ring — elides a (B*J, K) VMEM
+                # store per step and frees 2*B*J*K*isz from the budget
+                continue
             depth = 2    # minimum: a (previous, current) pair
             for c in analysis.graph.consumers(f):
                 if c not in program.kernels:
@@ -327,7 +333,8 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     # 1. ingest this step's input panel
     n_panels = I // B
     for name, kind, ref in zip(input_names, input_kinds, in_refs):
-        if kind not in ("stream", "stream_rows", "stream_partial"):
+        if kind not in ("stream", "stream_rows", "stream_partial") \
+                or name not in rings:
             continue
 
         @pl.when(g < n_panels)
@@ -365,8 +372,9 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 result = jnp.broadcast_to(result, (BJ, K))
             result = result.astype(
                 jax.dtypes.canonicalize_dtype(kspec.dtype))
-            slot = jax.lax.rem(qp, jnp.int32(plan.ring[kname]))
-            rings[kname][pl.ds(slot, 1)] = result[None]
+            if kname in rings:   # static: pure outputs have no ring
+                slot = jax.lax.rem(qp, jnp.int32(plan.ring[kname]))
+                rings[kname][pl.ds(slot, 1)] = result[None]
             if kname in out_ref_of:
                 oref = out_ref_of[kname]
                 oref[...] = result.reshape(B, J, K).astype(oref.dtype)
