@@ -113,6 +113,29 @@ def _kernel(op: str, unroll: int, x_ref, o_ref, acc, c, d):
     a = acc[...]
     cc = c[...]
     dd = d[...]
+    if op in ("selc", "maskmul"):
+        # the BC-mask question: with the compare HOISTED (the panel
+        # kernel caches masks per offset), is a per-read select any
+        # slower than a float-mask multiply?  One cmp per grid step
+        # (amortized 1/unroll), one select / one mul per unroll step.
+        m = cc > dd
+        mf = m.astype(jnp.float32)
+        nf = jnp.float32(1.0) - mf
+        for u in range(unroll):
+            if op == "selc":
+                # alternate polarity so no step is algebraically
+                # idempotent with its predecessor
+                a = jnp.where(m, dd, a) if u % 2 == 0 \
+                    else jnp.where(jnp.logical_not(m), cc, a)
+            else:
+                a = a * (mf if u % 2 == 0 else nf)
+        acc[...] = a
+
+        @pl.when(g == pl.num_programs(0) - 1)
+        def _outm():
+            o_ref[...] = acc[...]
+        return
+
     for u in range(unroll):
         if op == "add":
             a = a + (cc if u % 2 == 0 else dd)
