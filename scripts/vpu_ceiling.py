@@ -259,10 +259,11 @@ def main() -> int:
               f"{per_lane_cycle:5.2f} issues/lane/cycle @940MHz",
               flush=True)
 
-    add_rate = results["add"][0]
-    fma_rate = results["fma"][0]
-    print(f"\nfma/add issue-rate ratio: {fma_rate/add_rate:.2f} "
-          f"({'fused (1 instr)' if fma_rate > 0.8 * add_rate else 'NOT fused'})")
+    if "add" in results and "fma" in results:
+        add_rate = results["add"][0]
+        fma_rate = results["fma"][0]
+        print(f"\nfma/add issue-rate ratio: {fma_rate/add_rate:.2f} "
+              f"({'fused (1 instr)' if fma_rate > 0.8 * add_rate else 'NOT fused'})")
     print("\nsuggested config:")
     best = max(r[0] for r in results.values())
     print(f"  TPU_VPU_ELEMOPS = {best:.3e}  # measured, this script")

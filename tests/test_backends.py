@@ -745,6 +745,36 @@ class TestPanelBackend:
         got2 = run_chain_panel(p2, inputs2, interpret=True, panel=4)["y"]
         np.testing.assert_array_equal(got2, ref2)
 
+    @pytest.mark.parametrize("boundary", ["constant", "copy", "shrink"])
+    def test_b1_wide_j_offsets(self, boundary):
+        """B == 1 with J >= 256 (headline-geometry panels; fuzz grids
+        are too small to reach it): bit-exact vs oracle, including
+        diagonal j+k and j+i offsets.  Guards the mask-select j-offset
+        lowering at the shape where a shift_fill replacement A/B'd as
+        a tie (RESULTS.md round 3) — if that path is ever revisited,
+        this is the coverage."""
+        from stencilflow_tpu.backend.panel import run_chain_panel
+        bc = {"a": {"type": boundary, "value": 0.25}}
+        spec = {
+            "inputs": {"a": {"data": "random:-1,1",
+                             "data_type": "float32"}},
+            "outputs": ["y"], "dimensions": [4, 256, 16],
+            "program": {
+                "m": {"computation_string":
+                      "m = a[i,j-1,k] + 0.5*a[i,j+2,k+1] "
+                      "+ 0.25*a[i-1,j+1,k]",
+                      "boundary_conditions": bc,
+                      "data_type": "float32"},
+                "y": {"computation_string": "y = m[i,j,k] + m[i,j-2,k]",
+                      "boundary_conditions": {
+                          "m": {"type": boundary, "value": 0.25}},
+                      "data_type": "float32"}}}
+        p = sft.parse_program(spec, name=f"pnl_b1j_{boundary}")
+        inputs = sft.load_input_arrays(p, seed=63)
+        ref = _oracle(p, inputs)["y"]
+        got = run_chain_panel(p, inputs, interpret=True, panel=1)["y"]
+        np.testing.assert_array_equal(got, ref)
+
     @pytest.mark.parametrize("seed", range(5))
     def test_fuzz_matches_oracle(self, seed):
         import os as _os
