@@ -144,6 +144,8 @@ class Report:
             return None
         pkeys, parrs, _pmeta, tkeys = finalize_pool(plans, pool, p)
         fpc = mxu_flops_per_cell(plane, pkeys, parrs, tkeys)
+        fpc_bf16 = mxu_flops_per_cell(plane, pkeys, parrs, tkeys,
+                                      mxu_precision="bf16")
         vpu_rest = 0.0
         for kname, kspec in p.kernels.items():
             if kname in plans:
@@ -158,6 +160,11 @@ class Report:
             "stages": sorted(plans),
             "mxu_flops_per_cell": fpc,
             "mxu_time_s": fpc * n / self.hw.mxu_flops,
+            # the opt-in single-pass mode (`--mxu-precision bf16`,
+            # bf16-level accuracy): measured 1.49x over split at
+            # 256^3 x8 (RESULTS.md round 3)
+            "mxu_flops_per_cell_bf16": fpc_bf16,
+            "mxu_time_s_bf16": fpc_bf16 * n / self.hw.mxu_flops,
             "vpu_rest_ops_per_cell": vpu_rest,
             "vpu_rest_time_s": vpu_rest * n / self.hw.vpu_elemops,
         }
