@@ -43,6 +43,12 @@ from .tile_eval import eval_kernel_statements, read_access_tile
 
 Vec3 = Tuple[int, int, int]
 
+# Interior-tile split for cut dims (j-tiled / sharded blocks): interior
+# tiles prove every origin-based OOB mask all-false and skip the
+# iota+compare+select chains entirely; only edge tiles keep full masks.
+# The stream-kernel analogue of panel.INTERIOR_SPLIT.  A/B knob.
+TILE_INTERIOR_SPLIT = True
+
 
 @dataclasses.dataclass
 class StreamPlan:
@@ -617,7 +623,12 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
 
     _shift_fill = shift_fill   # shared helper (stacked_io.py)
 
-    def make_read(kname, q, m=0):
+    def make_read(kname, q, m=0, assume_dims=(), mcache=None):
+        # assume_dims/mcache: interior-tile split (see the drive
+        # loop) — proven-in-bounds cut dims skip their mask terms;
+        # each pl.when branch gets its own mask cache so traced
+        # masks never escape their cond region
+        mc = mask_cache if mcache is None else mcache
         bcs = program.kernels[kname].boundary_conditions
 
         def read(field, offsets):
@@ -650,7 +661,8 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                             plane = read_access_tile(
                                 plane, (oj, 0), bc,
                                 (origin[1], origin[2]),
-                                plan.halo_jk, (J, K), cache=mask_cache)
+                                plan.halo_jk, (J, K), cache=mc,
+                                assume_dims=assume_dims)
                     if ok:
                         if use_shift_k:
                             plane = _shift_fill(plane, ok, 1, fillv)
@@ -658,12 +670,13 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                             plane = read_access_tile(
                                 plane, (0, ok), bc,
                                 (origin[1], origin[2]),
-                                plan.halo_jk, (J, K), cache=mask_cache)
+                                plan.halo_jk, (J, K), cache=mc,
+                                assume_dims=assume_dims)
                     return plane
                 return read_access_tile(plane, (oj, ok), bc,
                                         (origin[1], origin[2]),
                                         plan.halo_jk, (J, K),
-                                        cache=mask_cache)
+                                        cache=mc, assume_dims=assume_dims)
             W = plan.ring[field]
             target = q + jnp.int32(oi or 0)
             Wc = jnp.int32(W)
@@ -679,14 +692,16 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         # j-tiled/j-sharded: j keeps the origin mask
                         val = read_access_tile(
                             val, (oj, 0), bc, (origin[1], origin[2]),
-                            plan.halo_jk, (J, K), cache=mask_cache)
+                            plan.halo_jk, (J, K), cache=mc,
+                            assume_dims=assume_dims)
                 if ok:
                     if use_shift_k:
                         val = _shift_fill(val, ok, 1, fillv)
                     else:   # k is a cut dim: origin-based mask
                         val = read_access_tile(
                             val, (0, ok), bc, (origin[1], origin[2]),
-                            plan.halo_jk, (J, K), cache=mask_cache)
+                            plan.halo_jk, (J, K), cache=mc,
+                            assume_dims=assume_dims)
                 if oi is not None and oi != 0:
                     gtarget = origin[0] + target
                     i_oob = (gtarget < 0) | (gtarget >= Ig)
@@ -707,7 +722,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                     val = read_access_tile(base, (0, ok), bc,
                                            (origin[1], origin[2]),
                                            plan.halo_jk, (J, K),
-                                           cache=mask_cache)
+                                           cache=mc, assume_dims=assume_dims)
                 else:
                     val = rings[field][slot,
                                        pl.ds(pj_f + (oj or 0),
@@ -740,7 +755,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             val = read_access_tile(plane, (oj, ok), bc,
                                    (origin[1], origin[2]),
                                    plan.halo_jk, (J, K), center=center,
-                                   cache=mask_cache)
+                                   cache=mc, assume_dims=assume_dims)
             if oi is not None and oi != 0:
                 gtarget = origin[0] + target
                 i_oob = (gtarget < 0) | (gtarget >= Ig)
@@ -880,7 +895,8 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             if collect is not None:
                 collect.setdefault(name, []).append((slot, g < I, plane))
 
-    def advance_one(kname, m, g, collect=None):
+    def advance_one(kname, m, g, collect=None, assume_dims=(),
+                    mcache=None):
         """Advance stage ``kname`` one plane (micro-step m)."""
         kspec = program.kernels[kname]
         q = g - jnp.int32(plan.lag[kname])
@@ -888,7 +904,8 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             result = mxu_eval(mxu_plans[kname], q)
         else:
             result = eval_kernel_statements(
-                kspec, make_read(kname, q, m))
+                kspec, make_read(kname, q, m, assume_dims=assume_dims,
+                                 mcache=mcache))
         result = jnp.asarray(result)
         if result.shape != plan.plane:
             result = jnp.broadcast_to(result, plan.plane)
@@ -963,14 +980,69 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         for m in range(block):
             emit_rings(m)
     else:
+        # ---- interior-tile split (cut dims) ---------------------------
+        # Cut dims (j-tiled grids, sharded blocks) evaluate origin-based
+        # OOB masks on every spanned read of every stage; on interior
+        # tiles those masks are provably all-false.  The tile-interior
+        # predicate is stage-independent (it depends only on the tile
+        # origin), so ONE pl.when pair wraps the whole stage loop per
+        # micro-step: interior tiles drop the cut-dim mask terms
+        # (read_access_tile assume_dims), edge tiles keep full masks,
+        # and cross-stage value forwarding survives inside each region
+        # (a per-stage split measured 0.76x — the cond boundaries forced
+        # every stage through a ring round-trip, RESULTS.md round 3).
+        # Exact by construction: a dropped term is all-false whenever
+        # the predicate holds.  Spilled rings keep the single path (their
+        # DMA caches must not straddle cond regions); stage-major ditto
+        # (its collect lists would leak tracers across regions); MXU
+        # chains ditto (mxu_eval doesn't consult assume_dims, and
+        # duplicating its matmuls only bloats the kernel).
+        split_assume: Tuple[int, ...] = ()
+        split_pred = None
+        if TILE_INTERIOR_SPLIT and not spill_reads and not mxu_plans:
+            cut = []   # (program dim d, widened extent, halo, global, org)
+            for d, pdim, h, ext, org in ((1, plan.plane[0], hj, J,
+                                          origin[1]),
+                                         (2, plan.plane[1], hk, K,
+                                          origin[2])):
+                if isinstance(org, (int, np.integer)) or pdim - 2 * h >= ext:
+                    continue   # uncut / static origin: masks are the BC
+                offs = [a[d] for kspec_ in program.kernels.values()
+                        for accs in kspec_.accesses().values()
+                        for a in accs if a[d] is not None]
+                if not offs:
+                    continue   # dim never spanned: no masks to elide
+                neg = max((-o for o in offs if o < 0), default=0)
+                pos = max((o for o in offs if o > 0), default=0)
+                term = ((org >= h + neg)
+                        & (org <= ext - pdim + h - pos))
+                split_pred = term if split_pred is None \
+                    else split_pred & term
+                split_assume += (d - 1,)   # tile-dim index (j=0, k=1)
+                cut.append(d)
+
         for m, g in enumerate(gs):
             # 0. start this micro-step's spilled-ring reads (distinct
             #    slots from any write this step, so they overlap freely)
             if spill_reads:
                 spill_prefetch(g, m)
             ingest_one(m, g)
-            for kname in analysis.graph.kernel_order:
-                advance_one(kname, m, g)
+            if split_pred is not None:
+                @pl.when(split_pred)
+                def _(m=m, g=g):
+                    mc = dict(mask_cache)
+                    for kname in analysis.graph.kernel_order:
+                        advance_one(kname, m, g,
+                                    assume_dims=split_assume, mcache=mc)
+
+                @pl.when(jnp.logical_not(split_pred))
+                def _(m=m, g=g):
+                    mc = dict(mask_cache)
+                    for kname in analysis.graph.kernel_order:
+                        advance_one(kname, m, g, mcache=mc)
+            else:
+                for kname in analysis.graph.kernel_order:
+                    advance_one(kname, m, g)
             emit_rings(m)
 
 

@@ -44,7 +44,8 @@ def _roll(arr, shift: int, axis: int):
 
 def _global_oob_mask(offsets: ir.Offsets, tile_shape: Sequence[int],
                      origin: Sequence[Any], halo: Vec3,
-                     dimensions: Vec3, cache: Optional[dict] = None):
+                     dimensions: Vec3, cache: Optional[dict] = None,
+                     assume_dims: Sequence[int] = ()):
     """Mask of widened-tile positions whose shifted read leaves the domain.
 
     Global coordinate of widened-tile cell x in dim d is
@@ -54,14 +55,20 @@ def _global_oob_mask(offsets: ir.Offsets, tile_shape: Sequence[int],
 
     Masks depend only on (offsets, tile_shape), which deep chains repeat
     every stage — ``cache`` memoizes them within one tile evaluation.
+
+    ``assume_dims``: dims the caller PROVES in-bounds for every position
+    (the streaming kernel's interior-tile split guards these reads with
+    a predicate that makes the dim's mask term all-false), so the term
+    is dropped at trace time — on interior j-tiles / shard blocks that
+    elides the whole iota+compare+select chain.
     """
-    key = (tuple(offsets), tuple(tile_shape))
+    key = (tuple(offsets), tuple(tile_shape), tuple(assume_dims))
     if cache is not None and key in cache:
         return cache[key]
     mask = None
     for d, o in enumerate(offsets):
-        if o is None:
-            continue  # unspanned dim: never out of bounds
+        if o is None or d in assume_dims:
+            continue  # unspanned / proven-in-bounds dim
         if (o == 0 and isinstance(origin[d], (int, np.integer))
                 and origin[d] - halo[d] == 0
                 and tile_shape[d] == dimensions[d]):
@@ -81,12 +88,16 @@ def _global_oob_mask(offsets: ir.Offsets, tile_shape: Sequence[int],
 def read_access_tile(buf, offsets: ir.Offsets,
                      bc: Optional[ir.BoundaryCondition],
                      origin: Sequence[Any], halo: Vec3, dimensions: Vec3,
-                     cache: Optional[dict] = None, center=None):
+                     cache: Optional[dict] = None, center=None,
+                     assume_dims: Sequence[int] = ()):
     """Materialize ``field[x + o]`` over a widened tile with its BC applied.
 
     ``center`` overrides the copy-BC center value (the streaming kernel
     passes the evaluation-point plane when ``buf`` is already an i-shifted
     plane; by default the unshifted ``buf`` IS the center).
+
+    ``assume_dims`` forwards to ``_global_oob_mask`` (interior-tile
+    split: proven-in-bounds dims skip their mask term).
     """
     shifted = buf
     for d, o in enumerate(offsets):
@@ -94,7 +105,7 @@ def read_access_tile(buf, offsets: ir.Offsets,
             continue
         shifted = _roll(shifted, o, d)
     mask = _global_oob_mask(offsets, buf.shape, origin, halo, dimensions,
-                            cache)
+                            cache, assume_dims=assume_dims)
     if mask is None:
         return shifted
     if bc is None or bc.kind == ir.BCKind.CONSTANT:
