@@ -388,6 +388,63 @@ def test_random_2d_rows_outofcore_composition(seed):
                                rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_random_jtiled_interior_split(seed):
+    """Forced j-tiling through random DAGs with the interior-tile split
+    on AND off — both must match the oracle.  The split wraps the whole
+    stage loop in pl.when interior/edge regions and drops the cut-dim
+    OOB mask terms on interior tiles (stream.py TILE_INTERIOR_SPLIT);
+    random BCs/offsets/forks are exactly the inputs that would expose a
+    wrong interior predicate."""
+    import jax.numpy as jnp
+
+    import stencilflow_tpu.backend.stream as st
+    from stencilflow_tpu.backend.stream import (StreamPlan,
+                                                compile_chain_stream)
+    from stencilflow_tpu.frontend.analysis import ChainAnalysis
+
+    from stencilflow_tpu.backend.xla import chain_halo
+
+    rng = np.random.default_rng(8200 + seed)
+    spec = make_random_program(rng, seed, ndim=3)
+    # widen j so a j-tile below the untiled plane exists for the halo
+    spec["dimensions"][1] = int(rng.choice([48, 64]))
+    p = sft.parse_program(spec, name=f"jtile{seed}")
+    inputs = sft.load_input_arrays(p, seed=seed)
+    jins = {k: jnp.asarray(v) for k, v in inputs.items()}
+    out = p.outputs[0]
+    ref = np.asarray(sft.run_interpreter(p, inputs)[out], np.float64)
+
+    # budget strictly between the coarsest tiled need and the untiled
+    # need, so the ladder MUST pick a j-tile (the same totals it sums)
+    an = ChainAnalysis.run(p)
+    hjt_pad, splits = st.jtile_splits(p.dimensions[1],
+                                      chain_halo(an)[1])
+    assert splits, "J was chosen so a legal tile always exists"
+    tiles, core = splits[0]
+
+    def _total(plan):
+        return plan.vmem_bytes(p) + plan.io_window_bytes(p)
+
+    untiled = _total(StreamPlan.build(an))
+    tiled = _total(StreamPlan.build(an, local_jk=(core, p.dimensions[2]),
+                                    halo_jk=(hjt_pad, 0)))
+    if tiled >= untiled:
+        return   # halo widening dominates at this shape; nothing to tile
+    budget = int((tiled + untiled) / 2 / 0.7)
+    for split in (True, False):
+        st.TILE_INTERIOR_SPLIT = split
+        try:
+            fn = compile_chain_stream(p, interpret=True, mxu="off",
+                                      vmem_budget=budget)
+            assert compile_chain_stream.last_config["jtiles"] > 1
+            got = np.asarray(fn(jins)[out])
+        finally:
+            st.TILE_INTERIOR_SPLIT = True
+        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6,
+                                   err_msg=f"jtiled stream split={split}")
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_random_program_comm_overlap(seed):
     """Random DAGs through the comm/compute-overlapped sharded bodies
