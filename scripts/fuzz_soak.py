@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
 LEGS = ["all_engines", "multi_output", "deep", "mxu", "mxu_bf16",
-        "rows", "rows_outofcore", "comm_overlap"]
+        "rows", "rows_outofcore", "comm_overlap", "jtiled_split"]
 
 
 def main() -> int:
@@ -50,6 +50,7 @@ def main() -> int:
         "rows": tf.test_random_2d_program_rows,
         "rows_outofcore": tf.test_random_2d_rows_outofcore_composition,
         "comm_overlap": tf.test_random_program_comm_overlap,
+        "jtiled_split": tf.test_random_jtiled_interior_split,
     }
     t0 = time.time()
     ran = 0
