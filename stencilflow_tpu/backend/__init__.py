@@ -88,6 +88,11 @@ def compile_chain_rows(program, interpret: bool = False, panel: int = 0,
         fn, name = (compile_chain_panel(rot, panel=panel,
                                         interpret=interpret,
                                         gate_frac=gate_frac), "panel")
+    elif backend == "overlap":
+        from .overlap import compile_chain_overlap
+        fn, name = (compile_chain_overlap(rot, panel=panel,
+                                          interpret=interpret,
+                                          gate_frac=gate_frac), "overlap")
     elif backend == "stream":
         from .stream import compile_chain_stream
         fn, name = (compile_chain_stream(rot, interpret=interpret,

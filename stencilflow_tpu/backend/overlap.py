@@ -367,7 +367,16 @@ def compile_chain_overlap(program: ir.Program,
         if f in streamed and max(lo, hi) > B:
             raise ValueError(
                 f"cumulative extent {max(lo, hi)} exceeds panel {B}")
-    shiftk = K >= 256
+    # J >= 8: on rotated-rows blocks (J == 1) the i/j slices land at
+    # arbitrary sublane offsets and Mosaic's tpu.concatenate rejects the
+    # shift-fill's offset-layout operands ("result/input offset mismatch
+    # on non-concat dimension", measured at (136, 8192) f32) — the same
+    # bug family as stream.apply_transform_block's vreg-alignment guard
+    # (RESULTS.md round 3).  With J >= 8 every slice start is a multiple
+    # of J, sublane-aligned, and the proven 3-D behavior is unchanged;
+    # J == 1 blocks take the roll + cached-lane-mask path (~1 extra
+    # issue per k read against a loop-invariant mask).
+    shiftk = K >= 256 and J >= 8
 
     input_names = list(program.inputs)
     n_panels = I // B

@@ -1092,7 +1092,7 @@ class TestRowStreaming2D:
         got = np.asarray(sft.run_interpreter(rot, ins)["c"])
         np.testing.assert_array_equal(got.reshape(ref.shape), ref)
 
-    @pytest.mark.parametrize("backend", ["panel", "stream"])
+    @pytest.mark.parametrize("backend", ["panel", "stream", "overlap"])
     def test_rows_backends_match_oracle(self, backend):
         """Mixed-rank inputs (j-span -> i-span rings, k-span, scalar),
         copy BC, asymmetric offsets through both row backends."""
