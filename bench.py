@@ -185,13 +185,22 @@ def main():
     tag = (args.workload if args.workload.endswith("2d")
            else f"{args.workload}3d")
     rank = len(program.raw_dimensions)
-    print(json.dumps({
+    # vs_baseline is the fraction of the BINDING roofline; its name is in
+    # the metric string and every candidate bound is emitted alongside so
+    # the artifact stays self-describing across ceiling recalibrations
+    # (VERDICT r3 #7; the round-2 "1.06" vs round-3 "0.34" confusion was a
+    # denominator change, not a regression).
+    record = {
         "metric": f"{tag}_{size}^{rank}_{args.iters}itr_"
-                  f"{backend}_{jax.devices()[0].platform}",
+                  f"{backend}_{jax.devices()[0].platform}"
+                  + (f"_vs_{report.bound()}" if on_tpu else ""),
         "value": round(gcell_s, 3),
         "unit": "GCell/s",
         "vs_baseline": round(vs, 4) if vs is not None else None,
-    }))
+    }
+    if on_tpu:
+        record["bounds"] = report.bound_fractions(dt)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

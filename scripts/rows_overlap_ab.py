@@ -7,8 +7,11 @@ overlap lowering reads every intermediate as a static slice of an
 i-overlapped block (no rings), at the cost of (B+2H)/B recompute —
 12.5% at B=128, H=8.  Same differenced-loop timing as bench.py.
 
+Legs: rows+overlap per panel size, rows+panel per panel size, and the
+j-tiled stream default.
+
 Usage: python scripts/rows_overlap_ab.py [--size 8192] [--iters 8]
-       [--bs 128,256,64]
+       [--bs 128,256]
 """
 import argparse
 import os
@@ -69,19 +72,31 @@ def main():
         else:
             small, big, trials = 2, 6, 5
         dt = timed(big, trials) - timed(small, trials)
+        if dt <= 0:
+            # differenced timing assumes dt > 0; the tunnel's ±5-8% noise
+            # can produce a near-zero or negative delta on short runs
+            print(f"{label}: unstable (dt<=0), rerun", flush=True)
+            return None
         apps = 2 * (big - small)
         gcells = cells * apps / dt / 1e9
         print(f"{label}: {gcells:.2f} GCell/s", flush=True)
         return gcells
 
-    for b in [int(x) for x in args.bs.split(",") if x]:
-        try:
-            fn, name = compile_chain_rows(program, backend="overlap",
-                                          panel=b, gate_frac=1.0,
-                                          interpret=not on_tpu)
-            time_fn(fn, f"rows+overlap B={b}")
-        except ValueError as e:
-            print(f"rows+overlap B={b}: SKIP ({e})", flush=True)
+    for inner in ("overlap", "panel"):
+        for b in [int(x) for x in args.bs.split(",") if x]:
+            try:
+                fn, name = compile_chain_rows(program, backend=inner,
+                                              panel=b, gate_frac=1.0,
+                                              interpret=not on_tpu)
+                time_fn(fn, f"rows+{inner} B={b} ({name})")
+            except ValueError as e:
+                print(f"rows+{inner} B={b}: SKIP ({e})", flush=True)
+    try:
+        from stencilflow_tpu.backend.stream import compile_chain_stream
+        fn = compile_chain_stream(program, interpret=not on_tpu)
+        time_fn(fn, "stream (j-tiled)")
+    except ValueError as e:
+        print(f"stream: SKIP ({e})", flush=True)
 
 
 if __name__ == "__main__":

@@ -122,6 +122,32 @@ class Report:
     def vpu_time_s(self) -> float:
         return self.total_ops() / self.hw.vpu_elemops
 
+    def vpu_pass_time_s(self) -> float:
+        """Time at the measured sustained VMEM-pass rate (1.85e12 op/s,
+        scripts/vpu_ceiling.py serial-chain shapes) — the REACHABLE bound
+        for low-arithmetic-intensity sums, vs the 4-ALU issue ceiling
+        ``vpu_time_s`` which only deep register-resident expressions
+        approach (RESULTS.md round 3, "structural residual")."""
+        return self.total_ops() / config.TPU_VPU_PASS_RATE
+
+    def bound_fractions(self, measured_time_s: float) -> Dict[str, float]:
+        """Named fractions of every roofline candidate for a measured
+        per-evaluation time — self-describing across ceiling
+        recalibrations (the reference's upper-bound-vs-peak distinction,
+        /root/reference/bin/report.py:40-43).  Keys: ``vs_hbm``,
+        ``vs_vpu_issue`` (4-ALU peak), ``vs_vpu_pass`` (sustained pass
+        rate), and ``vs_mxu`` when the banded-MXU strategy applies."""
+        out = {
+            "vs_hbm": self.hbm_time_s() / measured_time_s,
+            "vs_vpu_issue": self.vpu_time_s() / measured_time_s,
+            "vs_vpu_pass": self.vpu_pass_time_s() / measured_time_s,
+        }
+        m = self.mxu_model()
+        if m is not None:
+            out["vs_mxu"] = ((m["mxu_time_s"] + m["vpu_rest_time_s"])
+                             / measured_time_s)
+        return {k: round(v, 4) for k, v in out.items()}
+
     def mxu_model(self) -> Optional[Dict]:
         """Banded-MXU strategy model for the chain's MXU-eligible stages
         (None when the planner takes nothing): executed matmul flops per
