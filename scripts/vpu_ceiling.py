@@ -52,7 +52,26 @@ def _kernel(op: str, unroll: int, x_ref, o_ref, acc, c, d):
         c[...] = x_ref[...] * 0.999993
         d[...] = x_ref[...] * 1e-7
 
-    if op in ("expr_jac", "expr_hs"):
+    if op == "expr_jac2d_shift":
+        # the REAL jacobi2d stage: operands are j/k-SHIFTED views of one
+        # resident plane (shift-in-fill concats, backend/stream.py), and
+        # the result is stored back (the ring store).  The delta to
+        # expr_jac2d prices shift materialization + store passes.
+        a = acc[...]
+        for _ in range(unroll):
+            jm = jnp.concatenate([a[1:], a[-1:]], axis=0)
+            jp = jnp.concatenate([a[:1], a[:-1]], axis=0)
+            km = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+            kp = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+            a = 0.25 * (jm + jp + km + kp)
+        acc[...] = a
+
+        @pl.when(g == pl.num_programs(0) - 1)
+        def _outs():
+            o_ref[...] = acc[...]
+        return
+
+    if op in ("expr_jac", "expr_hs", "expr_jac2d"):
         # REAL expression shapes: a deep per-tile expression DAG over
         # several distinct VMEM operand blocks — Mosaic evaluates the
         # whole DAG in registers per (8,128) tile, so ALU throughput,
@@ -66,6 +85,10 @@ def _kernel(op: str, unroll: int, x_ref, o_ref, acc, c, d):
                 # 7-term jacobi-like: 6 adds + 1 mul = 7 ops
                 a = 0.142857 * (a + bs[0] + bs[1] + bs[2]
                                 + bs[3] + bs[4] + a * 1e-7)
+            elif op == "expr_jac2d":
+                # jacobi2d stage shape: 4-term sum over 3 distinct
+                # loaded operands + the carry = 3 adds + 1 mul = 4 ops
+                a = 0.25 * (a + bs[0] + bs[1] + bs[2])
             else:
                 # hotspot-like: 20 ops (3 laplacian groups + coupling)
                 a = a + 0.01 * (bs[0]
@@ -246,6 +269,8 @@ def main() -> int:
                   else 1)
         if op == "expr_jac":
             chains = 8    # ops per unrolled expression
+        elif op in ("expr_jac2d", "expr_jac2d_shift"):
+            chains = 4    # counted ops only; shifts/stores are the delta
         elif op == "expr_hs":
             chains = 20
         issues = args.unroll * elems * chains

@@ -173,6 +173,15 @@ def finalize_pool(plans: Dict[str, "LinearStagePlan"], pool: "MatrixPool",
     used = set()
     tkeys = set()
     for mp in plans.values():
+        if not hasattr(mp, "groups"):     # ComposedPlan (backend/compose.py)
+            used.update(k for k in (mp.lkey, mp.rkey, mp.table_key) if k)
+            if mp.lkey or mp.rkey:
+                ringed = (mp.field in program.kernels or
+                          (mp.field in program.inputs and
+                           program.inputs[mp.field].dim_mask[0]))
+                if ringed:
+                    tkeys.add((mp.field, mp.lkey, mp.rkey))
+            continue
         for grp in mp.groups:
             if grp.correction_key:
                 used.add(grp.correction_key)
@@ -211,7 +220,8 @@ def finalize_pool(plans: Dict[str, "LinearStagePlan"], pool: "MatrixPool",
 
 def plan_all_stages(program, plane, dims, pool: "MatrixPool",
                     min_footprint: int,
-                    j_contexts=None, k_contexts=None
+                    j_contexts=None, k_contexts=None,
+                    exclude=()
                     ) -> Dict[str, "LinearStagePlan"]:
     """MXU plans for every eligible stage of a program (shared by the
     single-chip, sharded, and pipeline-segment compilers).
@@ -222,6 +232,10 @@ def plan_all_stages(program, plane, dims, pool: "MatrixPool",
     from ..dtypes import is_floating
     plans: Dict[str, LinearStagePlan] = {}
     for kname, kspec in program.kernels.items():
+        if kname in exclude:
+            # composed segments get their exact plan from plan_composed;
+            # the naive (interior-only) IR must never be SVD-planned
+            continue
         # f32-and-narrower FLOATING data only: f64 would silently lose
         # precision in the f32 transforms, and integer kernels need exact
         # wraparound arithmetic the matmul path cannot provide

@@ -815,7 +815,40 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         return apply_transform(base, lkey, rkey), i_oob
 
     def mxu_eval(mplan, q):
-        """Banded-matmul plane update (backend/linear.py)."""
+        """Banded-matmul plane update (backend/linear.py), or a composed-
+        run update (backend/compose.py): ONE cached (L, R) transform per
+        source plane combined across i-offsets with exact per-output-plane
+        weights from a small SMEM table (interior planes share one row;
+        the first/last D planes get the boundary-truncated rows of the
+        composed i-matrix)."""
+        from .compose import ComposedPlan
+        if isinstance(mplan, ComposedPlan):
+            tref = pool[mplan.table_key]
+            Dc = jnp.int32(mplan.D)
+            nrow = mplan.table_rows
+            if mplan.full_table:
+                row = q
+            else:
+                row = jnp.where(
+                    q < Dc, q,
+                    jnp.where(q >= jnp.int32(Ig) - Dc,
+                              jnp.int32(nrow) + q - jnp.int32(Ig),
+                              Dc))
+            # warmup (q < 0) evaluations are discarded; clamp so the
+            # table read stays in range
+            row = jnp.clip(row, 0, nrow - 1)
+            acc = None
+            for idx, d in enumerate(mplan.offsets):
+                tplane, i_oob = transformed_plane(
+                    mplan.field, d, q, mplan.lkey, mplan.rkey)
+                val = tplane * tref[row, idx]
+                if i_oob is not None:
+                    # the table weight is already 0 for out-of-domain
+                    # source planes; the where only stops warmup ring
+                    # garbage (possibly NaN) from propagating as 0 * NaN
+                    val = jnp.where(i_oob, jnp.float32(0.0), val)
+                acc = val if acc is None else acc + val
+            return acc
         acc = None
         for grp in mplan.groups:
             parts = None
@@ -1106,7 +1139,9 @@ def compile_chain_stream(program: ir.Program,
                          spill: str = "auto",
                          fast: str = "auto",
                          stage_major: str = "auto",
-                         compute_dtype=None):
+                         compute_dtype=None,
+                         compose: str = "auto",
+                         _composed=None):
     """Build a jitted ``fn(inputs) -> outputs`` around the streaming kernel.
 
     ``compute_dtype``: optional reduced-precision storage/compute type
@@ -1132,6 +1167,31 @@ def compile_chain_stream(program: ir.Program,
     analysis = analysis or ChainAnalysis.run(program)
     dims = program.dimensions
     I, J, K = dims
+
+    # ---- affine-run composition (backend/compose.py) -----------------------
+    # Collapse runs of consecutive separable affine stages into single
+    # wide banded-MXU stages (t-fold fewer transforms per plane).  The
+    # composed program is a stream-internal rewrite: if its compilation
+    # fails (VMEM, plan refusal), fall back to the uncomposed program.
+    if _composed is None and compose != "off" and mxu != "off":
+        from .compose import compose_program
+        max_t = int(compose) if compose not in ("auto",) else 0
+        got = (compose_program(program, analysis, max_t)
+               if max_t >= 0 else None)
+        if got is not None:
+            program2, builds = got
+            try:
+                fn = compile_chain_stream(
+                    program2, None, interpret, vmem_budget, mxu,
+                    mxu_min_footprint, mxu_precision, block, spill,
+                    fast, stage_major, compute_dtype,
+                    compose="off", _composed=builds)
+                compile_chain_stream.last_config["composed"] = {
+                    name: list(b.stages) for name, b in builds.items()}
+                return fn
+            except (ValueError, NotImplementedError):
+                pass   # uncomposed path below
+
     if compute_dtype is not None:
         compute_dtype = jax.dtypes.canonicalize_dtype(
             jnp.dtype(compute_dtype))
@@ -1163,7 +1223,18 @@ def compile_chain_stream(program: ir.Program,
                  if jtiles_ > 1 else None)
         k_ctx = [0] if jtiles_ > 1 else None
         plans = plan_all_stages(program, (pj_, pk_), dims, pool,
-                                mxu_min_footprint, j_ctx, k_ctx)
+                                mxu_min_footprint, j_ctx, k_ctx,
+                                exclude=tuple(_composed or ()))
+        for cname, build in (_composed or {}).items():
+            from .compose import plan_composed
+            cp = plan_composed(build, (pj_, pk_), dims, pool,
+                               j_ctx, k_ctx)
+            if cp is None:
+                # composed segment unplannable (config-independent):
+                # abort the composed compile, caller retries uncomposed
+                raise ValueError(
+                    f"composed segment {cname} not MXU-plannable")
+            plans[cname] = cp
         pkeys, parrs, pmeta, tkeys = finalize_pool(plans, pool, program,
                                                    mxu_precision)
         extra = assets_extra_vmem(plan_, tkeys, pkeys, parrs)
@@ -1179,7 +1250,12 @@ def compile_chain_stream(program: ir.Program,
     budget = vmem_budget * 0.7
     chosen = None
     trial_bytes = 0
-    for use_mxu in ([True, False] if mxu != "off" else [False]):
+    # a composed program MUST run its composed stages through their exact
+    # MXU plans (the rewritten IR is interior-only): no VPU leg, no spill
+    # rung — any failure raises and the caller retries uncomposed
+    mxu_legs = ([True] if _composed else
+                [True, False] if mxu != "off" else [False])
+    for use_mxu in mxu_legs:
         for nt, tjk, hjk in candidates:
             trial = StreamPlan.build(analysis, local_jk=tjk, halo_jk=hjk)
             trial_bytes = trial.vmem_bytes(program, compute_dtype) + \
@@ -1197,7 +1273,7 @@ def compile_chain_stream(program: ir.Program,
         if chosen is not None:
             break
     spilled_reads: Dict[str, Tuple[int, ...]] = {}
-    if chosen is None and spill != "off":
+    if chosen is None and spill != "off" and not _composed:
         # last rung: keep full planes but spill the deepest rings to HBM
         # circular buffers moved by async DMA (the reference memory
         # optimizer's fast->slow placement, optimizer.py:209-248, mapped
@@ -1311,6 +1387,7 @@ def compile_chain_stream(program: ir.Program,
     compile_chain_stream.last_config = {
         "jtiles": jtiles, "tile_jk": tile_jk, "halo_jk": halo_jk,
         "mxu_stages": sorted(mxu_plans),
+        "composed": {},   # wrapper fills on a successful composed compile
         "stage_major": use_sm, "block": block,
         "spilled": sorted(spilled_reads),
         "fast_fields": sorted(fast_fields),
@@ -1433,11 +1510,18 @@ def compile_chain_stream(program: ir.Program,
         ]
 
     # static matrices / correction planes for MXU-lowered stages; stacked
-    # (per-tile) entries ship one slice per j-tile via the index map
+    # (per-tile) entries ship one slice per j-tile via the index map.
+    # Composed i-weight tables (itab) are per-plane SCALARS -> SMEM.
     if pool_keys:
         from .linear import is_stacked_key
     for key, arr in zip(pool_keys, pool_arrays):
-        if jtiles > 1 and is_stacked_key(key):
+        if key.startswith("itab"):
+            in_specs.append(pl.BlockSpec(
+                arr.shape,
+                (lambda jt, g: (0, 0)) if jtiles > 1 else
+                (lambda g: (0, 0)),
+                memory_space=pltpu.SMEM))
+        elif jtiles > 1 and is_stacked_key(key):
             in_specs.append(pl.BlockSpec(
                 (1,) + arr.shape[1:], lambda jt, g: (jt, 0, 0),
                 memory_space=pltpu.VMEM))
