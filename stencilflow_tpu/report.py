@@ -156,6 +156,7 @@ class Report:
         VPU ops of the remaining stages.  Cached per Report."""
         if hasattr(self, "_mxu_model"):
             return self._mxu_model
+        from .backend.compose import compose_program, plan_composed
         from .backend.linear import (MatrixPool, finalize_pool,
                                      mxu_flops_per_cell,
                                      plan_all_stages)
@@ -164,7 +165,19 @@ class Report:
         dims = p.dimensions
         plane = (dims[1], dims[2])
         pool = MatrixPool()
-        plans = plan_all_stages(p, plane, dims, pool, 12)
+        # price the strategy the stream planner actually picks: composed
+        # segments replace their runs (one transform per t stages,
+        # backend/compose.py) before per-stage SVD planning
+        comp = compose_program(p, self.analysis)
+        builds = {}
+        if comp is not None:
+            p, builds = comp
+        plans = plan_all_stages(p, plane, dims, pool, 12,
+                                exclude=tuple(builds))
+        for cname, b in builds.items():
+            cp = plan_composed(b, plane, dims, pool)
+            if cp is not None:
+                plans[cname] = cp
         if not plans:
             self._mxu_model = None
             return None
@@ -175,9 +188,15 @@ class Report:
         vpu_rest = 0.0
         for kname, kspec in p.kernels.items():
             if kname in plans:
-                # residual VPU work of an MXU stage: combining its
-                # i-offset group planes (adds) + bias
-                vpu_rest += max(0, len(plans[kname].groups) - 1) + 1
+                mp = plans[kname]
+                if not hasattr(mp, "groups"):
+                    # composed stage: per output plane, one table-weighted
+                    # FMA + i-OOB guard per i-offset (covers t steps)
+                    vpu_rest += 3 * len(mp.offsets)
+                else:
+                    # residual VPU work of an MXU stage: combining its
+                    # i-offset group planes (adds) + bias
+                    vpu_rest += max(0, len(mp.groups) - 1) + 1
                 continue
             for op, c in operation_count(kspec).items():
                 vpu_rest += c * _OP_COST.get(op, 1)
