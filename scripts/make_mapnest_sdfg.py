@@ -1,0 +1,316 @@
+"""Generate tests/fixtures/hdiff_mapnest.sdfg — the COSMO-hdiff chain
+serialized as RAW MAP NESTS (VERDICT r3 next #4).
+
+Where tests/fixtures/hdiff.sdfg carries already-canonicalized Stencil
+library nodes, this fixture is the shape a dace-generated weather code
+has BEFORE the reference's canonicalization pipeline converts map nests
+into stencils (``MapFission`` -> ``NestK`` -> ``StencilFusion``,
+/root/reference/stencilflow/sdfg_to_stencilflow.py:267-332,
+stencil/nestk.py:41-176): ``MapEntry -> Tasklet -> MapExit`` scopes
+whose tasklet connectors read point memlets with affine offsets.  The
+importer's :mod:`~stencilflow_tpu.frontend.mapnest` desugaring must
+reproduce the exact same program, so the test compares both fixtures'
+interpreter outputs bit-for-bit.
+
+Deliberate stress content:
+
+* state 0: flat 3-D map with SCRAMBLED param order (``k0, i0, j0``) —
+  canonical dims come from the output subset, not the param list;
+  a scalar connector (lapweight) rides through the map entry.
+* state 1: TWO top-level map scopes in one state (flx, fly) plus the
+  predicated-limiter tasklet code (multi-statement, IfExp).
+* state 3: the NestK shape — a 1-D outer map over ``i`` nesting a 2-D
+  inner map over ``(j, k)``.
+* interstate edges carry ASSIGNMENTS (``w0 = 2``, ``half = 0.5``) and
+  CONDITIONS (a diamond whose false branch guards a poison state that
+  would corrupt the output if walked) — the
+  ``split_condition_interstate_edges`` + symbol-specialization roles,
+  sdfg_to_stencilflow.py:252-264, :291-304.
+* map ranges reference the ``I`` symbol from ``constants_prop``.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+I, J, K = 8, 32, 32
+SHAPE = [I, J, K]
+
+
+def array(name, transient, shape=None, scalar=False):
+    if scalar:
+        return name, {"type": "Scalar", "attributes": {
+            "dtype": "float32", "shape": [1], "transient": transient}}
+    return name, {"type": "Array", "attributes": {
+        "dtype": "float32", "shape": shape or SHAPE,
+        "transient": transient, "storage": "Default"}}
+
+
+def access(nid, data):
+    return {"type": "AccessNode", "label": data, "id": nid,
+            "attributes": {"data": data}}
+
+
+def tasklet(nid, label, code, in_conns, out_conn):
+    return {"type": "Tasklet", "label": label, "id": nid,
+            "attributes": {"label": label,
+                           "code": {"string_data": code,
+                                    "language": "Python"},
+                           "in_connectors": {c: None for c in in_conns},
+                           "out_connectors": {out_conn: None}}}
+
+
+def map_entry(nid, label, params, ranges):
+    return {"type": "MapEntry", "label": label, "id": nid,
+            "attributes": {
+                "label": label, "params": list(params),
+                "range": {"type": "Range", "ranges": [
+                    {"start": str(s), "end": str(e), "step": "1",
+                     "tile": "1"} for s, e in ranges]}}}
+
+
+def map_exit(nid, label):
+    return {"type": "MapExit", "label": label, "id": nid,
+            "attributes": {"label": label}}
+
+
+def memlet(src, dst, data, subset, src_conn=None, dst_conn=None):
+    return {"type": "MultiConnectorEdge", "src": str(src), "dst": str(dst),
+            "src_connector": src_conn, "dst_connector": dst_conn,
+            "attributes": {"data": {"type": "Memlet", "attributes": {
+                "data": data, "subset": subset}}}}
+
+
+def state(sid, label, nodes, edges):
+    return {"type": "SDFGState", "label": label, "id": sid,
+            "collapsed": False,
+            "attributes": {"nosync": False},
+            "nodes": nodes, "edges": edges}
+
+
+FULL3 = f"0:{I - 1}, 0:{J - 1}, 0:{K - 1}"   # dace Range str (inclusive)
+
+
+def flat_map_state(sid, label, in_fields, tasklet_code, conn_subsets,
+                   out_field, out_conn, params, ranges, entry_base=10):
+    """One state holding one flat map scope.  ``conn_subsets`` maps each
+    tasklet in-connector to (field, point_subset)."""
+    me, mx, tk = entry_base, entry_base + 1, entry_base + 2
+    nodes = []
+    edges = []
+    field_ids = {}
+    for n, f in enumerate(in_fields):
+        field_ids[f] = n
+        nodes.append(access(n, f))
+    nodes += [
+        map_entry(me, f"{label}_map", params, ranges),
+        tasklet(tk, f"{label}_tasklet", tasklet_code,
+                list(conn_subsets), out_conn),
+        map_exit(mx, f"{label}_mapexit"),
+        access(entry_base + 3, out_field),
+    ]
+    seen_fields = set()
+    for conn, (f, subset) in conn_subsets.items():
+        if f not in seen_fields:
+            seen_fields.add(f)
+            full = FULL3 if f in SHAPE_FIELDS else "0"
+            edges.append(memlet(field_ids[f], me, f, full,
+                                dst_conn=f"IN_{f}"))
+        edges.append(memlet(me, tk, f, subset,
+                            src_conn=f"OUT_{f}", dst_conn=conn))
+    edges += [
+        memlet(tk, mx, out_field, ", ".join(p for p in ORDERED),
+               src_conn=out_conn, dst_conn=f"IN_{out_field}"),
+        memlet(mx, entry_base + 3, out_field, FULL3,
+               src_conn=f"OUT_{out_field}"),
+    ]
+    return state(sid, label, nodes, edges)
+
+
+SHAPE_FIELDS = set()
+ORDERED = ("i0", "j0", "k0")
+
+
+def build():
+    global SHAPE_FIELDS, ORDERED
+    SHAPE_FIELDS = {"inp", "lap", "flx", "fly", "out_field"}
+
+    # state 0: scalar tasklets (coeff, lapweight) + the lap map with
+    # scrambled params and a scalar connector
+    ORDERED = ("i0", "j0", "k0")
+    s0_map = flat_map_state(
+        0, "lap", ["inp", "lapweight"],
+        "__lap = __w * __q_c - (__q_jm + __q_jp + __q_km + __q_kp)",
+        {"__q_c": ("inp", "i0, j0, k0"),
+         "__q_jm": ("inp", "i0, j0 - 1, k0"),
+         "__q_jp": ("inp", "i0, j0 + 1, k0"),
+         "__q_km": ("inp", "i0, j0, k0 - 1"),
+         "__q_kp": ("inp", "i0, j0, k0 + 1"),
+         "__w": ("lapweight", "0")},
+        "lap", "__lap",
+        params=["k0", "i0", "j0"],                      # scrambled
+        ranges=[(0, K - 1), (0, "I - 1"), (0, J - 1)],  # symbol end
+        entry_base=10)
+    # prepend the scalar tasklets (plain nodes outside the scope)
+    s0_map["nodes"] += [
+        tasklet(20, "init_coeff", "out = 0.025", [], "out"),
+        access(21, "coeff"),
+        tasklet(22, "init_w", "out = 4.0", [], "out"),
+        access(23, "lapweight"),
+    ]
+    s0_map["edges"] += [
+        memlet(20, 21, "coeff", "0", src_conn="out"),
+        memlet(22, 23, "lapweight", "0", src_conn="out"),
+    ]
+
+    # state 1: two top-level map scopes (flx, fly) with limiter IfExp
+    s1a = flat_map_state(
+        1, "flx", ["lap", "inp"],
+        "__flx = __lap_jp - __lap_c; "
+        "__flx = 0.0 if __flx * (__q_jp - __q_c) > 0.0 else __flx",
+        {"__lap_c": ("lap", "i0, j0, k0"),
+         "__lap_jp": ("lap", "i0, j0 + 1, k0"),
+         "__q_c": ("inp", "i0, j0, k0"),
+         "__q_jp": ("inp", "i0, j0 + 1, k0")},
+        "flx", "__flx",
+        params=["i0", "j0", "k0"],
+        ranges=[(0, "I - 1"), (0, J - 1), (0, K - 1)],
+        entry_base=10)
+    s1b = flat_map_state(
+        1, "fly", ["lap", "inp"],
+        "__fly = __lap_kp - __lap_c; "
+        "__fly = 0.0 if __fly * (__q_kp - __q_c) > 0.0 else __fly",
+        {"__lap_c": ("lap", "i0, j0, k0"),
+         "__lap_kp": ("lap", "i0, j0, k0 + 1"),
+         "__q_c": ("inp", "i0, j0, k0"),
+         "__q_kp": ("inp", "i0, j0, k0 + 1")},
+        "fly", "__fly",
+        params=["i0", "j0", "k0"],
+        ranges=[(0, "I - 1"), (0, J - 1), (0, K - 1)],
+        entry_base=30)
+    # merge the two scopes into one state (re-id the second's accesses)
+    remap = {0: 26, 1: 27}   # lap, inp access nodes of s1b
+    for n in s1b["nodes"]:
+        if n["id"] in remap and n["type"] == "AccessNode":
+            n["id"] = remap[n["id"]]
+    for e in s1b["edges"]:
+        e["src"] = str(remap.get(int(e["src"]), e["src"]))
+        e["dst"] = str(remap.get(int(e["dst"]), e["dst"]))
+    s1 = state(1, "flux_state", s1a["nodes"] + s1b["nodes"],
+               s1a["edges"] + s1b["edges"])
+
+    # state 2: out = q - coeff * div(flx, fly); coeff scalar connector
+    s2 = flat_map_state(
+        2, "out", ["inp", "flx", "fly", "coeff"],
+        "__res = __q - __c * (__fx_c - __fx_jm + __fy_c - __fy_km)",
+        {"__q": ("inp", "i0, j0, k0"),
+         "__fx_c": ("flx", "i0, j0, k0"),
+         "__fx_jm": ("flx", "i0, j0 - 1, k0"),
+         "__fy_c": ("fly", "i0, j0, k0"),
+         "__fy_km": ("fly", "i0, j0, k0 - 1"),
+         "__c": ("coeff", "0")},
+        "out_field", "__res",
+        params=["i0", "j0", "k0"],
+        ranges=[(0, "I - 1"), (0, J - 1), (0, K - 1)],
+        entry_base=10)
+
+    # state 3: NestK shape — 1-D outer i map nesting a 2-D (j, k) map;
+    # smooth code reads the interstate-assigned symbol ``half``
+    me_o, me_i, tk, mx_i, mx_o = 10, 11, 12, 13, 14
+    s3 = state(3, "smooth_state", [
+        access(0, "out_field"),
+        map_entry(me_o, "smooth_outer", ["i2"], [("0", "I - 1")]),
+        map_entry(me_i, "smooth_inner", ["j2", "k2"],
+                  [("0", str(J - 1)), ("0", str(K - 1))]),
+        tasklet(tk, "smooth_tasklet",
+                "__res = 0.25 * (__o_jm + __o_jp) + half * __o_c",
+                ["__o_c", "__o_jm", "__o_jp"], "__res"),
+        map_exit(mx_i, "smooth_inner_exit"),
+        map_exit(mx_o, "smooth_outer_exit"),
+        access(15, "out_field"),
+    ], [
+        memlet(0, me_o, "out_field", FULL3, dst_conn="IN_o"),
+        memlet(me_o, me_i, "out_field", FULL3,
+               src_conn="OUT_o", dst_conn="IN_o"),
+        memlet(me_i, tk, "out_field", "i2, j2, k2",
+               src_conn="OUT_o", dst_conn="__o_c"),
+        memlet(me_i, tk, "out_field", "i2, j2 - 1, k2",
+               src_conn="OUT_o", dst_conn="__o_jm"),
+        memlet(me_i, tk, "out_field", "i2, j2 + 1, k2",
+               src_conn="OUT_o", dst_conn="__o_jp"),
+        memlet(tk, mx_i, "out_field", "i2, j2, k2",
+               src_conn="__res", dst_conn="IN_out"),
+        memlet(mx_i, mx_o, "out_field", FULL3,
+               src_conn="OUT_out", dst_conn="IN_out"),
+        memlet(mx_o, 15, "out_field", FULL3, src_conn="OUT_out"),
+    ])
+
+    # state 4: POISON — reachable only through the false-conditioned
+    # edge; walking it corrupts out_field by 1000x
+    s4 = flat_map_state(
+        4, "poison", ["out_field"],
+        "__res = __o * 1000.0",
+        {"__o": ("out_field", "i0, j0, k0")},
+        "out_field", "__res",
+        params=["i0", "j0", "k0"],
+        ranges=[(0, "I - 1"), (0, J - 1), (0, K - 1)],
+        entry_base=10)
+
+    arrays = dict([
+        array("inp", transient=False),
+        array("lap", transient=True),
+        array("flx", transient=True),
+        array("fly", transient=True),
+        array("out_field", transient=False),
+        array("coeff", transient=True, scalar=True),
+        array("lapweight", transient=True, scalar=True),
+    ])
+
+    def iedge(src, dst, condition=None, assignments=None):
+        attrs = {}
+        if condition is not None:
+            attrs["condition"] = {"string_data": condition,
+                                  "language": "Python"}
+        if assignments:
+            attrs["assignments"] = assignments
+        return {"type": "Edge", "src": str(src), "dst": str(dst),
+                "attributes": {"data": {"type": "InterstateEdge",
+                                        "attributes": attrs}}}
+
+    return {
+        "type": "SDFG",
+        "dace_version": "0.14.1",
+        "attributes": {
+            "name": "hdiff_mapnest",
+            "arg_names": ["inp", "out_field"],
+            "_arrays": arrays,
+            "symbols": {"I": "int32", "w0": "int32", "half": "float32"},
+            "constants_prop": {"I": [{"type": "int32"}, I]},
+        },
+        "nodes": [s0_map, s1, s2, s3, s4],
+        "edges": [
+            iedge(0, 1, assignments={"w0": "2"}),
+            iedge(1, 2),
+            iedge(2, 3, condition="w0 == 2",
+                  assignments={"half": "0.5"}),
+            iedge(2, 4, condition="w0 == 3"),
+        ],
+        "sdfg_list_id": 0,
+        "start_state": 0,
+    }
+
+
+def main() -> int:
+    out = os.path.join(os.path.dirname(__file__), os.pardir, "tests",
+                       "fixtures", "hdiff_mapnest.sdfg")
+    out = os.path.normpath(out)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(build(), f, indent=1)
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -28,13 +28,23 @@ writes nothing reads are dropped (``remove_unused_sinks``).  Transient
 flags on array descriptors drive input/output classification when
 present.
 
+General map nests (``MapEntry`` -> tasklet -> ``MapExit`` scopes,
+including the NestK shape of a 1-D outer map over a lower-dimensional
+body) are desugared into Stencil-style nodes by
+:mod:`~stencilflow_tpu.frontend.mapnest` before the walk, playing the
+reference's ``MapFission`` -> ``NestK`` -> ``StencilFusion`` pipeline
+roles (sdfg_to_stencilflow.py:267-332, stencil/nestk.py:41-176).
+States are walked in interstate execution order with edge ASSIGNMENTS
+folded into a symbol environment and edge CONDITIONS statically
+evaluated (``split_condition_interstate_edges`` role, :252-264; symbol
+specialization :291-304) — numeric symbols become dialect constants.
+
 Remaining scope limits (documented, not hidden): dace cannot be
 installed in this offline environment, so fixtures are schema-faithful
 serializations committed under tests; ``standardize_data_layout``'s
 (J,K,I) stride permutation is a memory-layout choice with no semantic
 effect on import (we read logical shapes; permuted-stride arrays import
-identically); ``MapFission``/``NestK`` operate on general map nests,
-which this importer does not accept (stencil library nodes only).
+identically).
 """
 from __future__ import annotations
 
@@ -423,8 +433,15 @@ def _bc_json(bc: Any) -> Optional[dict]:
 def sdfg_to_program(source, name: Optional[str] = None,
                     dimensions: Optional[Sequence[int]] = None,
                     input_data: str = "constant:1.0",
-                    vectorization: int = 1) -> ir.Program:
-    """Import a serialized DaCe SDFG (path or dict) into a Program."""
+                    vectorization: int = 1,
+                    symbols: Optional[Dict[str, Any]] = None
+                    ) -> ir.Program:
+    """Import a serialized DaCe SDFG (path or dict) into a Program.
+
+    ``symbols`` specializes free SDFG symbols to concrete values (the
+    reference's specialization step, sdfg_to_stencilflow.py:291-304) —
+    they seed the environment that interstate-edge assignments extend
+    and map ranges / conditions are evaluated against."""
     if isinstance(source, (str, bytes)):
         with open(source) as f:
             sdfg = json.load(f)
@@ -453,13 +470,36 @@ def sdfg_to_program(source, name: Optional[str] = None,
         t = desc.get("transient")
         return bool(t) if t is not None else None
 
+    # symbol environment: SDFG constants_prop + caller specialization;
+    # interstate-edge assignments extend it during the ordered walk
+    from .mapnest import order_states, synthesize_map_nests
+    env: Dict[str, Any] = {}
+    cp = sdfg.get("attributes", {}).get("constants_prop", {}) or {}
+    for k, v in cp.items():
+        if isinstance(v, (list, tuple)) and len(v) == 2:
+            v = v[1]   # dace serializes constants as [dtype, value]
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            env[k] = v
+    if symbols:
+        env.update(symbols)
+
+    def shape_of(field: str) -> Optional[List[int]]:
+        shp = arrays.get(field, {}).get("attributes", {}).get("shape")
+        if not shp:
+            return None
+        try:
+            return [int(s) for s in shp]
+        except (TypeError, ValueError):
+            return None   # symbolic shape
+
     # canonicalization pass 1 (remove_scalar_transients): constant
     # scalar transients become dialect constants
     constants: Dict[str, float] = {}
 
     def walk(sub) -> List[Tuple[dict, Dict[str, str], Optional[str]]]:
         got: List[Tuple[dict, Dict[str, str], Optional[str]]] = []
-        for state in sub.get("nodes", []):
+        for state in order_states(sub, env):
+            state = synthesize_map_nests(state, env, shape_of=shape_of)
             constants.update(_scalar_constants(state, arrays))
             got.extend(_topo_stencils(state))
             for node in state.get("nodes", []):
@@ -470,6 +510,12 @@ def sdfg_to_program(source, name: Optional[str] = None,
         return got
 
     resolved = walk(sdfg)
+    # symbol specialization: numeric symbols the walk accumulated become
+    # dialect constants readable from stencil code
+    for k, v in env.items():
+        if (isinstance(v, (int, float)) and not isinstance(v, bool)
+                and k not in arrays):
+            constants.setdefault(k, float(v))
     if not resolved:
         raise ValueError("no Stencil library nodes found in the SDFG")
 
