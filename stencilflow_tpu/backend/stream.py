@@ -135,13 +135,16 @@ class StreamPlan:
         return cls(lag, ring, lag_max, (hj, hk),
                    (lj + 2 * hj, lk + 2 * hk), stage_major)
 
-    def vmem_bytes(self, program: ir.Program, compute_dtype=None) -> int:
+    def vmem_bytes(self, program: ir.Program, compute_dtype=None,
+                   ring_storage=None) -> int:
         pj, pk = self.plane
         total = 0
         for f, depth in self.ring.items():
-            itemsize = (np.dtype(compute_dtype).itemsize if compute_dtype
-                        is not None else
-                        np.dtype(program.field_dtype(f)).itemsize)
+            dt = np.dtype(compute_dtype) if compute_dtype is not None \
+                else np.dtype(program.field_dtype(f))
+            itemsize = dt.itemsize
+            if ring_storage == "bfloat16" and dt == np.float32:
+                itemsize = 2   # bf16 ring storage, f32 compute
             total += depth * pj * pk * itemsize
         return total
 
@@ -296,7 +299,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                         local_i, sharded, mxu_plans, pool_keys, pool_meta,
                         transform_keys, block, jtiled, emit_off,
                         compute_dtype, interpret, spill_reads, fast_fields,
-                        *refs):
+                        *refs, ring_storage="off"):
     # fast_fields: {} (masked reads), a padding dict (fast_pad_fields),
     # or the string "shift" (shift-in-fill concat reads, no ring changes).
     # Per dim, a shift-fill read is exactly the BC semantics whenever the
@@ -384,8 +387,33 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                     rings[f][...] = jnp.full(
                         rings[f].shape, fill, rings[f].dtype)
 
+    def eval_dtype(f):
+        """The dtype stage math runs in for planes of field ``f``."""
+        return (compute_dtype or
+                jax.dtypes.canonicalize_dtype(program.field_dtype(f)))
+
+    # bf16 ring storage (f32 compute): rounded at store, cast at read.
+    # Compiled buffers are real bf16; under interpret they stay f32 and
+    # the store rounding is emulated (reduce_precision — CLAUDE.md: XLA
+    # elides plain f32->bf16->f32 round-trips outside Mosaic).
+    rs_round = (frozenset(f for f in plan.ring
+                          if eval_dtype(f) == jnp.float32)
+                if ring_storage == "bfloat16" else frozenset())
+
+    def to_ring(field, plane):
+        if field not in rs_round:
+            return plane
+        if interpret:
+            return jax.lax.reduce_precision(plane, 8, 7)
+        return plane.astype(jnp.bfloat16)
+
+    def to_eval(field, arr):
+        edt = eval_dtype(field)
+        return arr if arr.dtype == edt else arr.astype(edt)
+
     def ring_store(field, slot, plane):
         """Write a core-shaped plane into its (possibly padded) ring slot."""
+        plane = to_ring(field, plane)
         if field in fast_fields:
             pj_f, pk_f, _fill = fast_fields[field]
             rings[field][pl.ds(slot, 1), pl.ds(pj_f, plan.plane[0]),
@@ -397,9 +425,10 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         """Core-shaped plane from a (possibly padded) ring slot."""
         if field in fast_fields:
             pj_f, pk_f, _fill = fast_fields[field]
-            return rings[field][slot, pl.ds(pj_f, plan.plane[0]),
-                                pl.ds(pk_f, plan.plane[1])]
-        return rings[field][slot]
+            return to_eval(field,
+                           rings[field][slot, pl.ds(pj_f, plan.plane[0]),
+                                        pl.ds(pk_f, plan.plane[1])])
+        return to_eval(field, rings[field][slot])
 
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
@@ -608,13 +637,13 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 rbuf.at[pl.ds(ridx, 1)], sems.at[ridx])
             dma.start()
         dma.wait()
-        plane = rbuf[ridx]
+        plane = to_eval(field, rbuf[ridx])
         spill_cache[key] = plane
         return plane
 
     def spill_write(field, slot, plane):
         _rbuf, stage, sems = spill_bufs[field]
-        stage[...] = plane[None]
+        stage[...] = to_ring(field, plane)[None]
         dma = pltpu.make_async_copy(stage,
                                     hbm_rings[field].at[pl.ds(slot, 1)],
                                     sems.at[len(spill_reads[field])])
@@ -684,7 +713,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             use_shift_k = (fast_shift_k and
                            (bc is None or bc.kind != ir.BCKind.COPY))
             if (use_shift or use_shift_k) and field not in spill_reads:
-                val = rings[field][slot]
+                val = to_eval(field, rings[field][slot])
                 if oj:
                     if use_shift:
                         val = _shift_fill(val, oj, 0, fillv)
@@ -714,9 +743,10 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 # roll / mask / select in the padded dims)
                 pj_f, pk_f, fill_f = fast_fields[field]
                 if pk_f == 0 and (ok or 0) != 0:
-                    base = rings[field][slot,
-                                        pl.ds(pj_f + (oj or 0),
-                                              plan.plane[0]), :]
+                    base = to_eval(field,
+                                   rings[field][slot,
+                                                pl.ds(pj_f + (oj or 0),
+                                                      plan.plane[0]), :])
                     # k component: roll + k-only mask (the j-pad rows are
                     # uniform fill, so the roll keeps them correct)
                     val = read_access_tile(base, (0, ok), bc,
@@ -724,11 +754,12 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                                            plan.halo_jk, (J, K),
                                            cache=mc, assume_dims=assume_dims)
                 else:
-                    val = rings[field][slot,
-                                       pl.ds(pj_f + (oj or 0),
-                                             plan.plane[0]),
-                                       pl.ds(pk_f + (ok or 0),
-                                             plan.plane[1])]
+                    val = to_eval(field,
+                                  rings[field][slot,
+                                               pl.ds(pj_f + (oj or 0),
+                                                     plan.plane[0]),
+                                               pl.ds(pk_f + (ok or 0),
+                                                     plan.plane[1])])
                 if oi is not None and oi != 0:
                     gtarget = origin[0] + target
                     i_oob = (gtarget < 0) | (gtarget >= Ig)
@@ -741,7 +772,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 plane = spill_read(field,
                                    plan.lag[kname] - (oi or 0), slot, m)
             else:
-                plane = rings[field][slot]
+                plane = to_eval(field, rings[field][slot])
             center = None
             if bc is not None and bc.kind == ir.BCKind.COPY and \
                     oi not in (None, 0):
@@ -751,7 +782,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 if field in spill_reads:
                     center = spill_read(field, plan.lag[kname], cslot, m)
                 else:
-                    center = rings[field][cslot]
+                    center = to_eval(field, rings[field][cslot])
             val = read_access_tile(plane, (oj, ok), bc,
                                    (origin[1], origin[2]),
                                    plan.halo_jk, (J, K), center=center,
@@ -1081,7 +1112,7 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
 
 def choose_spill(program: ir.Program, analysis: ChainAnalysis,
                  plan: StreamPlan, budget: float, compute_dtype=None,
-                 allow_outputs: bool = True):
+                 allow_outputs: bool = True, ring_storage=None):
     """Greedy HBM ring-spill selection for one stream plan.
 
     The reference memory optimizer's metric (bytes freed per unit of extra
@@ -1095,8 +1126,11 @@ def choose_spill(program: ir.Program, analysis: ChainAnalysis,
     pj0, pk0 = plan.plane
 
     def itemsize(f):
-        return np.dtype(compute_dtype if compute_dtype is not None
-                        else program.field_dtype(f)).itemsize
+        dt = np.dtype(compute_dtype if compute_dtype is not None
+                      else program.field_dtype(f))
+        if ring_storage == "bfloat16" and dt == np.float32:
+            return 2
+        return dt.itemsize
 
     deltas: Dict[str, set] = {f: set() for f in plan.ring}
     for kname in analysis.graph.kernel_order:
@@ -1111,7 +1145,7 @@ def choose_spill(program: ir.Program, analysis: ChainAnalysis,
                 deltas[f].add(plan.lag[kname])   # copy-center read
     order = sorted(plan.ring,
                    key=lambda f: -(plan.ring[f] / (1 + len(deltas[f]))))
-    need = plan.vmem_bytes(program, compute_dtype)
+    need = plan.vmem_bytes(program, compute_dtype, ring_storage)
     sel: Dict[str, Tuple[int, ...]] = {}
     for f in order:
         if need <= budget:
@@ -1141,12 +1175,21 @@ def compile_chain_stream(program: ir.Program,
                          stage_major: str = "auto",
                          compute_dtype=None,
                          compose: str = "auto",
+                         ring_storage: str = "off",
                          _composed=None):
     """Build a jitted ``fn(inputs) -> outputs`` around the streaming kernel.
 
     ``compute_dtype``: optional reduced-precision storage/compute type
     (e.g. "bfloat16") — halves HBM traffic and VMEM for bandwidth-bound
     chains at reduced accuracy (outputs cast back to the program dtype).
+    ``ring_storage``: "bfloat16" stores the VMEM/HBM stage rings in bf16
+    while COMPUTING in f32 (cast at ring read, rounded at ring store) —
+    halves ring VMEM (larger blocks/planes fit) and ring-store traffic
+    without the whole-chain compute-cast tax of ``compute_dtype``; each
+    stage output rounds once to bf16 between stages, so deep-chain error
+    grows ~1 bf16 ulp per stage (the r2 bf16-storage economics,
+    reference optimizer.py fast-memory role).  Ignored for non-f32
+    fields and when ``compute_dtype`` is already reduced.
     ``mxu``: "auto" lowers wide affine stages (footprint >=
     ``mxu_min_footprint``) to banded matmuls on the MXU (backend/linear.py);
     "off" keeps everything on the VPU.  ``mxu_precision``: "split" (default)
@@ -1185,7 +1228,8 @@ def compile_chain_stream(program: ir.Program,
                     program2, None, interpret, vmem_budget, mxu,
                     mxu_min_footprint, mxu_precision, block, spill,
                     fast, stage_major, compute_dtype,
-                    compose="off", _composed=builds)
+                    compose="off", ring_storage=ring_storage,
+                    _composed=builds)
                 compile_chain_stream.last_config["composed"] = {
                     name: list(b.stages) for name, b in builds.items()}
                 return fn
@@ -1195,6 +1239,12 @@ def compile_chain_stream(program: ir.Program,
     if compute_dtype is not None:
         compute_dtype = jax.dtypes.canonicalize_dtype(
             jnp.dtype(compute_dtype))
+    if ring_storage not in ("off", "bfloat16"):
+        raise ValueError(f"ring_storage must be 'off' or 'bfloat16', "
+                         f"got {ring_storage!r}")
+    if (ring_storage == "bfloat16" and compute_dtype is not None
+            and jnp.dtype(compute_dtype).itemsize < 4):
+        ring_storage = "off"   # compute already reduced: rings match it
 
     # planes too large for VMEM rings: tile the j dimension, widening each
     # tile by the chain's cumulative j-halo (BC masks use the tile origin).
@@ -1258,7 +1308,8 @@ def compile_chain_stream(program: ir.Program,
     for use_mxu in mxu_legs:
         for nt, tjk, hjk in candidates:
             trial = StreamPlan.build(analysis, local_jk=tjk, halo_jk=hjk)
-            trial_bytes = trial.vmem_bytes(program, compute_dtype) + \
+            trial_bytes = trial.vmem_bytes(program, compute_dtype,
+                                           ring_storage) + \
                 trial.io_window_bytes(program, compute_dtype=compute_dtype)
             if use_mxu:
                 assets = mxu_assets(trial, nt)
@@ -1284,7 +1335,7 @@ def compile_chain_stream(program: ir.Program,
             program, analysis, base,
             budget - base.io_window_bytes(program,
                                           compute_dtype=compute_dtype),
-            compute_dtype)
+            compute_dtype, ring_storage=ring_storage)
         if sel is not None:
             spilled_reads, need = sel
             chosen = (1, None, (0, 0), ({}, [], [], {}, [], 0))
@@ -1375,7 +1426,8 @@ def compile_chain_stream(program: ir.Program,
                                 stage_major=use_sm)
         fast_fields = plan_fast(plan)
     # pads that still overflow at block=1: drop the fast path, keep masks
-    if fast_fields and plan.vmem_bytes(program, compute_dtype) + \
+    if fast_fields and \
+            plan.vmem_bytes(program, compute_dtype, ring_storage) + \
             plan.io_window_bytes(program, block,
                                  compute_dtype=compute_dtype) + \
             assets_extra_vmem(plan, transform_keys, pool_keys,
@@ -1475,8 +1527,16 @@ def compile_chain_stream(program: ir.Program,
         out_shapes.append(jax.ShapeDtypeStruct((I, J, K), out_dtype))
 
     def ring_dtype(f):
-        return (compute_dtype or
-                jax.dtypes.canonicalize_dtype(program.field_dtype(f)))
+        dt = (compute_dtype or
+              jax.dtypes.canonicalize_dtype(program.field_dtype(f)))
+        # bf16 ring storage: real bf16 buffers compiled; under interpret
+        # the buffers stay f32 and the kernel emulates the store
+        # rounding with reduce_precision (XLA elides plain
+        # f32->bf16->f32 round-trips outside Mosaic — CLAUDE.md)
+        if (ring_storage == "bfloat16" and dt == jnp.float32
+                and not interpret):
+            return jnp.bfloat16
+        return dt
 
     # HBM-spilled rings are extra ANY-space outputs (Mosaic has no HBM
     # scratch); the wrapper discards them
@@ -1539,7 +1599,8 @@ def compile_chain_stream(program: ir.Program,
                                mxu_plans, tuple(pool_keys), pool_meta,
                                tuple(transform_keys), block, jtiles > 1, 0,
                                compute_dtype, interpret, spilled_reads,
-                               "shift" if use_shift else fast_fields)
+                               "shift" if use_shift else fast_fields,
+                               ring_storage=ring_storage)
 
     grid = (-(-I // block) + lagB,)
     semantics = ("arbitrary",)
@@ -1549,7 +1610,7 @@ def compile_chain_stream(program: ir.Program,
     # vmem limit from the planner's own audit total (rings + pipeline
     # windows + MXU assets + fast pads) plus spill staging; limits above
     # 64 MiB measurably halve DMA throughput (config.vmem_limit_for)
-    est = (plan.vmem_bytes(program, compute_dtype) +
+    est = (plan.vmem_bytes(program, compute_dtype, ring_storage) +
            plan.io_window_bytes(program, block,
                                 compute_dtype=compute_dtype) +
            assets_extra_vmem(plan, transform_keys, pool_keys,

@@ -295,6 +295,38 @@ class TestStreamBackend:
         assert got.dtype == np.float32      # cast back to the program dtype
         np.testing.assert_allclose(got, ref, rtol=3e-2, atol=1e-2)
 
+    def test_bf16_ring_storage(self):
+        """bf16 ring STORAGE with f32 compute (VERDICT r3 next #5):
+        error stays in the per-stage-rounding envelope (~1 bf16 ulp per
+        stage, far tighter than whole-chain bf16 compute), the plan
+        accounts half-size rings, and non-f32 programs are unaffected."""
+        from stencilflow_tpu.backend.stream import (StreamPlan,
+                                                    compile_chain_stream)
+        from stencilflow_tpu.frontend.analysis import ChainAnalysis
+        p = _program_jacobi3d(size=12, iters=4)
+        inputs = sft.load_input_arrays(p, seed=61)
+        ref = _oracle(p, inputs)["s3"]
+        fn = compile_chain_stream(p, interpret=True, mxu="off",
+                                  ring_storage="bfloat16")
+        got = np.asarray(fn({k: jnp.asarray(v)
+                             for k, v in inputs.items()})["s3"])
+        assert got.dtype == np.float32
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert 0 < rel < 2e-2      # rounded (not exact), inside envelope
+        # sizing: rings halve; io windows (f32 in/out) unchanged
+        plan = StreamPlan.build(ChainAnalysis.run(p))
+        assert plan.vmem_bytes(p, None, "bfloat16") * 2 == \
+            plan.vmem_bytes(p, None)
+        # reduced compute_dtype disables ring_storage (already reduced)
+        fn2 = compile_chain_stream(p, interpret=True, mxu="off",
+                                   compute_dtype="bfloat16",
+                                   ring_storage="bfloat16")
+        got2 = np.asarray(fn2({k: jnp.asarray(v)
+                               for k, v in inputs.items()})["s3"])
+        np.testing.assert_allclose(got2, ref, rtol=3e-2, atol=1e-2)
+        with pytest.raises(ValueError, match="ring_storage"):
+            compile_chain_stream(p, ring_storage="float16")
+
     def test_best_backend_selector(self):
         from stencilflow_tpu.backend import compile_chain_best
         p = _program_jacobi3d(size=12, iters=2)

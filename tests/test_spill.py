@@ -52,6 +52,30 @@ class TestSpill:
                              for k, v in inputs.items()})[out])
         np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6)
 
+    def test_spill_with_bf16_ring_storage(self):
+        """bf16 ring storage composes with the HBM spill rung: spilled
+        rings store bf16 (half the DMA traffic), compute stays f32, and
+        the halved VMEM need changes the spill decision (a budget that
+        forces spill at f32 fits without it at bf16)."""
+        p = sft.parse_program(_reconvergent_chain(), name="spill16bf")
+        inputs = sft.load_input_arrays(p, seed=31)
+        out = p.outputs[0]
+        ref = np.asarray(sft.run_interpreter(p, inputs)[out])
+        # f32 spills at 250K; bf16 rings fit the same budget un-spilled
+        compile_chain_stream(p, interpret=True, vmem_budget=250 * 1024,
+                             ring_storage="bfloat16")
+        assert compile_chain_stream.last_config["spilled"] == []
+        # squeeze until bf16 spills too, and check the value envelope
+        fn = compile_chain_stream(p, interpret=True,
+                                  vmem_budget=125 * 1024,
+                                  ring_storage="bfloat16")
+        cfg = compile_chain_stream.last_config
+        assert cfg["spilled"] == ["s0"], cfg
+        got = np.asarray(fn({k: jnp.asarray(v)
+                             for k, v in inputs.items()})[out])
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert 0 < rel < 2e-2      # per-stage bf16 rounding envelope
+
     def test_spill_off_raises(self):
         p = sft.parse_program(_reconvergent_chain(), name="spill16off")
         with pytest.raises(ValueError, match="VMEM"):
