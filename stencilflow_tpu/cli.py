@@ -456,6 +456,53 @@ def _run_distributed_multihost(args, program, inputs, devices) -> int:
     from .interpreter import run_interpreter
     from .parallel.domain import run_sharded_chain
 
+    if args.parallel_mode == "pipeline":
+        # multi-host wavefront pipeline: 1-D global mesh over every
+        # process's devices; inputs become global arrays via
+        # make_array_from_callback (each host materializes exactly the
+        # shards it owns), outputs verify per-host like domain mode
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding
+
+        from .parallel.pipeline import compile_pipeline_split
+
+        pmesh = Mesh(np.array(devices), ("p",))
+        fn, _plan = compile_pipeline_split(
+            program, pmesh, "p", num_chunks=args.num_chunks,
+            split_at=([k.strip() for k in args.split_at.split(",")]
+                      if args.split_at else None),
+            cut=([k.strip() for k in args.cut.split(",")]
+                 if args.cut else None),
+            optimize_cuts=args.optimize_cuts)
+        cfg = compile_pipeline_split.last_config
+        gin = {}
+        for n, v in inputs.items():
+            arr = jnp.asarray(v)
+            sh = NamedSharding(pmesh, cfg["in_specs"][n])
+            gin[n] = jax.make_array_from_callback(
+                arr.shape, sh, lambda idx, a=arr: a[idx])
+        out = fn(gin)
+        host = args.host_id
+        print(f"host {host}: ran pipeline over {args.devices} global "
+              f"devices (mesh {dict(pmesh.shape)}, io={cfg['io']}, "
+              f"{len(jax.local_devices())} local)")
+        if args.compare_to_reference:
+            ref = run_interpreter(program, inputs)
+            ok = True
+            for o in program.outputs:
+                expected = np.asarray(ref[o]).reshape(
+                    program.raw_dimensions)
+                for shard in out[o].addressable_shards:
+                    if not arrays_are_equal(expected[shard.index],
+                                            np.asarray(shard.data)):
+                        print(f"host {host}: MISMATCH on {o} shard "
+                              f"{shard.index}", file=sys.stderr)
+                        ok = False
+            print(f"host {host}: verified local shards: "
+                  + ("OK" if ok else "FAIL"))
+            return 0 if ok else 1
+        return 0
+
     mesh = _make_mesh_2d(devices, args.devices)
     axes = ((None, "x", "y") if not args.dim_axes
             else _parse_axes(args.dim_axes))
@@ -505,10 +552,6 @@ def _cmd_run_distributed(args) -> int:
                                            args.optimize_cuts):
         print("--split-at/--cut/--optimize-cuts apply to pipeline mode "
               "only (pass --parallel-mode pipeline)", file=sys.stderr)
-        return 2
-    if multihost and args.parallel_mode != "domain":
-        print("multi-host supports --parallel-mode domain",
-              file=sys.stderr)
         return 2
     if args.force_host_devices:
         # per-process virtual device count (global = local * num_hosts)

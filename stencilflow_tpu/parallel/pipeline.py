@@ -829,6 +829,8 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
         in_spec_map = {n: P() for n in program.inputs}
         out_specs = {n: P() for n in program.outputs}
         body = functools.partial(_pipeline_body, plan, graph, seg_fns)
+    compile_pipeline_split.last_config["in_specs"] = dict(in_spec_map)
+    compile_pipeline_split.last_config["out_specs"] = dict(out_specs)
     fn = shard_map(body, mesh=mesh, in_specs=(in_spec_map,),
                    out_specs=out_specs, check_vma=False)
     return jax.jit(fn), plan
