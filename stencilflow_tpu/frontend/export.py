@@ -84,6 +84,46 @@ def kernel_to_string(kspec: ir.KernelSpec, raw_rank: int) -> str:
                      for s in kspec.statements)
 
 
+def kernel_to_relative(kspec: ir.KernelSpec) -> str:
+    """Computation string with RELATIVE-offset subscripts
+    (``a[0, -1, 0]``) — the reference's
+    ``generate_relative_access_kernel_string`` form (kernel.py:327-368),
+    shown by ``cli report --verbose``."""
+
+    def walk(e: ir.Expr) -> str:
+        if isinstance(e, ir.Access):
+            offs = [o for o in e.offsets if o is not None]
+            if not offs:
+                return e.field
+            return e.field + "[" + ", ".join(str(o) for o in offs) + "]"
+        if isinstance(e, ir.Const):
+            return repr(e.value)
+        if isinstance(e, ir.Ref):
+            return e.name
+        if isinstance(e, ir.BinOp):
+            sym = {"add": "+", "sub": "-", "mult": "*",
+                   "div": "/"}[e.op]
+            return f"({walk(e.left)} {sym} {walk(e.right)})"
+        if isinstance(e, ir.UnaryOp):
+            return f"(-{walk(e.operand)})"
+        if isinstance(e, ir.Compare):
+            sym = {"lt": "<", "le": "<=", "gt": ">", "ge": ">=",
+                   "eq": "==", "ne": "!="}[e.op]
+            return f"({walk(e.left)} {sym} {walk(e.right)})"
+        if isinstance(e, ir.BoolOp):
+            return "(" + f" {e.op} ".join(walk(o)
+                                          for o in e.operands) + ")"
+        if isinstance(e, ir.Select):
+            return (f"({walk(e.if_true)} if {walk(e.cond)} "
+                    f"else {walk(e.if_false)})")
+        if isinstance(e, ir.Call):
+            return f"{e.fn}({', '.join(walk(a) for a in e.args)})"
+        raise TypeError(f"unknown expression node {type(e)}")
+
+    return "; ".join(f"{s.lhs} = {walk(s.rhs)}"
+                     for s in kspec.statements)
+
+
 def program_to_json(program: ir.Program,
                     embed_data: bool = True) -> Dict[str, Any]:
     """Serialize a Program back to the JSON dialect.

@@ -437,6 +437,39 @@ class Report:
         lines.append(f"critical path: {a.critical_path_cycles} cycles")
         halos = a.input_halo()
         lines.append(f"fused-tile input halos: {halos}")
+        # the remaining reference report() fields
+        # (kernel_chain_graph.py:640-719): per-kernel input-path delays,
+        # the buffer total, both kernel-string forms, and the optimizer's
+        # fast/slow placement demo
+        lines.append("input path delays (per in-edge alignment skew):")
+        for kname in a.graph.kernel_order:
+            ins = {src: (eb.delay_extent, eb.delay_size)
+                   for (src, dst), eb in a.edges.items() if dst == kname}
+            lines.append(f"  {kname}: " + (", ".join(
+                f"{s}: skew={ext} ({n} elems)"
+                for s, (ext, n) in ins.items()) or "(source)"))
+        total_elems = sum(eb.total_elements for eb in a.edges.values())
+        total_bytes = sum(eb.total_bytes() for eb in a.edges.values())
+        lines.append(f"total buffer size: {total_elems} elems "
+                     f"({total_bytes} B)")
+        from .frontend.export import kernel_to_string, kernel_to_relative
+        rank = len(self.program.raw_dimensions)
+        lines.append("kernel strings (dialect absolute / relative-access):")
+        for kname in a.graph.kernel_order:
+            ks = self.program.kernels[kname]
+            lines.append(f"  {kname}: {kernel_to_string(ks, rank)}")
+            lines.append(f"    relative: {kernel_to_relative(ks)}")
+        # optimizer demo at the single-stream comm-volume bound (the
+        # reference hardcodes bound=12001 elements; we bound at one
+        # stream's volume so the demo always has work to do)
+        from .optimizer import Optimizer
+        opt = Optimizer(self.program, a)
+        bound = int(self.program.total_elements
+                    * np.dtype("float32").itemsize)
+        opt.minimize_fast_mem(comm_volume_bound=bound)
+        lines.append(f"optimizer demo (minimize_fast_mem, comm bound "
+                     f"{bound} B = one float32 stream):")
+        lines.append("  " + opt.summary().replace("\n", "\n  "))
         return "\n".join(lines)
 
     def __str__(self) -> str:

@@ -209,6 +209,13 @@ class TestCLIMore:
         assert rc == 0
         out = capsys.readouterr().out
         assert "line-buffer" in out and "critical path" in out
+        # the remaining reference report() field set
+        # (kernel_chain_graph.py:640-719): input-path delays, buffer
+        # total, both kernel-string forms, optimizer placement demo
+        assert "input path delays" in out
+        assert "total buffer size" in out
+        assert "relative:" in out and "[0, " in out
+        assert "optimizer demo" in out and "-> fast" in out
 
 
 class TestOptimizer:
