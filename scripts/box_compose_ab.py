@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--legs", default="auto,off",
                     help="comma list of compose values to time")
+    ap.add_argument("--precision", default="split",
+                    help="comma list of mxu_precision legs "
+                         "(split/bf16/exact) timed per compose leg")
     ap.add_argument("--skip-check", action="store_true")
     args = ap.parse_args()
 
@@ -86,9 +89,10 @@ def main():
           f"{rep.roofline_gcell_s():.2f} GCell/s "
           f"(composed-aware)", flush=True)
 
-    def time_leg(compose, label):
+    def time_leg(compose, label, precision="split"):
         try:
-            fn = compile_chain_stream(program, compose=compose)
+            fn = compile_chain_stream(program, compose=compose,
+                                      mxu_precision=precision)
         except ValueError as e:
             print(f"{label}: SKIP ({e})", flush=True)
             return
@@ -123,7 +127,8 @@ def main():
               f"(bounds {rep.bound_fractions(dt)})", flush=True)
 
     for leg in args.legs.split(","):
-        time_leg(leg, f"compose={leg}")
+        for prec in args.precision.split(","):
+            time_leg(leg, f"compose={leg} prec={prec}", prec)
     return 0
 
 

@@ -71,6 +71,35 @@ def _kernel(op: str, unroll: int, x_ref, o_ref, acc, c, d):
             o_ref[...] = acc[...]
         return
 
+    if op.startswith("expr_lim"):
+        # the hdiff flux-limiter stage shape (VERDICT r3 next #3):
+        # flx = lap[j+1]-lap[j]; flx = 0 if flx*dq > 0 else flx —
+        # 5 counted ops (2 sub, 1 mul, 1 cmp, 1 select) per limiter in
+        # three formulations.  All three count 5 so rates compare
+        # directly; the winner is what the backend should emit.
+        lap, q = acc[...], c[...]
+        for u in range(unroll):
+            flx = (lap if u % 2 == 0 else q) - lap * 0.999
+            dq = q - lap * 1.001
+            p = flx * dq
+            if op == "expr_lim_sel":        # shipped: where on cmp
+                flx = jnp.where(p > 0.0, jnp.float32(0.0), flx)
+            elif op == "expr_lim_mask":     # float-mask multiply
+                flx = flx * (p <= 0.0).astype(jnp.float32)
+            elif op == "expr_lim_minmax":   # min/max blend (dq==0 edge
+                flx = jnp.where(dq > 0.0,   # differs — speed probe only)
+                                jnp.minimum(flx, 0.0),
+                                jnp.maximum(flx, 0.0))
+            else:
+                raise ValueError(op)
+            lap = lap * 0.5 + flx
+        acc[...] = lap
+
+        @pl.when(g == pl.num_programs(0) - 1)
+        def _outl():
+            o_ref[...] = acc[...]
+        return
+
     if op in ("expr_jac", "expr_hs", "expr_jac2d"):
         # REAL expression shapes: a deep per-tile expression DAG over
         # several distinct VMEM operand blocks — Mosaic evaluates the
@@ -273,6 +302,8 @@ def main() -> int:
             chains = 4    # counted ops only; shifts/stores are the delta
         elif op == "expr_hs":
             chains = 20
+        elif op.startswith("expr_lim"):
+            chains = 7    # 2 sub + mul + cmp + select + the carry fma
         issues = args.unroll * elems * chains
         flops = issues * (2 if op.startswith("fma") else 1)
         ops_s = issues / dt

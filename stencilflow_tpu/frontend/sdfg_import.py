@@ -554,13 +554,20 @@ def sdfg_to_program(source, name: Optional[str] = None,
             masks_all.setdefault(data, mask)
             reads.append(data)
         bcs = {}
-        for f, bc in attrs.get("boundary_conditions", {}).items():
+        node_bcs = attrs.get("boundary_conditions", {})
+        for f, bc in node_bcs.items():
             data = mapping.get(f, f)
             if data in constants:
                 continue
             j = _bc_json(bc)
             if j is not None:
                 bcs[data] = j
+        # a read field with no (or None) BC inherits the OUTPUT's BC —
+        # the reference's defaulting rule (sdfg_to_stencilflow.py:681-685)
+        out_bc = _bc_json(node_bcs.get(outs[0]))
+        if out_bc is not None:
+            for f in reads:
+                bcs.setdefault(f, dict(out_bc))
         code = _rename_code(_code_string(attrs),
                             {f: d for f, d in mapping.items() if f != d})
         # canonicalization pass 2 (remove_constant_stencils): a node

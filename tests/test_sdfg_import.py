@@ -156,6 +156,29 @@ def test_cli_import_sdfg_round_trip(tmp_path):
                                atol=1e-7)
 
 
+def test_missing_input_bc_defaults_to_output_bc():
+    """A read field with a None/absent BC inherits the OUTPUT
+    connector's BC — the reference's defaulting rule
+    (sdfg_to_stencilflow.py:681-685)."""
+    full = [True, True, True]
+    sdfg = {
+        "type": "SDFG", "attributes": {"name": "bcdef"},
+        "nodes": [{"type": "SDFGState", "nodes": [_stencil_node(
+            "s", {"a": [full, [[0, 0, 0], [0, 1, 0]]]},
+            "out",
+            {"a": None, "out": {"btype": "constant", "value": 2.5}},
+            "out = a[0,0,0] + a[0,1,0]")]}],
+    }
+    p = sdfg_to_program(sdfg, input_data="constant:1.0",
+                        dimensions=(4, 8, 8))
+    bc = p.kernels["out"].boundary_conditions["a"]
+    assert bc.kind.name == "CONSTANT" and bc.value == 2.5
+    out = np.asarray(sft.run_interpreter(
+        p, sft.load_input_arrays(p, seed=0))["out"]).reshape(4, 8, 8)
+    assert out[0, 7, 0] == 3.5      # j+1 read fell off: 1.0 + 2.5
+    assert out[0, 3, 0] == 2.0
+
+
 def test_no_stencil_nodes_raises(tmp_path):
     path = tmp_path / "empty.sdfg"
     path.write_text(json.dumps({"type": "SDFG", "attributes": {},
