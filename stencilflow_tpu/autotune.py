@@ -64,6 +64,15 @@ def _builders(program: ir.Program, analysis: ChainAnalysis,
     b["stream"] = lambda: compile_chain_stream(
         program, analysis, interpret=interpret, mxu=mxu,
         mxu_precision=mxu_precision, spill=spill)
+    # bf16 ring storage, f32 compute: halves ring VMEM (larger
+    # tiles/blocks) and ring-store traffic at a documented per-stage
+    # rounding envelope — a measured A/B knob, never a blind default
+    if all(np.dtype(program.field_dtype(f)) == np.float32
+           for f in list(program.inputs) + list(program.kernels)):
+        b["stream:rings=bf16"] = lambda: compile_chain_stream(
+            program, analysis, interpret=interpret, mxu=mxu,
+            mxu_precision=mxu_precision, spill=spill,
+            ring_storage="bfloat16")
     if mxu != "off" and _any_mxu_candidate(program):
         b["stream:mxu=off"] = lambda: compile_chain_stream(
             program, analysis, interpret=interpret, mxu="off",
@@ -111,6 +120,10 @@ def _builders(program: ir.Program, analysis: ChainAnalysis,
     return b
 
 
+# stream:rings=bf16 is deliberately NOT a default: autotune selects on
+# speed alone, and bf16 ring storage trades accuracy (per-stage
+# rounding) — reduced-precision candidates are opt-in via explicit
+# labels (--labels stream:rings=bf16,...), like mxu_precision="bf16"
 DEFAULT_LABELS = ["stream", "stream:mxu=off", "stream:sm=off",
                   "panel:B=auto", "overlap:B=auto", "rows:auto", "pallas",
                   "xla"]

@@ -50,6 +50,16 @@ def test_build_from_label_roundtrip():
                                    rtol=2e-5, atol=1e-6)
     with pytest.raises(KeyError):
         build_from_label(p, "nonsense")
+    # the opt-in reduced-precision candidate builds from its label but
+    # is NOT in the speed-only default set (accuracy is not a knob
+    # autotune may trade silently)
+    from stencilflow_tpu.autotune import DEFAULT_LABELS
+    assert "stream:rings=bf16" not in DEFAULT_LABELS
+    fn = build_from_label(p, "stream:rings=bf16", interpret=True)
+    got = np.asarray(fn({k: np.asarray(v)
+                         for k, v in inputs.items()})[p.outputs[0]])
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert 0 < rel < 2e-2
 
 
 def test_cache_key_is_structural_not_data():
