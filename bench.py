@@ -49,6 +49,9 @@ def main():
                     choices=["auto", "on", "off"],
                     help="micro-step order for --backend stream: batched"
                          " block-wide MXU band transforms (stream.py)")
+    ap.add_argument("--ring-storage", default="off",
+                    choices=["off", "bfloat16"],
+                    help="ring storage dtype for --backend stream")
     ap.add_argument("--block", type=int, default=0,
                     help="planes per grid step for --backend stream"
                          " (0 = auto)")
@@ -116,7 +119,8 @@ def main():
         from stencilflow_tpu.backend.stream import compile_chain_stream
         fn = compile_chain_stream(program, fast=args.fast,
                                   stage_major=args.stage_major,
-                                  block=args.block, interpret=not on_tpu)
+                                  block=args.block, interpret=not on_tpu,
+                                  ring_storage=args.ring_storage)
         backend = "stream"
     elif args.backend == "panel":
         from stencilflow_tpu.backend.panel import compile_chain_panel

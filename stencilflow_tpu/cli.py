@@ -33,6 +33,7 @@ def _cmd_run(args) -> int:
             mxu="off" if args.no_mxu else "auto",
             mxu_precision=args.mxu_precision,
             spill="off" if args.no_spill else "auto",
+            ring_storage=args.ring_storage,
             log_level=args.log_level,
             profile_dir=args.profile,
             seed=args.seed,
@@ -680,6 +681,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "operands (fastest, ~1e-2-level error — opt-in "
                         "only; verification widens to its envelope, or "
                         "set --tolerance); exact = full-f32 passes")
+    p.add_argument("--ring-storage", default="off",
+                   choices=["off", "bfloat16"],
+                   help="stage-ring storage dtype for --backend stream: "
+                        "bfloat16 halves ring VMEM and store traffic "
+                        "while computing in f32 (~1 bf16 ulp rounding "
+                        "per stage; verification widens to the bf16 "
+                        "envelope)")
     p.add_argument("--tolerance", type=float, default=None,
                    help="relative verification tolerance for "
                         "--compare-to-reference / --run-simulation "

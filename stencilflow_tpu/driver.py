@@ -61,6 +61,7 @@ def run_program(stencil_file, mode: str = "emulation",
                 mxu: str = "auto",
                 mxu_precision: str = "split",
                 spill: str = "auto",
+                ring_storage: str = "off",
                 save_results: bool = True,
                 results_base: str = "results",
                 seed: int = 0,
@@ -157,7 +158,8 @@ def run_program(stencil_file, mode: str = "emulation",
                                               interpret=interpret,
                                               mxu=mxu,
                                               mxu_precision=mxu_precision,
-                                              spill=spill),
+                                              spill=spill,
+                                              ring_storage=ring_storage),
                          "stream")
         elif backend == "panel":
             from .backend.panel import compile_chain_panel
@@ -242,6 +244,11 @@ def run_program(stencil_file, mode: str = "emulation",
                                else MXU_VERIFY_RTOL)
         except ImportError:   # pragma: no cover
             pass
+    if tolerance is None and ring_storage == "bfloat16":
+        # bf16 ring storage rounds each stage output once: ~1 bf16 ulp
+        # per stage, the same envelope class as bf16 matmul operands
+        from .config import BF16_VERIFY_RTOL
+        verify_rtol = max(verify_rtol, BF16_VERIFY_RTOL)
 
     def check(kind: str, expected: Dict[str, Any]) -> bool:
         ok = True
