@@ -52,6 +52,11 @@ def main():
                 synthesize_stencil(num_stages=8,
                                    dimensions=(256,) * 3, shape="hdiff"),
                 name="hdiff3d_256_8itr")
+        if workload == "jacobi2d":
+            # bf16 rings halve the j-tile ring bytes: tile 256 fits
+            # where f32 forced 128 -> halo inflation 1.125 -> 1.0625
+            return sft.parse_program(jacobi(2, 8192, iterations=8),
+                                     name="jacobi2d_8192_8itr")
         raise SystemExit(f"unknown workload {workload}")
 
     # --- compiled correctness envelope at a small size ---------------------
