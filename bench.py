@@ -124,7 +124,9 @@ def main():
         backend = "stream"
     elif args.backend == "panel":
         from stencilflow_tpu.backend.panel import compile_chain_panel
-        fn, backend = compile_chain_panel(program, panel=args.panel), "panel"
+        fn, backend = (compile_chain_panel(
+            program, panel=args.panel,
+            ring_storage=args.ring_storage), "panel")
     elif args.backend == "overlap":
         from stencilflow_tpu.backend.overlap import compile_chain_overlap
         fn = compile_chain_overlap(program, panel=args.panel)

@@ -146,10 +146,14 @@ class PanelPlan:
             ring[f] = depth
         return cls(B, lagp, ring, lagp_max)
 
-    def vmem_bytes(self, program: ir.Program, J: int, K: int) -> int:
+    def vmem_bytes(self, program: ir.Program, J: int, K: int,
+                   ring_storage=None) -> int:
         total = 0
         for f, depth in self.ring.items():
-            isz = np.dtype(program.field_dtype(f)).itemsize
+            dt = np.dtype(program.field_dtype(f))
+            isz = dt.itemsize
+            if ring_storage == "bfloat16" and dt == np.float32:
+                isz = 2   # bf16 panel-stack storage, f32 compute
             total += depth * self.B * J * K * isz
         return total
 
@@ -162,7 +166,7 @@ INTERIOR_SPLIT = True
 
 def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                       plan: PanelPlan, input_names, input_kinds,
-                      shiftk: bool, *refs):
+                      shiftk: bool, *refs, ring_storage="off"):
     B = plan.B
     dims = program.dimensions
     I, J, K = dims
@@ -196,6 +200,27 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     kmask_cache: Dict[Any, Any] = {}
     imask_cache: Dict[Any, Any] = {}
 
+    # bf16 panel-stack storage (f32 compute): rounded at store, cast at
+    # read; interpret keeps f32 buffers and emulates the rounding (same
+    # contract as backend/stream.py's ring_storage)
+    def _eval_dtype(f):
+        return jax.dtypes.canonicalize_dtype(program.field_dtype(f))
+
+    rs_round = (frozenset(f for f in plan.ring
+                          if _eval_dtype(f) == jnp.float32)
+                if ring_storage == "bfloat16" else frozenset())
+
+    def to_ring(field, panel):
+        if field not in rs_round:
+            return panel
+        if rings[field].dtype == panel.dtype:   # interpret: emulate
+            return jax.lax.reduce_precision(panel, 8, 7)
+        return panel.astype(rings[field].dtype)
+
+    def to_eval(field, arr):
+        edt = _eval_dtype(field)
+        return arr if arr.dtype == edt else arr.astype(edt)
+
     def ring_pair(field, behind):
         """(2*BJ, K) stack of ``field``'s panels (g-behind-1, g-behind);
         ``behind`` is static, so the stack is cached per (field, behind)
@@ -207,8 +232,9 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         D = jnp.int32(plan.ring[field])
         s1 = jax.lax.rem(jax.lax.rem(pidx, D) + D, D)
         s0 = jax.lax.rem(jax.lax.rem(pidx - 1, D) + D, D)
-        stack = jnp.concatenate([rings[field][s0], rings[field][s1]],
-                                axis=0)
+        stack = to_eval(field,
+                        jnp.concatenate([rings[field][s0],
+                                         rings[field][s1]], axis=0))
         pair_cache[key] = stack
         return stack
 
@@ -342,7 +368,7 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             slot = jax.lax.rem(g, jnp.int32(plan.ring[name]))
             panel = ingest_panel(program.inputs[name], kind, ref, g, B,
                                  dims)
-            rings[name][pl.ds(slot, 1)] = panel[None]
+            rings[name][pl.ds(slot, 1)] = to_ring(name, panel)[None]
 
     # 2. advance every stage one panel.  The whole stage — reads,
     # compute, ring + output stores — is gated on the stage being live
@@ -374,7 +400,8 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 jax.dtypes.canonicalize_dtype(kspec.dtype))
             if kname in rings:   # static: pure outputs have no ring
                 slot = jax.lax.rem(qp, jnp.int32(plan.ring[kname]))
-                rings[kname][pl.ds(slot, 1)] = result[None]
+                rings[kname][pl.ds(slot, 1)] = to_ring(kname,
+                                                       result)[None]
             if kname in out_ref_of:
                 oref = out_ref_of[kname]
                 oref[...] = result.reshape(B, J, K).astype(oref.dtype)
@@ -415,7 +442,8 @@ def compile_chain_panel(program: ir.Program,
                         panel: int = 0,
                         interpret: bool = False,
                         vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET,
-                        gate_frac: float = 0.7):
+                        gate_frac: float = 0.7,
+                        ring_storage: str = "off"):
     """Panel-mode streaming compile; raises ValueError when the program
     shape doesn't fit this lowering (callers fall back to stream.py).
 
@@ -458,10 +486,14 @@ def compile_chain_panel(program: ir.Program,
     budget = gate_frac * vmem_budget
     input_names = list(program.inputs)
 
+    if ring_storage not in ("off", "bfloat16"):
+        raise ValueError(f"ring_storage must be 'off' or 'bfloat16', "
+                         f"got {ring_storage!r}")
+
     def _state_bytes(plan_, B_):
         # rings + the input blocks the BlockSpecs keep resident (whole
         # arrays for stream_partial — previously un-counted, ADVICE r2)
-        return (plan_.vmem_bytes(program, J, K)
+        return (plan_.vmem_bytes(program, J, K, ring_storage)
                 + input_resident_bytes(program, input_names, B_, dims))
 
     # auto panels cascade down (to the next divisor of I) until the rings
@@ -498,14 +530,21 @@ def compile_chain_panel(program: ir.Program,
             program.kernels[out].dtype)
         out_shapes.append(jax.ShapeDtypeStruct((I, J, K), out_dtype))
 
+    def _ring_dtype(f):
+        dt = jax.dtypes.canonicalize_dtype(program.field_dtype(f))
+        if (ring_storage == "bfloat16" and dt == jnp.float32
+                and not interpret):
+            return jnp.bfloat16
+        return dt
+
     scratch_shapes = [
-        pltpu.VMEM((plan.ring[f], B * J, K),
-                   jax.dtypes.canonicalize_dtype(program.field_dtype(f)))
+        pltpu.VMEM((plan.ring[f], B * J, K), _ring_dtype(f))
         for f in plan.ring
     ]
 
     kernel = functools.partial(_panel_kernel_body, program, analysis,
-                               plan, input_names, input_kinds, shiftk)
+                               plan, input_names, input_kinds, shiftk,
+                               ring_storage=ring_storage)
     grid = (n_panels + plan.lagp_max,)
     # state estimate for the vmem limit: rings + double-buffered io
     # blocks + pair-stack/eval temporaries (~8 panels); limits above
@@ -515,7 +554,8 @@ def compile_chain_panel(program: ir.Program,
     io_est += sum(2 * B * J * K * np.dtype(
         jax.dtypes.canonicalize_dtype(program.kernels[o].dtype)).itemsize
         for o in program.outputs)
-    est = plan.vmem_bytes(program, J, K) + io_est + 8 * panel_b
+    est = plan.vmem_bytes(program, J, K, ring_storage) + io_est \
+        + 8 * panel_b
     call = pl.pallas_call(
         kernel,
         grid=grid,

@@ -327,6 +327,29 @@ class TestStreamBackend:
         with pytest.raises(ValueError, match="ring_storage"):
             compile_chain_stream(p, ring_storage="float16")
 
+    def test_bf16_ring_storage_panel(self):
+        """bf16 panel-stack storage mirrors the stream contract: f32
+        compute, one rounding per stage at the stack store, halved
+        stack accounting."""
+        from stencilflow_tpu.backend.panel import (PanelPlan,
+                                                   compile_chain_panel)
+        from stencilflow_tpu.frontend.analysis import ChainAnalysis
+        p = _program_jacobi3d(size=16, iters=4)
+        inputs = sft.load_input_arrays(p, seed=61)
+        ref = _oracle(p, inputs)["s3"]
+        fn = compile_chain_panel(p, interpret=True,
+                                 ring_storage="bfloat16")
+        got = np.asarray(fn({k: jnp.asarray(v)
+                             for k, v in inputs.items()})["s3"])
+        assert got.dtype == np.float32
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert 0 < rel < 2e-2
+        plan = PanelPlan.build(ChainAnalysis.run(p), 4)
+        assert plan.vmem_bytes(p, 16, 16, "bfloat16") * 2 == \
+            plan.vmem_bytes(p, 16, 16)
+        with pytest.raises(ValueError, match="ring_storage"):
+            compile_chain_panel(p, ring_storage="float16")
+
     def test_best_backend_selector(self):
         from stencilflow_tpu.backend import compile_chain_best
         p = _program_jacobi3d(size=12, iters=2)
