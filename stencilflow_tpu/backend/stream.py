@@ -1679,7 +1679,8 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
                          jtiles: int = 1,
                          mxu_assets: Optional[dict] = None,
                          spill_reads: Optional[Dict[str, Tuple[int, ...]]]
-                         = None):
+                         = None,
+                         ring_storage: str = "off"):
     """Per-shard streaming kernel for domain decomposition.
 
     Returns ``fn(origin_i32[3], widened_inputs: dict[, pool_locals: dict])
@@ -1809,7 +1810,11 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
     spill_reads = spill_reads or {}
 
     def local_dtype(f):
-        return jax.dtypes.canonicalize_dtype(program.field_dtype(f))
+        dt = jax.dtypes.canonicalize_dtype(program.field_dtype(f))
+        if (ring_storage == "bfloat16" and dt == jnp.float32
+                and not interpret):
+            return jnp.bfloat16
+        return dt
 
     # HBM-spilled rings as extra ANY-space outputs (dropped by fn)
     for f in spill_reads:
@@ -1846,7 +1851,8 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
                                input_names, input_kinds, Ii, True,
                                mxu_plans, pool_keys, pool_meta,
                                transform_keys, 1, jtiles > 1, halo_i, None,
-                               interpret, spill_reads, fast_local)
+                               interpret, spill_reads, fast_local,
+                               ring_storage=ring_storage)
 
     assert plan.lag_max >= halo_i, \
         "sharded-i plans must be built with min_lag_max=halo_i"

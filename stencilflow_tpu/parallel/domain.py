@@ -425,7 +425,8 @@ def plan_local_stream(program: ir.Program, analysis: ChainAnalysis,
                       mxu_min_footprint: int = 12,
                       mxu_precision: str = "split",
                       spill: str = "auto",
-                      vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET):
+                      vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET,
+                      ring_storage: str = "off"):
     """Choose and compile the per-block streaming kernel for a local block
     of ``plan.block`` with halo ``plan.halo``.
 
@@ -457,7 +458,8 @@ def plan_local_stream(program: ir.Program, analysis: ChainAnalysis,
             trial = StreamPlan.build(analysis, local_jk=ljk,
                                      halo_jk=hjk, min_lag_max=halo_i,
                                      direct_emit=halo_i == 0)
-            tb = trial.vmem_bytes(program) + \
+            tb = trial.vmem_bytes(program,
+                                  ring_storage=ring_storage) + \
                 trial.io_window_bytes(program)
             assets = None
             if use_mxu:
@@ -487,7 +489,8 @@ def plan_local_stream(program: ir.Program, analysis: ChainAnalysis,
             min_lag_max=halo_i, direct_emit=halo_i == 0)
         sel = choose_spill(program, analysis, trial,
                            budget - trial.io_window_bytes(program),
-                           allow_outputs=halo_i == 0)
+                           allow_outputs=halo_i == 0,
+                           ring_storage=ring_storage)
         if sel is not None:
             chosen = (1, (plan.halo[1], plan.halo[2]), 0, trial,
                       None, {}, {}, sel[0])
@@ -502,7 +505,8 @@ def plan_local_stream(program: ir.Program, analysis: ChainAnalysis,
                                      halo_i=halo_i,
                                      jtiles=jtiles,
                                      mxu_assets=assets,
-                                     spill_reads=spill_sel)
+                                     spill_reads=spill_sel,
+                                     ring_storage=ring_storage)
     cfg = {
         "backend": "stream",
         "jtiles": jtiles,
@@ -522,7 +526,8 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
                           mxu_precision: str = "split",
                           spill: str = "auto",
                           vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET,
-                          comm_overlap: bool = False):
+                          comm_overlap: bool = False,
+                          ring_storage: str = "off"):
     """Build a jitted, mesh-sharded ``fn(inputs) -> outputs`` for the chain.
 
     ``local_backend``: per-shard compute path — "stream" (the streaming
@@ -577,14 +582,14 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
             interpret=interpret, mxu=mxu,
             mxu_min_footprint=mxu_min_footprint,
             mxu_precision=mxu_precision, spill=spill,
-            vmem_budget=vmem_budget)
+            vmem_budget=vmem_budget, ring_storage=ring_storage)
         got_s = plan_local_stream(
             program, analysis,
             dataclasses.replace(plan, block=(h,) + plan.block[1:]),
             interpret=interpret, mxu=mxu,
             mxu_min_footprint=mxu_min_footprint,
             mxu_precision=mxu_precision, spill=spill,
-            vmem_budget=vmem_budget)
+            vmem_budget=vmem_budget, ring_storage=ring_storage)
         if got_i is None or got_s is None:
             local_backend = "xla"   # fall through to the tile-eval overlap
         else:
@@ -605,7 +610,8 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
                                 interpret=interpret, mxu=mxu,
                                 mxu_min_footprint=mxu_min_footprint,
                                 mxu_precision=mxu_precision, spill=spill,
-                                vmem_budget=vmem_budget)
+                                vmem_budget=vmem_budget,
+                                ring_storage=ring_storage)
         if got is None:
             # nothing fits: fused-XLA local body rather than failing deep
             # inside the Mosaic compiler

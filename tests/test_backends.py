@@ -271,7 +271,8 @@ class TestStreamBackend:
         orig = st.StreamPlan.vmem_bytes
         monkeypatch.setattr(
             st.StreamPlan, "vmem_bytes",
-            lambda self, prog, cd=None: int(orig(self, prog, cd) * scale))
+            lambda self, prog, cd=None, ring_storage=None:
+                int(orig(self, prog, cd, ring_storage) * scale))
         mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
         fn, plan = compile_sharded_chain(p, mesh, (None, "x", "y"),
                                          local_backend="stream",
