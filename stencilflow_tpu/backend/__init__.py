@@ -67,7 +67,8 @@ def _try_stacked(program, analysis, interpret):
 def compile_chain_rows(program, interpret: bool = False, panel: int = 0,
                        backend: str = "auto", mxu: str = "auto",
                        mxu_precision: str = "split", spill: str = "auto",
-                       gate_frac: float = 0.7):
+                       gate_frac: float = 0.7,
+                       ring_storage: str = "off"):
     """Row-streaming lowering for 2-D programs: rotate the padded domain
     ``(1, J, K) -> (J, 1, K)`` (frontend.canonicalize.rotate_2d_to_rows)
     and stream ROWS through the 3-D backends — the panel lowering stacks
@@ -87,7 +88,9 @@ def compile_chain_rows(program, interpret: bool = False, panel: int = 0,
         from .panel import compile_chain_panel
         fn, name = (compile_chain_panel(rot, panel=panel,
                                         interpret=interpret,
-                                        gate_frac=gate_frac), "panel")
+                                        gate_frac=gate_frac,
+                                        ring_storage=ring_storage),
+                    "panel")
     elif backend == "overlap":
         from .overlap import compile_chain_overlap
         fn, name = (compile_chain_overlap(rot, panel=panel,
@@ -98,7 +101,9 @@ def compile_chain_rows(program, interpret: bool = False, panel: int = 0,
         fn, name = (compile_chain_stream(rot, interpret=interpret,
                                          mxu=mxu,
                                          mxu_precision=mxu_precision,
-                                         spill=spill), "stream")
+                                         spill=spill,
+                                         ring_storage=ring_storage),
+                    "stream")
     else:
         fn, name = compile_chain_best(rot, interpret=interpret, mxu=mxu,
                                       mxu_precision=mxu_precision,
