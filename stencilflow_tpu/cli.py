@@ -208,9 +208,21 @@ def _cmd_import_sdfg(args) -> int:
     from .frontend.sdfg_import import sdfg_to_program
     dims = ([int(x) for x in args.dimensions.split(",")]
             if args.dimensions else None)
+    symbols = None
+    if args.symbols:
+        symbols = {}
+        for part in args.symbols.split(","):
+            name, sep, val = part.partition("=")
+            if not sep or not name.strip():
+                print(f"bad --symbols entry {part!r} (want NAME=VALUE)",
+                      file=sys.stderr)
+                return 2
+            v = float(val)
+            symbols[name.strip()] = int(v) if v == int(v) else v
     program = sdfg_to_program(args.sdfg_file, dimensions=dims,
                               input_data=args.input_data,
-                              vectorization=args.vector_length)
+                              vectorization=args.vector_length,
+                              symbols=symbols)
     spec = program_to_json(program)
     out = args.output or f"{program.name}.json"
     with open(out, "w") as f:
@@ -785,6 +797,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data spec for imported inputs (reference: "
                         "-data-directory; default constant:1.0)")
     p.add_argument("--vector-length", type=int, default=1)
+    p.add_argument("--symbols",
+                   help="specialize free SDFG symbols, e.g. 'I=128,J=64'"
+                        " (the reference's bin/canonicalize_sdfg.py "
+                        "-symbols; seeds the interstate-edge symbol "
+                        "environment)")
     p.set_defaults(fn=_cmd_import_sdfg)
 
     p = sub.add_parser("adjoint",

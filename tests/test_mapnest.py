@@ -223,6 +223,36 @@ def test_eval_sym_and_order_states_unit():
     assert env == {"x": 3}
 
 
+def test_cli_import_symbols_flag(tmp_path):
+    """`import-sdfg --symbols NAME=VALUE` specializes free symbols (the
+    reference's bin/canonicalize_sdfg.py -symbols role)."""
+    sdfg = _map_sdfg(rng_j=(0, 7), rng_k=(0, 7))
+    sdfg["nodes"].append({"type": "SDFGState", "id": 1, "nodes": [],
+                          "edges": []})
+    sdfg["edges"] = [{"type": "Edge", "src": "0", "dst": "1",
+                      "attributes": {"data": {"attributes": {
+                          "condition": {"string_data": "mystery > 0"}
+                      }}}}]
+    path = tmp_path / "sym.sdfg"
+    path.write_text(json.dumps(sdfg))
+    out_json = tmp_path / "sym.json"
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    cwd = os.path.dirname(HERE)
+    r = subprocess.run(
+        [sys.executable, "-m", "stencilflow_tpu.cli", "import-sdfg",
+         str(path), "--symbols", "mystery=1", "-o", str(out_json)],
+        capture_output=True, text=True, cwd=cwd, env=env)
+    assert r.returncode == 0, r.stderr
+    assert out_json.exists()
+    # without specialization the condition is undecidable -> clean error
+    r2 = subprocess.run(
+        [sys.executable, "-m", "stencilflow_tpu.cli", "import-sdfg",
+         str(path), "-o", str(tmp_path / "x.json")],
+        capture_output=True, text=True, cwd=cwd, env=env)
+    assert r2.returncode != 0
+    assert "unknown symbol" in r2.stderr + r2.stdout
+
+
 def test_mapnest_through_cli_import(tmp_path):
     """import-sdfg canonicalizes the map-nest fixture to dialect JSON
     that runs on the streaming backend."""
