@@ -387,6 +387,27 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                     rings[f][...] = jnp.full(
                         rings[f].shape, fill, rings[f].dtype)
 
+    # composed-run stages: zero the derived transform rings once so
+    # out-of-domain ring slots hold finite values — the SMEM table's
+    # zero weights then make the per-offset i_oob selects unnecessary
+    # (mxu_eval's ComposedPlan branch reads them select-free; a stale
+    # wrapped slot is a finite real plane, also killed by weight 0)
+    if mxu_plans:
+        from .compose import ComposedPlan
+        composed_tkeys = {(p.field, p.lkey, p.rkey)
+                          for p in mxu_plans.values()
+                          if isinstance(p, ComposedPlan)}
+        if composed_tkeys:
+            @pl.when(gb == 0)
+            def _():
+                for tkey in composed_tkeys:
+                    if tkey in transform_rings:
+                        transform_rings[tkey][...] = jnp.zeros(
+                            transform_rings[tkey].shape,
+                            transform_rings[tkey].dtype)
+    else:
+        composed_tkeys = set()
+
     def eval_dtype(f):
         """The dtype stage math runs in for planes of field ``f``."""
         return (compute_dtype or
@@ -868,15 +889,21 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             # warmup (q < 0) evaluations are discarded; clamp so the
             # table read stays in range
             row = jnp.clip(row, 0, nrow - 1)
+            tkey = (mplan.field, mplan.lkey, mplan.rkey)
+            ring_zeroed = tkey in composed_tkeys and \
+                tkey in transform_rings
             acc = None
             for idx, d in enumerate(mplan.offsets):
                 tplane, i_oob = transformed_plane(
                     mplan.field, d, q, mplan.lkey, mplan.rkey)
                 val = tplane * tref[row, idx]
-                if i_oob is not None:
+                if i_oob is not None and not ring_zeroed:
                     # the table weight is already 0 for out-of-domain
-                    # source planes; the where only stops warmup ring
-                    # garbage (possibly NaN) from propagating as 0 * NaN
+                    # source planes; with a zero-initialized transform
+                    # ring (gb == 0 above) every slot is finite and the
+                    # select is elided — this guard only remains for
+                    # ring-less fall-through transforms, where base-ring
+                    # garbage could reach 0 * NaN
                     val = jnp.where(i_oob, jnp.float32(0.0), val)
                 acc = val if acc is None else acc + val
             return acc

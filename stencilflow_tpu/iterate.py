@@ -115,7 +115,8 @@ def make_step(program: ir.Program,
               interpret: bool = False,
               mesh=None, dim_axes: Optional[Sequence] = None,
               analysis: Optional[ChainAnalysis] = None,
-              host_chunks: int = 0
+              host_chunks: int = 0,
+              ring_storage: str = "off"
               ) -> Tuple[Callable, Dict[str, str]]:
     """Compile one time step.  Returns ``(step, feed)`` where
     ``step(state_dict) -> state_dict`` carries every program input; fed
@@ -171,7 +172,8 @@ def make_step(program: ir.Program,
                                        interpret=interpret)
     elif backend == "stream":
         from .backend.stream import compile_chain_stream
-        fn = compile_chain_stream(program, analysis, interpret=interpret)
+        fn = compile_chain_stream(program, analysis, interpret=interpret,
+                                  ring_storage=ring_storage)
     elif backend == "pallas":
         from .backend.pallas import compile_chain_pallas
         fn = compile_chain_pallas(program, analysis, interpret=interpret)
