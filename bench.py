@@ -114,7 +114,8 @@ def main():
         fn, backend = compile_chain_best(program)
     elif args.backend == "rows":
         from stencilflow_tpu.backend import compile_chain_rows
-        fn, backend = compile_chain_rows(program, panel=args.panel)
+        fn, backend = compile_chain_rows(program, panel=args.panel,
+                                         ring_storage=args.ring_storage)
     elif args.backend == "stream":
         from stencilflow_tpu.backend.stream import compile_chain_stream
         fn = compile_chain_stream(program, fast=args.fast,
