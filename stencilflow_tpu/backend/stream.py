@@ -1827,6 +1827,14 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
                     (1,) + tuple(shape[1:]),
                     lambda g, n=len(shape): (0,) * n,
                     memory_space=pltpu.VMEM))
+        elif key.startswith("itab"):
+            # composed i-weight tables are per-plane SCALARS -> SMEM
+            # (same route as the single-chip lowering)
+            in_specs.append(pl.BlockSpec(
+                tuple(shape),
+                (lambda jt, g: (0, 0)) if jtiles > 1
+                else (lambda g: (0, 0)),
+                memory_space=pltpu.SMEM))
         else:
             in_specs.append(pl.BlockSpec(
                 tuple(shape),

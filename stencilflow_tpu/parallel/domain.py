@@ -346,7 +346,8 @@ def _local_forward_stream(plan: DomainDecomposition, stream_fn,
 
 def _sharded_mxu_assets(program: ir.Program, analysis: ChainAnalysis,
                         splan, plan: DomainDecomposition, jtiles: int,
-                        mxu_min_footprint: int, mxu_precision: str):
+                        mxu_min_footprint: int, mxu_precision: str,
+                        _composed=None):
     """MXU band-matmul assets for the sharded streaming kernel.
 
     Band matrices and corrections are origin-aware per (shard, j-tile)
@@ -378,7 +379,14 @@ def _sharded_mxu_assets(program: ir.Program, analysis: ChainAnalysis,
 
     pool = MatrixPool()
     plans = plan_all_stages(program, (pj, pk), dims, pool,
-                            mxu_min_footprint, j_ctx, k_ctx)
+                            mxu_min_footprint, j_ctx, k_ctx,
+                            exclude=tuple(_composed or ()))
+    for cname, build in (_composed or {}).items():
+        from ..backend.compose import plan_composed
+        cp = plan_composed(build, (pj, pk), dims, pool, j_ctx, k_ctx)
+        if cp is None:
+            return None      # caller raises on the composed path
+        plans[cname] = cp
     if not plans:
         return None
 
@@ -426,7 +434,8 @@ def plan_local_stream(program: ir.Program, analysis: ChainAnalysis,
                       mxu_precision: str = "split",
                       spill: str = "auto",
                       vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET,
-                      ring_storage: str = "off"):
+                      ring_storage: str = "off",
+                      _composed=None):
     """Choose and compile the per-block streaming kernel for a local block
     of ``plan.block`` with halo ``plan.halo``.
 
@@ -453,7 +462,13 @@ def plan_local_stream(program: ir.Program, analysis: ChainAnalysis,
                max(0, hjt_pad - plan.halo[1]))
               for tiles, tj in splits]
     chosen = None
-    for use_mxu in ([True, False] if mxu != "off" else [False]):
+    # a composed program MUST run its composed stages through their
+    # exact ComposedPlans (the rewritten IR is interior-only): MXU leg
+    # only, no spill rung — failures raise so the caller retries
+    # uncomposed (mirrors compile_chain_stream)
+    mxu_legs = ([True] if _composed else
+                [True, False] if mxu != "off" else [False])
+    for use_mxu in mxu_legs:
         for nt, ljk, hjk, pad in cands:
             trial = StreamPlan.build(analysis, local_jk=ljk,
                                      halo_jk=hjk, min_lag_max=halo_i,
@@ -465,8 +480,13 @@ def plan_local_stream(program: ir.Program, analysis: ChainAnalysis,
             if use_mxu:
                 a = _sharded_mxu_assets(program, analysis, trial, plan,
                                         nt, mxu_min_footprint,
-                                        mxu_precision)
+                                        mxu_precision,
+                                        _composed=_composed)
                 if a is None:
+                    if _composed:
+                        raise ValueError(
+                            "composed segments not MXU-plannable on "
+                            "this decomposition")
                     break   # no eligible stage: same as the VPU pass
                 assets, globals_, pspecs_, extra = a
                 tb += extra
@@ -478,6 +498,8 @@ def plan_local_stream(program: ir.Program, analysis: ChainAnalysis,
                 break
         if chosen is not None:
             break
+    if chosen is None and _composed:
+        raise ValueError("composed sharded plan exceeds the VMEM budget")
     if chosen is None and spill != "off":
         # spill rescue: keep untiled shard planes, move the deepest
         # rings to HBM circular buffers (backend/stream.py).  Output
@@ -527,7 +549,9 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
                           spill: str = "auto",
                           vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET,
                           comm_overlap: bool = False,
-                          ring_storage: str = "off"):
+                          ring_storage: str = "off",
+                          compose: str = "auto",
+                          _composed=None):
     """Build a jitted, mesh-sharded ``fn(inputs) -> outputs`` for the chain.
 
     ``local_backend``: per-shard compute path — "stream" (the streaming
@@ -560,6 +584,35 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
         local_backend = "xla" if (interpret or on_cpu) else "stream"
     if comm_overlap and not any(h > 0 for h in plan.halo):
         comm_overlap = False    # no exchange to hide
+
+    # affine-run composition on the sharded path (i-UNsharded only: the
+    # composed SMEM table is indexed by the GLOBAL plane; per-shard j/k
+    # windows come from plan_composed's origin contexts).  The composed
+    # program re-enters this compiler; any planning failure falls back
+    # to the uncomposed program below.
+    if (_composed is None and compose != "off" and mxu != "off"
+            and local_backend == "stream" and not comm_overlap
+            and dim_axes[0] is None):
+        from ..backend.compose import compose_program
+        max_t = int(compose) if compose not in ("auto",) else 0
+        got = (compose_program(program, analysis, max_t)
+               if max_t >= 0 else None)
+        if got is not None:
+            program2, builds = got
+            try:
+                fn2, plan2 = compile_sharded_chain(
+                    program2, mesh, dim_axes, None, "stream", interpret,
+                    mxu, mxu_min_footprint, mxu_precision, spill,
+                    vmem_budget, comm_overlap, ring_storage,
+                    compose="off", _composed=builds)
+                compile_sharded_chain.last_config["composed"] = {
+                    name: list(b.stages) for name, b in builds.items()}
+                # the caller shards inputs/outputs by the ORIGINAL
+                # program's field names; composition preserves inputs
+                # and outputs, so plan2's shardings apply directly
+                return fn2, plan2
+            except (ValueError, NotImplementedError):
+                pass
     compile_sharded_chain.last_config = {"backend": local_backend,
                                          "jtiles": 0, "mxu_stages": [],
                                          "comm_overlap": comm_overlap}
@@ -611,7 +664,8 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
                                 mxu_min_footprint=mxu_min_footprint,
                                 mxu_precision=mxu_precision, spill=spill,
                                 vmem_budget=vmem_budget,
-                                ring_storage=ring_storage)
+                                ring_storage=ring_storage,
+                                _composed=_composed)
         if got is None:
             # nothing fits: fused-XLA local body rather than failing deep
             # inside the Mosaic compiler

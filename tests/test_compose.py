@@ -180,3 +180,41 @@ def test_random_separable_chains(seed):
     oracle, out, cfg = _run(p)
     assert cfg["composed"]
     assert _err(oracle, out, p.outputs[0]) < 3e-5
+
+
+def test_sharded_composition_2x2_mesh():
+    """Composition on the domain-decomposed path (i-unsharded): the
+    composed SMEM table indexes the global plane, per-shard j/k band
+    windows come from plan_composed's origin contexts; values match the
+    oracle across a 2x2 mesh within the MXU envelope."""
+    import jax
+    from jax.sharding import Mesh
+
+    from stencilflow_tpu.parallel.domain import compile_sharded_chain
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 virtual devices")
+    p = _box(stages=4, dims=(32, 32, 64))
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
+    fn, plan = compile_sharded_chain(p, mesh, (None, "x", "y"),
+                                     local_backend="stream",
+                                     interpret=True)
+    cfg = compile_sharded_chain.last_config
+    assert cfg.get("composed") == {"s3": ["s0", "s1", "s2", "s3"]}, cfg
+    inputs = sft.load_input_arrays(p, seed=5)
+    sh = plan.input_shardings()
+    import jax.numpy as jnp
+    out = fn({n: jax.device_put(jnp.asarray(v), sh[n])
+              for n, v in inputs.items()})
+    oracle = sft.run_interpreter(p, inputs)
+    assert _err(oracle, out, p.outputs[0]) < 3e-5
+    # i-sharded decompositions refuse composition (local q cannot index
+    # the global table) and fall back to the uncomposed per-stage path
+    fn_i, plan_i = compile_sharded_chain(p, mesh, ("x", "y", None),
+                                         local_backend="stream",
+                                         interpret=True)
+    assert not compile_sharded_chain.last_config.get("composed")
+    out_i = fn_i({n: jax.device_put(jnp.asarray(v),
+                                    plan_i.input_shardings()[n])
+                  for n, v in inputs.items()})
+    assert _err(oracle, out_i, p.outputs[0]) < 3e-5
