@@ -74,9 +74,11 @@ def _kernel(op: str, unroll: int, x_ref, o_ref, acc, c, d):
     if op.startswith("expr_lim"):
         # the hdiff flux-limiter stage shape (VERDICT r3 next #3):
         # flx = lap[j+1]-lap[j]; flx = 0 if flx*dq > 0 else flx —
-        # 5 counted ops (2 sub, 1 mul, 1 cmp, 1 select) per limiter in
-        # three formulations.  All three count 5 so rates compare
-        # directly; the winner is what the backend should emit.
+        # 7 counted ops per unroll step (the 5-op limiter: 2 sub, 1
+        # mul, 1 cmp, 1 select — plus the carry fma's mul+add), the
+        # SAME 7 in all three formulations so rates compare directly;
+        # the winner is what the backend should emit.  main() prices
+        # chains=7 to match.
         lap, q = acc[...], c[...]
         for u in range(unroll):
             flx = (lap if u % 2 == 0 else q) - lap * 0.999

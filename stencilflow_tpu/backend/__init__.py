@@ -84,6 +84,13 @@ def compile_chain_rows(program, interpret: bool = False, panel: int = 0,
 
     from ..frontend.canonicalize import rotate_2d_to_rows
     rot = rotate_2d_to_rows(program)
+    if ring_storage != "off" and not (
+            backend in ("stream", "panel")
+            or (backend == "auto" and panel > 0)):
+        raise ValueError(
+            "ring_storage requires the stream or panel rows lowering "
+            "(pass backend='stream'/'panel' or an explicit panel=); "
+            "refusing to silently measure an f32 kernel")
     if backend == "panel" or (backend == "auto" and panel > 0):
         from .panel import compile_chain_panel
         fn, name = (compile_chain_panel(rot, panel=panel,

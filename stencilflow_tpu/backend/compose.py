@@ -381,10 +381,17 @@ def _i_table(build: ComposedBuild, I: int) -> Optional[Tuple[
     the table holds M[p, p+d] for the plane p that maps to r (kernel
     mapping: p < D -> p; p >= I-D -> 2D+1+p-I; else D), or one row per
     plane when I <= 2D+1 (full=True)."""
-    offs = tuple(build.ioffs)
-    D = max((abs(d) for d in offs), default=0)
+    # column set: the TRUNCATED product's actual diagonals, not the
+    # interior convolution — an interior weight can cancel exactly
+    # (e.g. (a[i-1]-a[i+1]) then (s[i-1]+s[i+1]): offset 0 cancels)
+    # while the boundary-truncated product keeps nonzero entries on
+    # that diagonal; enumerating only build.ioffs would silently drop
+    # those boundary contributions (round-4 review finding, repro'd)
     M = _compose_axis([f.iprof for f in build.factors], I)
-    dense_rows: List[int]
+    offs = tuple(sorted(set(build.ioffs)
+                        | {d for d, diag in M.diags.items()
+                           if np.any(diag)}))
+    D = max((abs(d) for d in offs), default=0)
     if I <= 2 * D + 1:
         rows, full = list(range(I)), True
     else:

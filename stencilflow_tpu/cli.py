@@ -213,11 +213,14 @@ def _cmd_import_sdfg(args) -> int:
         symbols = {}
         for part in args.symbols.split(","):
             name, sep, val = part.partition("=")
+            try:
+                v = float(val)
+            except ValueError:
+                sep = ""
             if not sep or not name.strip():
-                print(f"bad --symbols entry {part!r} (want NAME=VALUE)",
-                      file=sys.stderr)
+                print(f"bad --symbols entry {part!r} "
+                      "(want NAME=NUMBER)", file=sys.stderr)
                 return 2
-            v = float(val)
             symbols[name.strip()] = int(v) if v == int(v) else v
     program = sdfg_to_program(args.sdfg_file, dimensions=dims,
                               input_data=args.input_data,

@@ -74,6 +74,12 @@ def run_program(stencil_file, mode: str = "emulation",
     a JSON dict, or an already-parsed Program.  ``tolerance`` overrides
     the relative verification tolerance (default: config.VERIFY_RTOL,
     widened automatically for MXU / bf16-precision runs)."""
+    if ring_storage != "off" and backend not in ("stream", "panel",
+                                                 "rows"):
+        raise ValueError(
+            "--ring-storage requires --backend stream, panel, or rows "
+            "(other backends have no ring state; refusing to widen "
+            "verification for an f32 run)")
     from .utils.log import LogLevel, log
     if isinstance(stencil_file, ir.Program):
         program = stencil_file
@@ -164,7 +170,8 @@ def run_program(stencil_file, mode: str = "emulation",
         elif backend == "panel":
             from .backend.panel import compile_chain_panel
             fn, bname = (compile_chain_panel(program, analysis,
-                                             interpret=interpret),
+                                             interpret=interpret,
+                                             ring_storage=ring_storage),
                          "panel")
         elif backend == "overlap":
             from .backend.overlap import compile_chain_overlap
@@ -173,7 +180,10 @@ def run_program(stencil_file, mode: str = "emulation",
                          "overlap")
         elif backend == "rows":
             from .backend import compile_chain_rows
-            fn, bname = compile_chain_rows(program, interpret=interpret)
+            fn, bname = compile_chain_rows(
+                program, interpret=interpret, backend="stream"
+                if ring_storage != "off" else "auto",
+                ring_storage=ring_storage)
         elif backend == "pallas":
             from .backend.pallas import compile_chain_pallas
             fn, bname = (compile_chain_pallas(program, analysis,

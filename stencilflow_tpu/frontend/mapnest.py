@@ -120,17 +120,21 @@ def _edge_condition(edge: dict) -> Any:
     return s
 
 
-def order_states(sdfg: dict, env: Dict[str, Any]) -> List[dict]:
-    """States in interstate execution order with conditions applied and
-    assignments folded into ``env``.  Linear canonicalized SDFGs walk
-    their single chain; a conditional branch is followed only where its
-    condition statically evaluates True (false edges prune their
-    subtree); an undecidable condition raises.  SDFGs without interstate
-    edges keep list order (attribute-only fixtures)."""
+def order_states(sdfg: dict, env: Dict[str, Any]
+                 ) -> List[Tuple[dict, Dict[str, Any]]]:
+    """``(state, env_at_that_state)`` pairs in interstate execution
+    order.  Each state's snapshot holds only the assignments on the
+    path TO it — a later edge's reassignment must not leak back into an
+    earlier state's map ranges (DaCe executes sequentially).  Edge
+    CONDITIONS are evaluated against the source state's snapshot; a
+    false branch prunes its subtree, an undecidable condition raises.
+    ``env`` is updated in place with every assignment encountered (the
+    caller's symbol-specialization view).  SDFGs without interstate
+    edges keep list order with the seed environment."""
     states = sdfg.get("nodes", [])
     edges = sdfg.get("edges", [])
     if not edges:
-        return list(states)
+        return [(st, env) for st in states]
     by_id: Dict[str, dict] = {}
     for idx, st in enumerate(states):
         by_id[str(st.get("id", idx))] = st
@@ -142,7 +146,8 @@ def order_states(sdfg: dict, env: Dict[str, Any]) -> List[dict]:
     start = str(sdfg.get("start_state",
                          next((sid for sid in by_id
                                if sid not in has_in), "0")))
-    order: List[dict] = []
+    envs: Dict[str, Dict[str, Any]] = {start: dict(env)}
+    order: List[Tuple[dict, Dict[str, Any]]] = []
     seen: set = set()
     frontier = [start]
     while frontier:
@@ -150,16 +155,20 @@ def order_states(sdfg: dict, env: Dict[str, Any]) -> List[dict]:
         if sid in seen or sid not in by_id:
             continue
         seen.add(sid)
-        order.append(by_id[sid])
+        cur = envs.get(sid, dict(env))
+        order.append((by_id[sid], cur))
         for e in out_edges.get(sid, []):
             cond = _edge_condition(e)
             if cond is not None:
-                val = eval_sym(cond, env)   # raises when undecidable
+                val = eval_sym(cond, cur)   # raises when undecidable
                 if not val:
                     continue
+            child = dict(cur)
             assigns = _edge_payload(e).get("assignments", {}) or {}
             for sym, expr in assigns.items():
-                env[sym] = eval_sym(expr, env)
+                child[sym] = eval_sym(expr, child)
+                env[sym] = child[sym]       # caller's cumulative view
+            envs[str(e.get("dst"))] = child
             frontier.append(str(e.get("dst")))
     return order
 
@@ -238,6 +247,12 @@ def _map_params_ranges(node: dict, env: Dict[str, Any]
     for r in rng.get("ranges", []) if isinstance(rng, dict) else []:
         start = int(eval_sym(r.get("start", 0), env))
         end = int(eval_sym(r.get("end", 0), env))
+        step = int(eval_sym(r.get("step", 1), env))
+        if step != 1:
+            raise ValueError(
+                f"map {attrs.get('label')!r}: stride-{step} ranges "
+                "(red-black style maps) are not dense stencils; refuse "
+                "rather than import wrong semantics")
         ranges.append((start, end))
     if len(params) != len(ranges):
         raise ValueError(
@@ -345,7 +360,9 @@ def synthesize_map_nests(state: dict, env: Dict[str, Any],
                 break
             raise ValueError(
                 "map scope body must reduce to a single tasklet "
-                f"(got {sorted(set(body_ids))})")
+                f"(got {sorted(set(body_ids))}); refusing the whole "
+                "SDFG — ignoring the scope would silently drop its "
+                "writes (the pre-map-nest importer's behavior)")
         exit_id = scope_exit_of(nid)
         scope_ids.add(exit_id)
         tnode = by_id[tasklet_id]
@@ -436,7 +453,12 @@ def synthesize_map_nests(state: dict, env: Dict[str, Any],
             src = str(e.get("src"))
             cin = e.get("src_connector") or e.get("src_conn") or ""
             hop = 0
-            while src in scope_ids and hop < 8:
+            while src in scope_ids:
+                if hop >= 16:
+                    raise ValueError(
+                        f"connector {conn!r}: map-entry chain deeper "
+                        "than 16 levels (refusing rather than leaving "
+                        "a dangling in-scope edge)")
                 base = cin[4:] if cin.startswith("OUT_") else cin
                 up = [ue for ue in ine.get(src, [])
                       if (ue.get("dst_connector") or ue.get("dst_conn")
@@ -451,12 +473,10 @@ def synthesize_map_nests(state: dict, env: Dict[str, Any],
                     or ""
                 in_wiring[conn] = e_up
                 hop += 1
-            field_node = by_id.get(src, {})
             # one synthesized connector per tasklet connector
             if not mask or not any(mask):
                 repl[conn] = conn          # scalar: bare name, 0-d access
-                accesses[conn] = [[False] * out_rank, [[0] * 0]]
-                accesses[conn][1] = [[]]
+                accesses[conn] = [[False] * out_rank, [[]]]
             else:
                 repl[conn] = f"{conn}[{idx}]"
                 accesses[conn] = [mask, [offs]]

@@ -498,8 +498,8 @@ def sdfg_to_program(source, name: Optional[str] = None,
 
     def walk(sub) -> List[Tuple[dict, Dict[str, str], Optional[str]]]:
         got: List[Tuple[dict, Dict[str, str], Optional[str]]] = []
-        for state in order_states(sub, env):
-            state = synthesize_map_nests(state, env, shape_of=shape_of)
+        for state, senv in order_states(sub, env):
+            state = synthesize_map_nests(state, senv, shape_of=shape_of)
             constants.update(_scalar_constants(state, arrays))
             got.extend(_topo_stencils(state))
             for node in state.get("nodes", []):

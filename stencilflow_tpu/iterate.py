@@ -137,6 +137,9 @@ def make_step(program: ir.Program,
             raise IterateError(
                 f"fed input {iname!r} must span the full domain")
 
+    if ring_storage != "off" and backend != "stream":
+        raise IterateError(
+            "ring_storage requires backend='stream'")
     analysis = analysis or ChainAnalysis.run(program)
     if host_chunks and host_chunks > 1:
         if mesh is not None:

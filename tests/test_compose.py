@@ -218,3 +218,32 @@ def test_sharded_composition_2x2_mesh():
                                     plan_i.input_shardings()[n])
                   for n, v in inputs.items()})
     assert _err(oracle, out_i, p.outputs[0]) < 3e-5
+
+
+def test_exact_interior_cancellation_keeps_boundary_diagonals():
+    """(a[i-1]-a[i+1]) then (s[i-1]+s[i+1]): the interior composed
+    weight at offset 0 cancels exactly, but the boundary-truncated
+    i-matrix keeps nonzero entries on that diagonal — the plan must
+    enumerate the product's diagonals, not the interior convolution
+    (round-4 review finding, previously O(1) wrong on edge planes)."""
+    spec = {
+        "inputs": {"a": {"data": "random:0.0,1.0",
+                         "data_type": "float32"}},
+        "outputs": ["s1"], "dimensions": [16, 24, 32],
+        "program": {
+            "s0": {"computation_string": "s0 = a[i-1,j,k] - a[i+1,j,k]",
+                   "boundary_conditions": {
+                       "a": {"type": "constant", "value": 0.0}},
+                   "data_type": "float32"},
+            "s1": {"computation_string":
+                   "s1 = s0[i-1,j,k] + s0[i+1,j,k]",
+                   "boundary_conditions": {
+                       "s0": {"type": "constant", "value": 0.0}},
+                   "data_type": "float32"}}}
+    p = sft.parse_program(spec, name="cancel")
+    oracle, out, cfg = _run(p)
+    assert cfg["composed"] == {"s1": ["s0", "s1"]}
+    got = np.asarray(out["s1"])
+    exp = np.asarray(oracle["s1"])
+    assert np.abs(got - exp).max() < 3e-5          # incl. edge planes
+    assert np.abs(exp[0]).max() > 0.01             # the edge is nonzero

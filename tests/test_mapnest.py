@@ -219,8 +219,11 @@ def test_eval_sym_and_order_states_unit():
             ], "start_state": 0}
     env = {}
     order = order_states(sdfg, env)
-    assert [s["label"] for s in order] == ["a", "b"]
+    assert [s["label"] for s, _e in order] == ["a", "b"]
     assert env == {"x": 3}
+    # per-state snapshots: the assignment is visible at b, NOT at a
+    assert order[0][1] == {}
+    assert order[1][1] == {"x": 3}
 
 
 def test_cli_import_symbols_flag(tmp_path):
