@@ -878,13 +878,17 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             tref = pool[mplan.table_key]
             Dc = jnp.int32(mplan.D)
             nrow = mplan.table_rows
+            # the table is indexed by the GLOBAL plane: origin[0] + q
+            # globalizes the local evaluation index on i-sharded /
+            # chunked paths (0 + q on the single-chip path)
+            qg = origin[0] + q
             if mplan.full_table:
-                row = q
+                row = qg
             else:
                 row = jnp.where(
-                    q < Dc, q,
-                    jnp.where(q >= jnp.int32(Ig) - Dc,
-                              jnp.int32(nrow) + q - jnp.int32(Ig),
+                    qg < Dc, qg,
+                    jnp.where(qg >= jnp.int32(Ig) - Dc,
+                              jnp.int32(nrow) + qg - jnp.int32(Ig),
                               Dc))
             # warmup (q < 0) evaluations are discarded; clamp so the
             # table read stays in range

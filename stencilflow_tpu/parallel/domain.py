@@ -585,14 +585,14 @@ def compile_sharded_chain(program: ir.Program, mesh: Mesh,
     if comm_overlap and not any(h > 0 for h in plan.halo):
         comm_overlap = False    # no exchange to hide
 
-    # affine-run composition on the sharded path (i-UNsharded only: the
-    # composed SMEM table is indexed by the GLOBAL plane; per-shard j/k
-    # windows come from plan_composed's origin contexts).  The composed
-    # program re-enters this compiler; any planning failure falls back
-    # to the uncomposed program below.
+    # affine-run composition on the sharded path: the composed SMEM
+    # table is indexed by the GLOBAL plane (the kernel globalizes via
+    # origin[0] + q, so i-sharded decompositions compose too); per-shard
+    # j/k windows come from plan_composed's origin contexts.  The
+    # composed program re-enters this compiler; any planning failure
+    # falls back to the uncomposed program below.
     if (_composed is None and compose != "off" and mxu != "off"
-            and local_backend == "stream" and not comm_overlap
-            and dim_axes[0] is None):
+            and local_backend == "stream" and not comm_overlap):
         from ..backend.compose import compose_program
         max_t = int(compose) if compose not in ("auto",) else 0
         got = (compose_program(program, analysis, max_t)

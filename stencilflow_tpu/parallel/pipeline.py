@@ -290,7 +290,8 @@ def _segment_stream_fns(program: ir.Program, graph: ChainGraph,
                         segments: List[List[str]], halo: Vec3, chunk: int,
                         interpret: bool, mxu: str, mxu_min_footprint: int,
                         mxu_precision: str,
-                        vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET):
+                        vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET,
+                        _composed=None):
     """Per-segment streaming Pallas kernels over the widened chunk tile,
     or None when any segment's rings exceed the VMEM budget (callers fall
     back to the fused-XLA segment evaluator).
@@ -322,8 +323,18 @@ def _segment_stream_fns(program: ir.Program, graph: ChainGraph,
             pool = MatrixPool()
             j_ctx = [-halo[1]] if halo[1] else None
             k_ctx = [-halo[2]] if halo[2] else None
+            seg_composed = {n: b for n, b in (_composed or {}).items()
+                            if n in set(segment)}
             plans = plan_all_stages(subp, (widened[1], widened[2]), dims,
-                                    pool, mxu_min_footprint, j_ctx, k_ctx)
+                                    pool, mxu_min_footprint, j_ctx, k_ctx,
+                                    exclude=tuple(seg_composed))
+            for cname, build in seg_composed.items():
+                from ..backend.compose import plan_composed
+                cp = plan_composed(build, (widened[1], widened[2]), dims,
+                                   pool, j_ctx, k_ctx)
+                if cp is None:
+                    return None   # caller retries uncomposed
+                plans[cname] = cp
             if plans:
                 pkeys, parrs, pmeta, tkeys = finalize_pool(
                     plans, pool, subp, mxu_precision)
@@ -717,7 +728,9 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
                            segments: Optional[Sequence[Sequence[str]]]
                            = None,
                            optimize_cuts: bool = False,
-                           io: str = "auto"):
+                           io: str = "auto",
+                           compose: str = "auto",
+                           _composed=None):
     """Jitted wavefront-pipelined chain over ``mesh.shape[axis]`` devices.
 
     ``io="sharded"`` (the default when the shape allows): inputs and
@@ -744,6 +757,44 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
     Returns ``(fn, plan)``.
     """
     analysis = analysis or ChainAnalysis.run(program)
+
+    # affine-run composition before auto-splitting: the composed program
+    # (fewer, wider stages) is what gets cut across devices; only the
+    # AUTO split composes — explicit split_at/cut/segments name original
+    # kernels that composition would elide.  The composed program
+    # re-enters this compiler; any failure retries uncomposed (never the
+    # XLA segment body, whose composed IR is interior-only).
+    if (_composed is None and compose != "off" and mxu != "off"
+            and local_backend == "stream"
+            and split_at is None and cut is None and segments is None):
+        from ..backend.compose import compose_program
+        S0 = mesh.shape[axis]
+        if compose == "auto":
+            # cap the composition factor so the composed program keeps
+            # >= S kernels to split (a whole-run compose of an S-deep
+            # chain would leave one kernel and nothing to pipeline)
+            max_t = max(2, -(-len(program.kernels) // S0))
+        else:
+            max_t = int(compose)
+        got = (compose_program(program, analysis, max_t)
+               if max_t >= 0 else None)
+        if got is not None:
+            program2, builds = got
+            if len(got[0].kernels) >= S0:
+                try:
+                    fn2, plan2 = compile_pipeline_split(
+                        program2, mesh, axis, num_chunks, None,
+                        "stream", interpret, mxu, mxu_min_footprint,
+                        mxu_precision, vmem_budget,
+                        optimize_cuts=optimize_cuts, io=io,
+                        compose="off", _composed=builds)
+                    if compile_pipeline_split.last_config["backend"]                             == "stream":
+                        compile_pipeline_split.last_config["composed"]                             = {n: list(b.stages)
+                               for n, b in builds.items()}
+                        return fn2, plan2
+                except (ValueError, NotImplementedError):
+                    pass
+
     graph = analysis.graph
     S = mesh.shape[axis]
     if sum(x is not None for x in (split_at, cut, segments)) > 1:
@@ -806,8 +857,12 @@ def compile_pipeline_split(program: ir.Program, mesh: Mesh, axis: str,
         seg_fns = _segment_stream_fns(program, graph, segments, halo,
                                       chunk, interpret, mxu,
                                       mxu_min_footprint, mxu_precision,
-                                      vmem_budget=vmem_budget)
+                                      vmem_budget=vmem_budget,
+                                      _composed=_composed)
         # None: a segment's rings exceed VMEM — fused-XLA fallback
+        if seg_fns is None and _composed:
+            raise ValueError(
+                "composed pipeline segments not stream-plannable")
     compile_pipeline_split.last_config = {
         "backend": "stream" if seg_fns is not None else "xla",
         "io": "sharded" if sharded_io else "replicated",

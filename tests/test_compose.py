@@ -208,12 +208,13 @@ def test_sharded_composition_2x2_mesh():
               for n, v in inputs.items()})
     oracle = sft.run_interpreter(p, inputs)
     assert _err(oracle, out, p.outputs[0]) < 3e-5
-    # i-sharded decompositions refuse composition (local q cannot index
-    # the global table) and fall back to the uncomposed per-stage path
+    # i-SHARDED decompositions compose too: the kernel globalizes the
+    # table row via origin[0] + q, and the exchanged i-halo feeds the
+    # composed operator's D-deep footprint
     fn_i, plan_i = compile_sharded_chain(p, mesh, ("x", "y", None),
                                          local_backend="stream",
                                          interpret=True)
-    assert not compile_sharded_chain.last_config.get("composed")
+    assert compile_sharded_chain.last_config.get("composed")
     out_i = fn_i({n: jax.device_put(jnp.asarray(v),
                                     plan_i.input_shardings()[n])
                   for n, v in inputs.items()})
@@ -247,3 +248,41 @@ def test_exact_interior_cancellation_keeps_boundary_diagonals():
     exp = np.asarray(oracle["s1"])
     assert np.abs(got - exp).max() < 3e-5          # incl. edge planes
     assert np.abs(exp[0]).max() > 0.01             # the edge is nonzero
+
+
+def test_pipeline_split_composition():
+    """The wavefront pipeline composes runs per segment: an 8-stage box
+    chain over 2 devices becomes 2 composed radius-4 operators (the
+    composition factor is capped so the composed program still has >= S
+    kernels to split)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from stencilflow_tpu.parallel.pipeline import compile_pipeline_split
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs 2 virtual devices")
+    p = sft.parse_program(
+        synthesize_stencil(num_stages=8, dimensions=(32, 24, 32),
+                           shape="box", extent=1,
+                           seed_data="random:0.0,1.0"),
+        name="ppbox_compose")
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("x", "y"))
+    fn, _plan = compile_pipeline_split(p, mesh, "y",
+                                       local_backend="stream",
+                                       interpret=True)
+    cfg = compile_pipeline_split.last_config
+    assert cfg.get("composed") == {"s3": ["s0", "s1", "s2", "s3"],
+                                   "s7": ["s4", "s5", "s6", "s7"]}, cfg
+    import jax.numpy as jnp
+    inputs = sft.load_input_arrays(p, seed=2)
+    out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
+    oracle = sft.run_interpreter(p, inputs)
+    assert _err(oracle, out, p.outputs[0]) < 3e-5
+    # explicit cuts name ORIGINAL kernels: composition stays off there
+    fn2, _ = compile_pipeline_split(p, mesh, "y",
+                                    local_backend="stream",
+                                    interpret=True, split_at=["s3"])
+    assert not compile_pipeline_split.last_config.get("composed")
+    out2 = fn2({k: jnp.asarray(v) for k, v in inputs.items()})
+    assert _err(oracle, out2, p.outputs[0]) < 3e-5
