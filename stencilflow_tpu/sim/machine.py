@@ -148,8 +148,11 @@ def _expr_src(expr: ir.Expr, access_ids: Dict[Tuple[str, ir.Offsets], int]
         return "(" + joiner.join(_expr_src(o, access_ids)
                                  for o in expr.operands) + ")"
     if isinstance(expr, ir.Select):
-        return (f"({_expr_src(expr.if_true, access_ids)} if "
-                f"{_expr_src(expr.cond, access_ids)} else "
+        # _sel promotes the taken branch to np.result_type(a, b) like the
+        # oracle's np.where (a bare python conditional would keep the
+        # branch's own type, diverging in mixed-dtype kernels)
+        return (f"_sel({_expr_src(expr.cond, access_ids)}, "
+                f"{_expr_src(expr.if_true, access_ids)}, "
                 f"{_expr_src(expr.if_false, access_ids)})")
     if isinstance(expr, ir.Call):
         args = ", ".join(_expr_src(a, access_ids) for a in expr.args)
@@ -169,9 +172,14 @@ def compile_kernel_fn(kspec: ir.KernelSpec,
     src = "\n".join(lines)
     dt = np.dtype(kspec.dtype)
     from ..dtypes import is_floating
+    def _sel(c, a, b):
+        r = np.result_type(a, b)
+        return r.type(a) if c else r.type(b)
+
     ns: Dict[str, Any] = {
         "np": np,
         "_dt": dt.type if is_floating(dt) else (lambda v: v),
+        "_sel": _sel,
     }
     exec(src, ns)  # noqa: S102 — source is generated from the typed IR
     return ns["_kernel"]
@@ -230,6 +238,11 @@ class _AccessPlan:
     field: str
     offsets: ir.Offsets
     flat_offset: int
+    # the SOURCE node's dtype: edges carry the producer's type (the oracle
+    # evaluates with each field array in its own dtype and casts only the
+    # kernel result, interpreter.py:eval_kernel) — values are cast to this
+    # on read, NOT to the consumer's kernel dtype
+    src_dtype: Any = float
 
 
 @dataclasses.dataclass
@@ -302,11 +315,15 @@ class Simulator:
             access_ids: Dict[Tuple[str, ir.Offsets], int] = {}
             plans: List[_AccessPlan] = []
             for field, offs in acc_map.items():
+                if field in program.inputs:
+                    sdt = np.dtype(program.inputs[field].dtype).type
+                else:
+                    sdt = np.dtype(program.kernels[field].dtype).type
                 for o in offs:
                     access_ids[(field, o)] = len(plans)
                     plans.append(_AccessPlan(
                         field, o, flatten_index(
-                            [x or 0 for x in o], self.dims)))
+                            [x or 0 for x in o], self.dims), sdt))
             in_edges = {f: self.edges[(f, kname)] for f in acc_map}
             st = _KernelState(
                 name=kname,
@@ -465,9 +482,11 @@ class Simulator:
                 if not self._can_fire(st, cycle):
                     continue
                 t = st.pc
-                # evaluate in the kernel's dtype (numpy scalar ops keep the
-                # narrow type; bit-matches the array oracle)
-                vals = [st.dtype(self._read_access(st, p, t))
+                # evaluate with each access in its PRODUCER's dtype (numpy
+                # scalar promotion then bit-matches the array oracle, which
+                # keeps field arrays in their own dtypes and casts only the
+                # kernel result)
+                vals = [p.src_dtype(self._read_access(st, p, t))
                         for p in st.accesses]
                 try:
                     res = st.dtype(st.fn(vals))

@@ -12,6 +12,13 @@ validation of large domains practical (the reference's pure-Python simulator
 is documented as too slow for exactly this, SURVEY.md §2.2).
 
 Compiled objects are cached under ``.simcache/`` keyed by source hash.
+
+Integer and bool kernels run natively with numpy scalar semantics (typed
+expression emitter, per-dtype wraparound, true division to float64, weak
+python-int constants — see ``_expr_cpp_int``).  Values cross FIFOs as
+doubles, so int64 magnitudes beyond 2**53 are the one documented envelope
+where the C++ core diverges from the Python machine (use
+``simulate(..., native=False)`` there).
 """
 from __future__ import annotations
 
@@ -58,6 +65,18 @@ _RND_CPP = {
     "bf16": "rnd_bf16({})",
 }
 
+# integer/bool kernels: C storage type + the double->int cast helper that
+# reproduces numpy's float->int conversion (numpy casts through a 32-bit
+# cvttsd2si for widths <= 32 — out-of-range values land on INT32_MIN whose
+# low bits the narrow store keeps — and a 64-bit one for int64)
+_INT_CT = {
+    "i8": ("int8_t", "sf_d2i32"),
+    "i16": ("int16_t", "sf_d2i32"),
+    "i32": ("int32_t", "sf_d2i32"),
+    "i64": ("int64_t", "sf_d2i64"),
+    "b": ("bool", None),
+}
+
 
 def _round_mode(dtype) -> str:
     dt = np.dtype(dtype)
@@ -69,9 +88,13 @@ def _round_mode(dtype) -> str:
         return "f16"
     if dt.name == "bfloat16":
         return "bf16"
+    if dt.kind == "i" and dt.itemsize in (1, 2, 4, 8):
+        return f"i{8 * dt.itemsize}"
+    if dt.kind == "b":
+        return "b"
     raise NativeBuildError(
         f"native simulator: kernel dtype {dt.name} not supported by the "
-        "C++ core (integer/bool kernels run on the Python machine)")
+        "C++ core (runs on the Python machine)")
 
 
 def _expr_cpp(expr: ir.Expr, access_ids: Dict[Tuple[str, ir.Offsets], int],
@@ -109,6 +132,195 @@ def _expr_cpp(expr: ir.Expr, access_ids: Dict[Tuple[str, ir.Offsets], int],
     if isinstance(expr, ir.Call):
         args = ", ".join(rec(a) for a in expr.args)
         return rnd(f"{_FN_CPP[expr.fn]}({args})")
+    raise TypeError(f"unknown expression node {type(expr)}")
+
+
+# --- typed expression emitter (int / bool / mixed-dtype kernels) -----------
+#
+# The oracle (interpreter.py) evaluates each kernel with every field array
+# kept in its PRODUCER's dtype, numpy promotion per op, and one cast of the
+# kernel result to the kernel dtype.  Uniform floating kernels (every access
+# already the kernel dtype) keep the proven `_expr_cpp` per-op-rounding
+# emitter above; everything else — integer and bool kernels, mixed-dtype
+# chains — goes through this emitter, which tracks each node's numpy result
+# dtype (np.result_type, with python-int/float constants kept weak per
+# NEP 50) and emits C++ with the matching arithmetic: same-width wraparound
+# for ints (-fwrapv), true division to float64, per-op rounding for narrow
+# floats, np.where-style branch promotion for selects.
+
+_WEAK_INT, _WEAK_FLOAT = "wi", "wf"
+
+
+def _is_weak(ty) -> bool:
+    return ty in (_WEAK_INT, _WEAK_FLOAT)
+
+
+def _is_flt(ty) -> bool:
+    if ty == _WEAK_FLOAT:
+        return True
+    from ..dtypes import is_floating
+    return isinstance(ty, np.dtype) and is_floating(ty)
+
+
+def _is_bool(ty) -> bool:
+    return isinstance(ty, np.dtype) and ty.kind == "b"
+
+
+def _res_ty(*tys):
+    """numpy result dtype with NEP 50 weak-scalar semantics."""
+    if all(_is_weak(t) for t in tys):
+        return _WEAK_FLOAT if _WEAK_FLOAT in tys else _WEAK_INT
+    args = [1 if t == _WEAK_INT else 1.0 if t == _WEAK_FLOAT else t
+            for t in tys]
+    return np.result_type(*args)
+
+
+def _ct_of(ty) -> str:
+    """C storage type for a node type (floats live in rounded doubles)."""
+    if ty == _WEAK_INT:
+        return "long long"
+    if ty == _WEAK_FLOAT or _is_flt(ty):
+        return "double"
+    if _is_bool(ty):
+        return "bool"
+    return _INT_CT[f"i{8 * ty.itemsize}"][0]
+
+
+def _rnd_of(ty):
+    """Per-op rounding wrapper for a floating node type."""
+    if ty == _WEAK_FLOAT:
+        return "({})".format
+    return _RND_CPP[_round_mode(ty)].format
+
+
+def _cast_double_to(src: str, ty) -> str:
+    """Cast a double-valued C++ expr to a concrete numpy dtype's value."""
+    if _is_bool(ty):
+        return f"(({src}) != 0.0)"
+    if _is_flt(ty):
+        return _rnd_of(ty)(f"({src})")
+    ct, castfn = _INT_CT[f"i{8 * ty.itemsize}"]
+    return f"({ct}){castfn}({src})"
+
+
+def _truthy(src: str, ty) -> str:
+    if _is_bool(ty):
+        return f"({src})"
+    return f"(({src}) != {'0.0' if _is_flt(ty) else '0'})"
+
+
+def _expr_cpp_typed(expr: ir.Expr,
+                    access_ids: Dict[Tuple[str, ir.Offsets], int],
+                    acc_tys: List[Any], kdt: np.dtype,
+                    stypes: Dict[str, Any]) -> Tuple[str, Any]:
+    """C++ source + inferred numpy type for one expression node."""
+    def rec(e):
+        return _expr_cpp_typed(e, access_ids, acc_tys, kdt, stypes)
+
+    def to_ty(src: str, src_ty, ty) -> str:
+        """Convert a value of node type src_ty to node type ty."""
+        if src_ty == ty:
+            return src
+        if _is_flt(ty):
+            return _rnd_of(ty)(f"(double)({src})")
+        if _is_bool(ty):
+            return _truthy(src, src_ty)
+        ct = _ct_of(ty)
+        if _is_flt(src_ty):
+            castfn = _INT_CT[f"i{8 * ty.itemsize}"][1]
+            return f"({ct}){castfn}((double)({src}))"
+        return f"({ct})({src})"
+
+    if isinstance(expr, ir.Const):
+        if isinstance(expr.value, bool):
+            return ("true" if expr.value else "false"), np.dtype(bool)
+        if isinstance(expr.value, float):
+            from ..dtypes import is_floating
+            if is_floating(kdt):
+                # float consts are pinned to a floating kernel's dtype
+                # (oracle: interpreter.py _kdtype pinning)
+                v = float(np.asarray(expr.value, np.float64).astype(kdt))
+                return f"{v!r}", kdt
+            return f"{expr.value!r}", _WEAK_FLOAT
+        return f"({expr.value}LL)", _WEAK_INT
+    if isinstance(expr, ir.Ref):
+        return f"t_{expr.name}", stypes[expr.name]
+    if isinstance(expr, ir.Access):
+        idx = access_ids[(expr.field, expr.offsets)]
+        return f"v{idx}", acc_tys[idx]
+    if isinstance(expr, ir.BinOp):
+        l, lt = rec(expr.left)
+        r, rt = rec(expr.right)
+        ty = _res_ty(lt, rt)
+        if expr.op == "div":   # numpy true division: ints go to float64
+            if not _is_flt(ty):
+                ty = np.dtype(np.float64)
+            return (_rnd_of(ty)(f"(double)({l}) / (double)({r})"), ty)
+        sym = _BIN_CPP[expr.op]
+        if _is_bool(ty):       # numpy bool_ arithmetic: + is OR, * is AND
+            if expr.op == "add":
+                return f"(({l}) || ({r}))", ty
+            if expr.op == "mult":
+                return f"(({l}) && ({r}))", ty
+            raise NativeBuildError(
+                "bool - bool is a TypeError in numpy (the oracle rejects "
+                "this program); Python machine fallback")
+        if _is_flt(ty):
+            return _rnd_of(ty)(f"(double)({l}) {sym} (double)({r})"), ty
+        ct = _ct_of(ty)        # same-width integer wraparound per op
+        return f"({ct})(({ct})({l}) {sym} ({ct})({r}))", ty
+    if isinstance(expr, ir.UnaryOp):
+        o, ot = rec(expr.operand)
+        if _is_bool(ot):
+            raise NativeBuildError(
+                "unary minus on bool is a TypeError in numpy; Python "
+                "machine fallback")
+        if _is_flt(ot):
+            return f"(-({o}))", ot
+        ct = _ct_of(ot)
+        return f"({ct})(-({ct})({o}))", ot
+    if isinstance(expr, ir.Compare):
+        l, _lt = rec(expr.left)
+        r, _rt = rec(expr.right)
+        return f"(({l}) {_CMP_CPP[expr.op]} ({r}))", np.dtype(bool)
+    if isinstance(expr, ir.BoolOp):
+        op = "&&" if expr.op == "and" else "||"
+        parts = [_truthy(*rec(o)) for o in expr.operands]
+        return "(" + f" {op} ".join(parts) + ")", np.dtype(bool)
+    if isinstance(expr, ir.Select):
+        c, ct_ = rec(expr.cond)
+        t, tt = rec(expr.if_true)
+        f, ft = rec(expr.if_false)
+        ty = _res_ty(tt, ft)   # np.where promotes both branches
+        return (f"({_truthy(c, ct_)} ? {to_ty(t, tt, ty)} : "
+                f"{to_ty(f, ft, ty)})"), ty
+    if isinstance(expr, ir.Call):
+        args = [rec(a) for a in expr.args]
+        if expr.fn in ("min", "max"):
+            (a, at), (b, bt) = args
+            ty = _res_ty(at, bt)
+            if _is_flt(ty):    # NaN-propagating like np.minimum/maximum
+                fn = "sf_min" if expr.fn == "min" else "sf_max"
+                return _rnd_of(ty)(
+                    f"{fn}((double)({a}), (double)({b}))"), ty
+            fn = "std::min" if expr.fn == "min" else "std::max"
+            src = (f"{fn}<long long>((long long)({a}), "
+                   f"(long long)({b}))")
+            return (src if ty == _WEAK_INT
+                    else f"({_ct_of(ty)}){src}"), ty
+        if expr.fn == "abs":
+            (a, at), = args
+            if _is_bool(at):   # np.abs on bool_ is the identity
+                return a, at
+            if not _is_flt(at):
+                ct = _ct_of(at)
+                return f"({ct})sf_iabs((long long)({a}))", at
+            return _rnd_of(at)(f"std::fabs((double)({a}))"), at
+        # transcendentals: integral arguments promote to float64
+        (a, at), = args
+        ty = at if _is_flt(at) and at != _WEAK_FLOAT else np.dtype(
+            np.float64)
+        return _rnd_of(ty)(f"{_FN_CPP[expr.fn]}((double)({a}))"), ty
     raise TypeError(f"unknown expression node {type(expr)}")
 
 
@@ -160,6 +372,21 @@ static inline double sf_min(double a, double b) {
 static inline double sf_max(double a, double b) {
   return (a != a) ? a : ((b != b) ? b : std::fmax(a, b));
 }
+// numpy float->int casts (x86 cvttsd2si semantics): NaN / out-of-range
+// land on the width's sentinel; in-range truncates toward zero.  numpy
+// converts to widths <= 32 through the 32-bit form (the narrow store then
+// keeps the low bits), and int64 through the 64-bit form.
+static inline int32_t sf_d2i32(double v) {
+  if (v > -2147483649.0 && v < 2147483648.0) return (int32_t)v;
+  return INT32_MIN;
+}
+static inline int64_t sf_d2i64(double v) {
+  if (v >= -9223372036854775808.0 && v < 9223372036854775808.0)
+    return (int64_t)v;
+  return INT64_MIN;
+}
+// np.abs on ints (INT_MIN wraps to itself, like numpy; -fwrapv)
+static inline long long sf_iabs(long long a) { return a < 0 ? -a : a; }
 // round-to-nearest-even bfloat16 (the TPU compute dtype); NaN passthrough
 static inline double rnd_bf16(double v) {
   float f = (float)v;
@@ -289,17 +516,40 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
         w(f"    if (pc_{kname} < N && cycle >= pace_{kname} + pc_{kname}"
           f" && {avail_c}) {{")
         w(f"      const long long t = pc_{kname};")
-        mode = _round_mode(kspec.dtype)
-        rnd = _RND_CPP[mode].format
+        kdt = np.dtype(kspec.dtype)
+        from ..dtypes import is_floating
+
+        def src_dtype(field: str) -> np.dtype:
+            if field in program.inputs:
+                return np.dtype(program.inputs[field].dtype)
+            return np.dtype(program.kernels[field].dtype)
+
+        # uniform floating kernels (every access already the kernel dtype)
+        # keep the proven per-op-rounding emitter; int/bool/mixed-dtype
+        # kernels go through the typed emitter (oracle: edges carry the
+        # PRODUCER's dtype; the kernel result is cast once at emit)
+        uniform = (is_floating(kdt)
+                   and all(src_dtype(f) == kdt for f, _ in plans))
+        if uniform:
+            mode = _round_mode(kspec.dtype)
+            rnd = _RND_CPP[mode].format
+        else:
+            mode = None
+            acc_tys = [src_dtype(f) for f, _ in plans]
         for idx, (field, offs) in enumerate(plans):
             bc = kspec.boundary_conditions.get(field)
             dense = [x if x is not None else 0 for x in offs]
             mask = [x is not None for x in offs]
             flat_off = flatten_index(dense, dims)
             if field in scalar_inputs:
-                # per-access rounding to the kernel dtype, exactly like
-                # array accesses (machine.py casts via st.dtype)
-                w(f"      double v{idx} = {rnd(f'sc_{field}')};")
+                # per-access rounding/cast to the edge's dtype, exactly
+                # like array accesses (machine.py casts via src_dtype)
+                if uniform:
+                    w(f"      double v{idx} = {rnd(f'sc_{field}')};")
+                else:
+                    pd = acc_tys[idx]
+                    w(f"      {_ct_of(pd)} v{idx} = "
+                      f"{_cast_double_to(f'sc_{field}', pd)};")
                 continue
             e = edge_ids[(field, kname)]
             oobc = (f"oob(t, {dense[0]}, {dense[1]}, {dense[2]}, "
@@ -311,16 +561,45 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
                 alt = f"edges[{e}].peek(t, {e})"
             else:  # SHRINK
                 alt = f"{JUNK_VAL!r}"
-            w(f"      double v{idx} = {oobc} ? {alt} : "
-              f"edges[{e}].peek(t + {flat_off}LL, {e});")
-            if mode != "f64":
-                w(f"      v{idx} = {rnd(f'v{idx}')};")
-        for stmt in kspec.statements:
-            src = _expr_cpp(stmt.rhs, access_ids, mode=mode)
-            if mode != "f64":
-                src = rnd(f"({src})")
-            w(f"      double t_{stmt.lhs} = {src};")
-        res = f"t_{kspec.output_statement.lhs}"
+            if uniform:
+                w(f"      double v{idx} = {oobc} ? {alt} : "
+                  f"edges[{e}].peek(t + {flat_off}LL, {e});")
+                if mode != "f64":
+                    w(f"      v{idx} = {rnd(f'v{idx}')};")
+            else:
+                pd = acc_tys[idx]
+                w(f"      double r{idx} = {oobc} ? {alt} : "
+                  f"edges[{e}].peek(t + {flat_off}LL, {e});")
+                w(f"      {_ct_of(pd)} v{idx} = "
+                  f"{_cast_double_to(f'r{idx}', pd)};")
+        if uniform:
+            for stmt in kspec.statements:
+                src = _expr_cpp(stmt.rhs, access_ids, mode=mode)
+                if mode != "f64":
+                    src = rnd(f"({src})")
+                w(f"      double t_{stmt.lhs} = {src};")
+            res = f"t_{kspec.output_statement.lhs}"
+        else:
+            # statement temps keep their inferred numpy type (the Python
+            # machine's `_t_*` locals are uncast)
+            stypes: Dict[str, Any] = {}
+            for stmt in kspec.statements:
+                src, ty = _expr_cpp_typed(stmt.rhs, access_ids, acc_tys,
+                                          kdt, stypes)
+                stypes[stmt.lhs] = ty
+                w(f"      {_ct_of(ty)} t_{stmt.lhs} = {src};")
+            out_name = kspec.output_statement.lhs
+            out_ty = stypes[out_name]
+            # one result cast to the kernel dtype (oracle: .astype at the
+            # end of eval_kernel)
+            if out_ty == kdt:
+                res = f"t_{out_name}"
+            elif not _is_flt(out_ty) and kdt.kind in "iu":
+                # integral temp -> integral kernel dtype: C truncation,
+                # exactly numpy's same-kind astype
+                res = f"({_ct_of(kdt)})(t_{out_name})"
+            else:
+                res = _cast_double_to(f"(double)(t_{out_name})", kdt)
         w('      if (g_fault_edge >= 0) {')
         w('        snprintf(err, errlen, "stale/underflow read on edge %d '
           'at kernel ' + kname + ': element %lld outside live window '
@@ -391,7 +670,9 @@ def _build(source: str) -> str:
     # unique temp name: concurrent builds of the same program (pytest -n,
     # parallel CLI runs) must not interleave writes before the atomic rename
     tmp = f"{so_path}.tmp.{os.getpid()}"
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+    # -fwrapv: defined two's-complement wraparound for signed overflow, the
+    # semantics numpy's same-dtype integer arithmetic has (int kernels)
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-fwrapv",
            "-o", tmp, src_path]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True)

@@ -332,30 +332,139 @@ class TestEngineParityEdgeCases:
                              dtype=np.float64)
             np.testing.assert_array_equal(got, ref, err_msg=engine.__name__)
 
-    def test_int_kernel_falls_back_to_python_machine(self):
-        """Integer kernels are outside the C++ core's scope: building a
-        NativeSimulator raises NativeBuildError and sim.simulate() falls
-        back to the Python machine."""
-        from stencilflow_tpu.sim import simulate
-        from stencilflow_tpu.sim.native import NativeBuildError
-        spec = {
-            "inputs": {"f": {"data": "constant:7", "data_type": "int32"}},
-            "outputs": ["s"],
-            "dimensions": [4, 4, 4],
+    def _parity(self, spec, name, seed=1):
+        """All three engines bit-equal on every output."""
+        import warnings
+        p = sft.parse_program(spec, name=name)
+        inputs = sft.load_input_arrays(p, seed=seed)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # int overflow is on purpose
+            ref = sft.run_interpreter(p, inputs)
+            py = Simulator(p).run(inputs).outputs
+        cc = NativeSimulator(p).run(inputs).outputs
+        for o in p.outputs:
+            assert np.asarray(cc[o]).dtype == np.asarray(ref[o]).dtype
+            np.testing.assert_array_equal(
+                np.asarray(py[o]), np.asarray(ref[o]),
+                err_msg=f"{name} python {o}")
+            np.testing.assert_array_equal(
+                np.asarray(cc[o]), np.asarray(ref[o]),
+                err_msg=f"{name} native {o}")
+
+    def test_int_kernels_run_natively(self):
+        """Integer kernels run in the C++ core with numpy scalar
+        semantics: same-width wraparound, weak int constants, bool*int
+        masking, min/max/abs, true division to float64 (VERDICT r3 weak
+        #7 — formerly a Python-machine fallback)."""
+        self._parity({
+            "inputs": {"f": {"data": "random:0,50", "data_type": "int32"},
+                       "g": {"data": "random:0,50", "data_type": "int32"}},
+            "outputs": ["s"], "dimensions": [6, 6, 6],
+            "program": {
+                "t": {"computation_string":
+                      "t = (f[i,j,k] * 3 - g[i,j,k-1])"
+                      " + min(f[i-1,j,k], g[i,j,k])",
+                      "boundary_conditions":
+                      {"f": {"type": "constant", "value": 2},
+                       "g": {"type": "constant", "value": 5}},
+                      "data_type": "int32"},
+                "s": {"computation_string":
+                      "s = (t[i,j,k] > 10) * t[i,j+1,k]"
+                      " + abs(t[i,j,k] - 100)",
+                      "boundary_conditions":
+                      {"t": {"type": "constant", "value": 0}},
+                      "data_type": "int32"}}}, "intnat")
+
+    def test_int8_wraparound_and_division(self):
+        """int8 arithmetic wraps per op at the dtype width (numpy
+        same-dtype semantics) and `/` is numpy true division (float64),
+        cast back at the consumer — all engines bit-equal."""
+        self._parity({
+            "inputs": {"f": {"data": "random:0,120", "data_type": "int8"}},
+            "outputs": ["s"], "dimensions": [5, 5, 5],
+            "program": {
+                "t": {"computation_string":
+                      "t = f[i,j,k] * 7 - f[i,j,k-1] * 5",
+                      "boundary_conditions":
+                      {"f": {"type": "constant", "value": 3}},
+                      "data_type": "int8"},
+                "s": {"computation_string":
+                      "s = t[i,j,k] + (f[i,j,k] / 2 > 20) * 4"
+                      " + max(t[i-1,j,k], 0 - t[i,j,k])",
+                      "boundary_conditions":
+                      {"t": {"type": "constant", "value": 1},
+                       "f": {"type": "constant", "value": 3}},
+                      "data_type": "int8"}}}, "int8wrap", seed=3)
+
+    def test_bool_kernel_and_mixed_dtype_chain(self):
+        """Edges carry the PRODUCER's dtype (oracle semantics): a bool
+        mask kernel over a float field stays a comparison on floats, and
+        the float consumer reads bools — formerly the machine cast reads
+        to the consumer dtype, collapsing f>0 to bool(f)."""
+        self._parity({
+            "inputs": {"f": {"data": "random:-1,1",
+                             "data_type": "float32"}},
+            "outputs": ["m", "s"], "dimensions": [5, 6, 7],
+            "program": {
+                "m": {"computation_string":
+                      "m = (f[i,j,k] > 0.0) + (f[i,j-1,k] > 0.25)",
+                      "boundary_conditions":
+                      {"f": {"type": "constant", "value": -1.0}},
+                      "data_type": "bool"},
+                "s": {"computation_string":
+                      "s = m[i,j,k] * f[i,j,k]"
+                      " + (1.0 if m[i,j,k+1] else 0.5)",
+                      "boundary_conditions":
+                      {"m": {"type": "constant", "value": 0},
+                       "f": {"type": "constant", "value": -1.0}},
+                      "data_type": "float32"}}}, "boolmask", seed=5)
+
+    def test_cross_float_and_int_float_crossings(self):
+        """float64->float32 and int16->float32->int32 edges: numpy
+        promotion per op, one cast at each kernel's output."""
+        self._parity({
+            "inputs": {"f": {"data": "random:-1,1",
+                             "data_type": "float64"}},
+            "outputs": ["s"], "dimensions": [5, 6, 7],
+            "program": {
+                "t": {"computation_string":
+                      "t = f[i,j,k] * 0.3333333333333333 + f[i,j,k-1]",
+                      "boundary_conditions":
+                      {"f": {"type": "constant", "value": 0.5}},
+                      "data_type": "float64"},
+                "s": {"computation_string":
+                      "s = t[i,j,k] * 1.7 + t[i,j+1,k] / 3.0",
+                      "boundary_conditions":
+                      {"t": {"type": "constant", "value": 0.25}},
+                      "data_type": "float32"}}}, "f64f32")
+        self._parity({
+            "inputs": {"f": {"data": "random:1,40", "data_type": "int16"}},
+            "outputs": ["s"], "dimensions": [4, 5, 6],
+            "program": {
+                "t": {"computation_string":
+                      "t = sqrt(f[i,j,k]) + f[i,j,k-1] * 0.5",
+                      "boundary_conditions":
+                      {"f": {"type": "constant", "value": 4}},
+                      "data_type": "float32"},
+                "s": {"computation_string":
+                      "s = t[i,j,k] * 10.0 - t[i-1,j,k]",
+                      "boundary_conditions":
+                      {"t": {"type": "constant", "value": 1.5}},
+                      "data_type": "int32"}}}, "intfloat")
+
+    def test_int64_kernel_native(self):
+        """int64 kernels run natively (documented envelope: FIFO
+        transport is double, so |values| must stay below 2**53)."""
+        self._parity({
+            "inputs": {"f": {"data": "random:0,1000000",
+                             "data_type": "int64"}},
+            "outputs": ["s"], "dimensions": [4, 4, 4],
             "program": {"s": {
-                "computation_string": "s = f[i,j,k] + 1.0",
+                "computation_string":
+                "s = f[i,j,k] * f[i,j,k] - f[i,j,k-1] + 17",
                 "boundary_conditions":
-                {"f": {"type": "constant", "value": 0.0}},
-                "data_type": "int32"}},
-        }
-        p = sft.parse_program(spec, name="intk")
-        with pytest.raises(NativeBuildError):
-            NativeSimulator(p)
-        res = simulate(p, sft.load_input_arrays(p, seed=0))
-        np.testing.assert_array_equal(
-            res.outputs["s"],
-            np.asarray(sft.run_interpreter(
-                p, sft.load_input_arrays(p, seed=0))["s"]))
+                {"f": {"type": "constant", "value": 9}},
+                "data_type": "int64"}}}, "int64nat", seed=4)
 
     def test_fault_record_resets_between_runs(self, monkeypatch):
         """One stale-read fault must not poison later runs through the
