@@ -325,6 +325,108 @@ def test_random_program_all_engines(seed):
                                    err_msg=f"{name} backend")
 
 
+def make_mixed_dtype_program(rng):
+    """Random chains with a different dtype per kernel (float32/float64/
+    int32/int16/bool): edges carry the PRODUCER's dtype, results are cast
+    once at each kernel's output (the oracle's semantics — see
+    interpreter.eval_kernel).  Constants are kept f32-exact (the jnp
+    backends hold them weak where the numpy oracle pins them) and small
+    enough for every int width (NEP 50 raises on out-of-range weak ints)."""
+    dims = [int(rng.integers(4, 8)) for _ in range(3)]
+
+    def acc(field):
+        offs = [int(rng.integers(-1, 2)) for _ in range(3)]
+        return field + _offset_str(["i", "j", "k"], offs)
+
+    def fconst():
+        return f"{round(float(rng.uniform(-2, 2)) * 64) / 64!r}"
+
+    inputs = {"a": {"data": "random:-1,1", "data_type": "float32"},
+              "n": {"data": "random:1,40", "data_type": "int32"}}
+    avail = [("a", "float32"), ("n", "int32")]
+    prog = {}
+    stages = int(rng.integers(3, 6))
+    for s in range(stages):
+        name = f"s{s}"
+        dt = str(rng.choice(["float32", "float64", "int32", "int16",
+                             "bool"]))
+        picks = [avail[-1]] + [avail[int(rng.integers(0, len(avail)))]]
+        (x, xdt), (y, ydt) = picks
+
+        def term(f, fdt):
+            a = acc(f)
+            if fdt == "bool":
+                # bool fields enter arithmetic via promotion (mask mult)
+                return f"({a} * {int(rng.integers(1, 4))})"
+            return a
+        if dt == "bool":
+            expr = f"({term(x, xdt)} > {term(y, ydt)})"
+        elif dt.startswith("int"):
+            c = int(rng.integers(-5, 8))
+            expr = (f"({term(x, xdt)} * {int(rng.integers(1, 4))} "
+                    f"- {term(y, ydt)} + {c})")
+            if rng.random() < 0.4:
+                expr = f"min({expr}, {term(x, xdt)})"
+            if rng.random() < 0.3:
+                expr = f"abs({expr})"
+        else:
+            expr = (f"({term(x, xdt)} * {fconst()} + {term(y, ydt)})")
+            if rng.random() < 0.4:
+                expr = (f"({expr} if {term(x, xdt)} > {fconst()} "
+                        f"else {term(y, ydt)})")
+        bcs = {}
+        for f, fdt in dict(picks).items():
+            if fdt == "bool":
+                bcs[f] = {"type": "constant", "value": 0}
+            elif fdt.startswith("int"):
+                bcs[f] = {"type": "constant",
+                          "value": int(rng.integers(0, 5))}
+            else:
+                bcs[f] = {"type": str(rng.choice(BCS)),
+                          "value": float(round(rng.uniform(-1, 1) * 64)
+                                         / 64)}
+        prog[name] = {"computation_string": f"{name} = {expr}",
+                      "boundary_conditions": bcs, "data_type": dt}
+        avail.append((name, dt))
+    return {"inputs": inputs, "outputs": [avail[-1][0]],
+            "dimensions": dims, "program": prog}
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_mixed_dtype_programs(seed):
+    """Cross-dtype edges through every engine: oracle, Python machine,
+    native C++ simulator, fused XLA, streaming Pallas (interpret).
+    Integer/bool outputs must be bit-equal (incl. wraparound); float
+    outputs within the usual streaming tolerance."""
+    import warnings
+    from stencilflow_tpu.sim.machine import Simulator
+    rng = np.random.default_rng(42000 + seed)
+    spec = make_mixed_dtype_program(rng)
+    p = sft.parse_program(spec, name=f"mixdt{seed}")
+    inputs = sft.load_input_arrays(p, seed=seed)
+    out = p.outputs[0]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")   # int overflow wrap is on purpose
+        ref = np.asarray(sft.run_interpreter(p, inputs)[out])
+        got_py = Simulator(p).run(inputs).outputs[out]
+    engines = [("python machine", np.asarray(got_py)),
+               ("native simulator",
+                np.asarray(NativeSimulator(p).run(inputs).outputs[out])),
+               ("xla backend", np.asarray(run_chain(p, inputs)[out])),
+               ("stream backend",
+                np.asarray(run_chain_stream(p, inputs,
+                                            interpret=True)[out]))]
+    exact = ref.dtype.kind in "ib"
+    for label, got in engines:
+        assert got.dtype == ref.dtype, label
+        if exact:
+            np.testing.assert_array_equal(got, ref, err_msg=label)
+        else:
+            np.testing.assert_allclose(
+                got.astype(np.float64), ref.astype(np.float64),
+                rtol=2e-5, atol=1e-6, err_msg=label)
+
+
 @pytest.mark.parametrize("seed", range(10))
 def test_random_2d_program_rows(seed):
     """2-D random DAGs through the row-streaming engine
