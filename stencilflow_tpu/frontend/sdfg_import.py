@@ -483,14 +483,32 @@ def sdfg_to_program(source, name: Optional[str] = None,
     if symbols:
         env.update(symbols)
 
-    def shape_of(field: str) -> Optional[List[int]]:
-        shp = arrays.get(field, {}).get("attributes", {}).get("shape")
+    def eval_shape(shp) -> Optional[List[int]]:
+        """Resolve a serialized shape: ints, or dace's symbolic strings
+        (["I", "J", "K"]) evaluated through constants_prop/specialized
+        symbols (canonicalize_sdfg's -symbols role)."""
         if not shp:
             return None
-        try:
-            return [int(s) for s in shp]
-        except (TypeError, ValueError):
-            return None   # symbolic shape
+        from .mapnest import eval_sym
+        out = []
+        for s in shp:
+            try:
+                out.append(int(s))
+                continue
+            except (TypeError, ValueError):
+                pass
+            try:
+                v = eval_sym(str(s), env)
+            except (ValueError, SyntaxError):
+                return None   # unresolved symbolic shape
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                return None
+            out.append(int(v))
+        return out
+
+    def shape_of(field: str) -> Optional[List[int]]:
+        return eval_shape(
+            arrays.get(field, {}).get("attributes", {}).get("shape"))
 
     # canonicalization pass 1 (remove_scalar_transients): constant
     # scalar transients become dialect constants
@@ -533,12 +551,9 @@ def sdfg_to_program(source, name: Optional[str] = None,
                 f"stencil node {attrs.get('label')!r} must have exactly "
                 f"one output field, got {outs}")
         target = mapping.get(outs[0], out_data or outs[0])
-        shape = attrs.get("shape") or []
-        if shape:
-            try:
-                shapes.append([int(s) for s in shape])
-            except (TypeError, ValueError):
-                pass   # symbolic shape: rely on the dimensions argument
+        got_shape = eval_shape(attrs.get("shape") or [])
+        if got_shape:
+            shapes.append(got_shape)
         masks = {}
         reads = []
         for f, acc in accesses.items():
