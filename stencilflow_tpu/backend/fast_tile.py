@@ -57,7 +57,8 @@ def _slice_read(buf, buf_margin: Vec3, offsets: ir.Offsets,
     return lax.slice(buf, starts, sizes)
 
 
-def _eval(expr: ir.Expr, fields, margins, env, target_margin, tile):
+def _eval(expr: ir.Expr, fields, margins, env, target_margin, tile,
+          const_dtype=None):
     """Slice-read strategy over the shared walker (tile_eval)."""
     from .tile_eval import eval_expr_generic
 
@@ -68,7 +69,7 @@ def _eval(expr: ir.Expr, fields, margins, env, target_margin, tile):
         return _slice_read(buf, margins[field], offsets,
                            target_margin, tile)
 
-    return eval_expr_generic(expr, env, read_fn)
+    return eval_expr_generic(expr, env, read_fn, const_dtype)
 
 
 def evaluate_chain_fast(analysis: ChainAnalysis,
@@ -116,9 +117,12 @@ def evaluate_chain_fast(analysis: ChainAnalysis,
         kspec = program.kernels[kname]
         m = margins[kname]
         shape = tuple(tile[d] + 2 * m[d] for d in range(3))
+        from .tile_eval import const_dtype_of
+        cdt = const_dtype_of(kspec)
         env: Dict[str, Any] = {}
         for stmt in kspec.statements:
-            env[stmt.lhs] = _eval(stmt.rhs, fields, margins, env, m, tile)
+            env[stmt.lhs] = _eval(stmt.rhs, fields, margins, env, m, tile,
+                                  cdt)
         result = jnp.asarray(env[kspec.output_statement.lhs])
         if result.shape != shape:
             result = jnp.broadcast_to(result, shape)

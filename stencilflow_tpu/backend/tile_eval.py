@@ -143,9 +143,20 @@ _CALLS: Dict[str, Callable] = {
 }
 
 
+def const_dtype_of(kspec: ir.KernelSpec):
+    """Pin dtype for a kernel's float constants: the kernel dtype when it
+    is floating, else None (weak).  Matches the oracle's pinning
+    (interpreter.py): a weak jnp const DEMOTES against a narrower
+    neighbor (weak f32 + bf16 -> bf16 in JAX's lattice, where numpy
+    computes f32), so mixed-dtype kernels need strong consts to match."""
+    from ..dtypes import is_floating
+    dt = np.dtype(kspec.dtype)
+    return dt if is_floating(dt) else None
+
+
 def _eval_expr(expr: ir.Expr, fields: Dict[str, Any], env: Dict[str, Any],
                bcs: Dict[str, ir.BoundaryCondition],
-               origin, halo, dimensions, cache=None):
+               origin, halo, dimensions, cache=None, const_dtype=None):
     """Tile-read strategy over the shared walker (eval_expr_generic)."""
     def read_fn(field, offsets):
         buf = fields[field]
@@ -153,7 +164,7 @@ def _eval_expr(expr: ir.Expr, fields: Dict[str, Any], env: Dict[str, Any],
             return buf
         return read_access_tile(buf, offsets, bcs.get(field),
                                 origin, halo, dimensions, cache)
-    return eval_expr_generic(expr, env, read_fn)
+    return eval_expr_generic(expr, env, read_fn, const_dtype)
 
 
 def last_use_map(program: ir.Program, order, keep) -> Dict[str, int]:
@@ -170,20 +181,24 @@ def last_use_map(program: ir.Program, order, keep) -> Dict[str, int]:
     return last_use
 
 
-def eval_expr_generic(expr: ir.Expr, env: Dict[str, Any], read_fn):
+def eval_expr_generic(expr: ir.Expr, env: Dict[str, Any], read_fn,
+                      const_dtype=None):
     """Expression walker parameterized by the field-read strategy.
 
     ``read_fn(field, offsets)`` materializes an Access; Refs resolve through
     ``env``.  Shared by the streaming Pallas kernel and other lowerings that
-    bring their own buffer model.
+    bring their own buffer model.  ``const_dtype`` pins float constants to
+    the kernel dtype (strong numpy scalar — see const_dtype_of).
     """
     if isinstance(expr, ir.Const):
+        if const_dtype is not None and isinstance(expr.value, float):
+            return const_dtype.type(expr.value)
         return expr.value
     if isinstance(expr, ir.Ref):
         return env[expr.name]
     if isinstance(expr, ir.Access):
         return read_fn(expr.field, expr.offsets)
-    rec = lambda e: eval_expr_generic(e, env, read_fn)
+    rec = lambda e: eval_expr_generic(e, env, read_fn, const_dtype)
     if isinstance(expr, ir.BinOp):
         return _BINOPS[expr.op](rec(expr.left), rec(expr.right))
     if isinstance(expr, ir.UnaryOp):
@@ -207,9 +222,10 @@ def eval_expr_generic(expr: ir.Expr, env: Dict[str, Any], read_fn):
 def eval_kernel_statements(kspec: ir.KernelSpec, read_fn):
     """Evaluate a kernel's statement list with a custom read; returns the
     output statement's value."""
+    cdt = const_dtype_of(kspec)
     env: Dict[str, Any] = {}
     for stmt in kspec.statements:
-        env[stmt.lhs] = eval_expr_generic(stmt.rhs, env, read_fn)
+        env[stmt.lhs] = eval_expr_generic(stmt.rhs, env, read_fn, cdt)
     return env[kspec.output_statement.lhs]
 
 
@@ -295,10 +311,12 @@ def evaluate_chain_tile(program: ir.Program, graph: ChainGraph,
     for idx, kname in enumerate(order):
         kspec = program.kernels[kname]
         env: Dict[str, Any] = {}
+        cdt = const_dtype_of(kspec)
         for stmt in kspec.statements:
             env[stmt.lhs] = _eval_expr(stmt.rhs, fields, env,
                                        kspec.boundary_conditions,
-                                       origin, halo, dims, mask_cache)
+                                       origin, halo, dims, mask_cache,
+                                       cdt)
         result = env[kspec.output_statement.lhs]
         result = jnp.asarray(result)
         if result.shape != tuple(tile_shape):

@@ -503,6 +503,8 @@ def sdfg_to_program(source, name: Optional[str] = None,
                 return None   # unresolved symbolic shape
             if not isinstance(v, (int, float)) or isinstance(v, bool):
                 return None
+            if v != int(v):   # fractional (e.g. "I/2" with odd I):
+                return None   # don't silently floor a wrong dimension
             out.append(int(v))
         return out
 

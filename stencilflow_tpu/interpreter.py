@@ -54,6 +54,24 @@ def _call_table(xp):
     }
 
 
+# Narrow-float emulation under jnp: XLA elides f32->bf16->f32 convert
+# round-trips (excess precision — CLAUDE.md), so a bf16 intermediate in a
+# fused jit would flow at f32 precision where the numpy oracle rounds
+# every op.  reduce_precision is NOT elided; apply it to any op result
+# whose dtype is a narrow float so the jitted chain bit-matches numpy.
+_NARROW_RP = {"bfloat16": (8, 7), "float16": (5, 10)}
+
+
+def _round_narrow(xp, v):
+    if xp is np:
+        return v
+    rp = _NARROW_RP.get(getattr(getattr(v, "dtype", None), "name", None))
+    if rp is None:
+        return v
+    from jax import lax
+    return lax.reduce_precision(v, *rp)
+
+
 def _broadcast_to_domain(xp, arr, dim_mask, dimensions):
     """Expand a (possibly lower-dimensional) field to the full 3-D domain."""
     arr = xp.asarray(arr)
@@ -130,13 +148,15 @@ class ChainInterpreter:
               env: Dict[str, Any], bcs: Dict[str, ir.BoundaryCondition]):
         xp = self.xp
         if isinstance(expr, ir.Const):
-            # Under numpy, a Call on a bare python-float const returns a
-            # STRONG np.float64 scalar that promotes the surrounding op to
-            # f64 (NEP 50), while jnp keeps consts weak (per-op f32) — the
-            # semantics every backend implements.  Pin numpy to the kernel
-            # dtype so the oracle matches (1-ulp bit-exactness).
-            if (self.xp is np and isinstance(expr.value, float)
-                    and self._kdtype is not None):
+            # Float consts are PINNED to a floating kernel's dtype in
+            # every engine: under numpy a bare python float is a strong
+            # f64 (NEP 50) that would widen the op; under jnp a weak
+            # const DEMOTES against a narrower neighbor (weak f32 + bf16
+            # -> bf16 in JAX's lattice, where the oracle computes f32).
+            # A strong numpy scalar of the kernel dtype gives the same
+            # bits as a weak const in uniform kernels and oracle-exact
+            # promotion in mixed ones.
+            if isinstance(expr.value, float) and self._kdtype is not None:
                 return self._kdtype.type(expr.value)
             return expr.value
         if isinstance(expr, ir.Ref):
@@ -146,9 +166,9 @@ class ChainInterpreter:
             return read_access(xp, arr3, expr.offsets, bcs.get(expr.field),
                                self.program.dimensions)
         if isinstance(expr, ir.BinOp):
-            return _BINOPS[expr.op](
+            return _round_narrow(xp, _BINOPS[expr.op](
                 self._eval(expr.left, fields, env, bcs),
-                self._eval(expr.right, fields, env, bcs))
+                self._eval(expr.right, fields, env, bcs)))
         if isinstance(expr, ir.UnaryOp):
             return -self._eval(expr.operand, fields, env, bcs)
         if isinstance(expr, ir.Compare):
@@ -162,13 +182,13 @@ class ChainInterpreter:
                 acc = (acc & v) if expr.op == "and" else (acc | v)
             return acc
         if isinstance(expr, ir.Select):
-            return xp.where(
+            return _round_narrow(xp, xp.where(
                 self._eval(expr.cond, fields, env, bcs),
                 self._eval(expr.if_true, fields, env, bcs),
-                self._eval(expr.if_false, fields, env, bcs))
+                self._eval(expr.if_false, fields, env, bcs)))
         if isinstance(expr, ir.Call):
             args = [self._eval(a, fields, env, bcs) for a in expr.args]
-            return self.calls[expr.fn](*args)
+            return _round_narrow(xp, self.calls[expr.fn](*args))
         raise TypeError(f"unknown expression node {type(expr)}")
 
     # -- kernel & chain evaluation ---------------------------------------------
@@ -189,6 +209,14 @@ class ChainInterpreter:
         if result.shape != tuple(self.program.dimensions):
             result = self.xp.broadcast_to(result,
                                           tuple(self.program.dimensions))
+        if (self.xp is not np and dt.name in _NARROW_RP
+                and result.dtype.kind != "b" and result.dtype != dt):
+            # the output cast itself must round (XLA elides the
+            # f32->bf16->f32 pair a downstream kernel would form)
+            from jax import lax
+            if result.dtype.kind in "iu":
+                result = result.astype(np.float32)
+            result = lax.reduce_precision(result, *_NARROW_RP[dt.name])
         return result.astype(kspec.dtype)
 
     def __call__(self, inputs: Dict[str, Any],

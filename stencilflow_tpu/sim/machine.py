@@ -144,7 +144,12 @@ def _expr_src(expr: ir.Expr, access_ids: Dict[Tuple[str, ir.Offsets], int]
         return (f"({_expr_src(expr.left, access_ids)} {_CMP_SRC[expr.op]} "
                 f"{_expr_src(expr.right, access_ids)})")
     if isinstance(expr, ir.BoolOp):
-        joiner = f" {expr.op} "
+        # BITWISE &/| like the oracle (interpreter.py _eval): python
+        # `and`/`or` would return an OPERAND (short-circuit value
+        # semantics) where the oracle reduces with & — on ints the two
+        # genuinely differ (4 and 3 -> 3, but 4 & 3 -> 0), and on floats
+        # the oracle raises TypeError where `and` silently succeeds
+        joiner = " & " if expr.op == "and" else " | "
         return "(" + joiner.join(_expr_src(o, access_ids)
                                  for o in expr.operands) + ")"
     if isinstance(expr, ir.Select):

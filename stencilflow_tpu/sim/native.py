@@ -65,7 +65,7 @@ _RND_CPP = {
     "bf16": "rnd_bf16({})",
 }
 
-# integer/bool kernels: C storage type + the double->int cast helper that
+# integer kernels: C storage type + the double->int cast helper that
 # reproduces numpy's float->int conversion (numpy casts through a 32-bit
 # cvttsd2si for widths <= 32 — out-of-range values land on INT32_MIN whose
 # low bits the narrow store keeps — and a 64-bit one for int64)
@@ -74,11 +74,13 @@ _INT_CT = {
     "i16": ("int16_t", "sf_d2i32"),
     "i32": ("int32_t", "sf_d2i32"),
     "i64": ("int64_t", "sf_d2i64"),
-    "b": ("bool", None),
 }
 
 
 def _round_mode(dtype) -> str:
+    """Rounding-wrapper key for a FLOATING dtype (the per-op-rounding
+    emitter and _rnd_of; int/bool kernels go through the typed emitter
+    and never ask for a rounding mode)."""
     dt = np.dtype(dtype)
     if dt == np.float64:
         return "f64"
@@ -88,13 +90,8 @@ def _round_mode(dtype) -> str:
         return "f16"
     if dt.name == "bfloat16":
         return "bf16"
-    if dt.kind == "i" and dt.itemsize in (1, 2, 4, 8):
-        return f"i{8 * dt.itemsize}"
-    if dt.kind == "b":
-        return "b"
     raise NativeBuildError(
-        f"native simulator: kernel dtype {dt.name} not supported by the "
-        "C++ core (runs on the Python machine)")
+        f"native simulator: no rounding mode for dtype {dt.name}")
 
 
 def _expr_cpp(expr: ir.Expr, access_ids: Dict[Tuple[str, ir.Offsets], int],
@@ -123,6 +120,14 @@ def _expr_cpp(expr: ir.Expr, access_ids: Dict[Tuple[str, ir.Offsets], int],
         return (f"(double)({rec(expr.left)} "
                 f"{_CMP_CPP[expr.op]} {rec(expr.right)})")
     if isinstance(expr, ir.BoolOp):
+        # only bool-valued operands (comparisons) reach && soundly: the
+        # oracle reduces and/or with bitwise &/|, which RAISES on floats
+        # — route anything else to the Python machine, which mirrors that
+        if not all(isinstance(o, (ir.Compare, ir.BoolOp))
+                   for o in expr.operands):
+            raise NativeBuildError(
+                "and/or on non-comparison operands: the oracle's "
+                "bitwise &/| rejects floats; Python machine fallback")
         op = "&&" if expr.op == "and" else "||"
         inner = f" {op} ".join(f"({rec(o)} != 0.0)" for o in expr.operands)
         return f"(double)({inner})"
@@ -148,16 +153,21 @@ def _expr_cpp(expr: ir.Expr, access_ids: Dict[Tuple[str, ir.Offsets], int],
 # for ints (-fwrapv), true division to float64, per-op rounding for narrow
 # floats, np.where-style branch promotion for selects.
 
-_WEAK_INT, _WEAK_FLOAT = "wi", "wf"
+# Weak (python-scalar) node types carry their VALUE: weakness only arises
+# from constants and arithmetic over constants, so the value is always
+# known at codegen — which lets the emitter reproduce NEP 50's
+# OverflowError acceptance (np.int8(x) + 300 raises in the oracle) by
+# refusing such programs into the Python machine.
+_WI, _WF = "wi", "wf"   # tag of ("wi", int_value) / ("wf", float_value)
 
 
 def _is_weak(ty) -> bool:
-    return ty in (_WEAK_INT, _WEAK_FLOAT)
+    return isinstance(ty, tuple)
 
 
 def _is_flt(ty) -> bool:
-    if ty == _WEAK_FLOAT:
-        return True
+    if _is_weak(ty):
+        return ty[0] == _WF
     from ..dtypes import is_floating
     return isinstance(ty, np.dtype) and is_floating(ty)
 
@@ -167,19 +177,35 @@ def _is_bool(ty) -> bool:
 
 
 def _res_ty(*tys):
-    """numpy result dtype with NEP 50 weak-scalar semantics."""
+    """numpy result dtype with NEP 50 weak-scalar semantics.  Raises
+    NativeBuildError (-> Python machine fallback, which then mirrors the
+    oracle's exception) when numpy itself would reject the promotion —
+    including a weak int constant out of range for the concrete dtype."""
     if all(_is_weak(t) for t in tys):
-        return _WEAK_FLOAT if _WEAK_FLOAT in tys else _WEAK_INT
-    args = [1 if t == _WEAK_INT else 1.0 if t == _WEAK_FLOAT else t
+        return (_WF, None) if any(t[0] == _WF for t in tys) \
+            else (_WI, None)
+    args = [(1 if t[0] == _WI else 1.0) if _is_weak(t) else t
             for t in tys]
-    return np.result_type(*args)
+    try:
+        rd = np.result_type(*args)
+    except Exception as exc:   # e.g. DTypePromotionError (bf16 x int)
+        raise NativeBuildError(
+            f"numpy rejects the dtype promotion {tys}: {exc}") from exc
+    if rd.kind in "iu":
+        for t in tys:
+            if (_is_weak(t) and t[0] == _WI and t[1] is not None
+                    and not (np.iinfo(rd).min <= t[1] <= np.iinfo(rd).max)):
+                raise NativeBuildError(
+                    f"python int {t[1]} out of bounds for {rd} (NEP 50 "
+                    "OverflowError in the oracle)")
+    return rd
 
 
 def _ct_of(ty) -> str:
     """C storage type for a node type (floats live in rounded doubles)."""
-    if ty == _WEAK_INT:
-        return "long long"
-    if ty == _WEAK_FLOAT or _is_flt(ty):
+    if _is_weak(ty):
+        return "long long" if ty[0] == _WI else "double"
+    if _is_flt(ty):
         return "double"
     if _is_bool(ty):
         return "bool"
@@ -188,7 +214,7 @@ def _ct_of(ty) -> str:
 
 def _rnd_of(ty):
     """Per-op rounding wrapper for a floating node type."""
-    if ty == _WEAK_FLOAT:
+    if _is_weak(ty):
         return "({})".format
     return _RND_CPP[_round_mode(ty)].format
 
@@ -231,6 +257,19 @@ def _expr_cpp_typed(expr: ir.Expr,
             return f"({ct}){castfn}((double)({src}))"
         return f"({ct})({src})"
 
+    def strong(ty):
+        """numpy funcs MATERIALIZE weak python scalars into strong
+        float64/int64 (np.where, np.minimum, np.abs — unlike plain
+        python arithmetic, which keeps them weak in the oracle)."""
+        if not _is_weak(ty):
+            return ty
+        return np.dtype(np.int64 if ty[0] == _WI else np.float64)
+
+    def weak_const(v):
+        if isinstance(v, int) and not isinstance(v, bool):
+            return f"({v}LL)", (_WI, v)
+        return f"{float(v)!r}", (_WF, float(v))
+
     if isinstance(expr, ir.Const):
         if isinstance(expr.value, bool):
             return ("true" if expr.value else "false"), np.dtype(bool)
@@ -241,8 +280,7 @@ def _expr_cpp_typed(expr: ir.Expr,
                 # (oracle: interpreter.py _kdtype pinning)
                 v = float(np.asarray(expr.value, np.float64).astype(kdt))
                 return f"{v!r}", kdt
-            return f"{expr.value!r}", _WEAK_FLOAT
-        return f"({expr.value}LL)", _WEAK_INT
+        return weak_const(expr.value)
     if isinstance(expr, ir.Ref):
         return f"t_{expr.name}", stypes[expr.name]
     if isinstance(expr, ir.Access):
@@ -251,6 +289,18 @@ def _expr_cpp_typed(expr: ir.Expr,
     if isinstance(expr, ir.BinOp):
         l, lt = rec(expr.left)
         r, rt = rec(expr.right)
+        if _is_weak(lt) and _is_weak(rt):
+            # plain python arithmetic over constants: fold, stay weak
+            try:
+                v = {"add": lambda a, b: a + b,
+                     "sub": lambda a, b: a - b,
+                     "mult": lambda a, b: a * b,
+                     "div": lambda a, b: a / b}[expr.op](lt[1], rt[1])
+            except ZeroDivisionError as exc:
+                raise NativeBuildError(
+                    "constant division by zero raises in the oracle; "
+                    "Python machine fallback") from exc
+            return weak_const(v)
         ty = _res_ty(lt, rt)
         if expr.op == "div":   # numpy true division: ints go to float64
             if not _is_flt(ty):
@@ -275,30 +325,48 @@ def _expr_cpp_typed(expr: ir.Expr,
             raise NativeBuildError(
                 "unary minus on bool is a TypeError in numpy; Python "
                 "machine fallback")
+        if _is_weak(ot):
+            return weak_const(-ot[1])
         if _is_flt(ot):
             return f"(-({o}))", ot
         ct = _ct_of(ot)
         return f"({ct})(-({ct})({o}))", ot
     if isinstance(expr, ir.Compare):
-        l, _lt = rec(expr.left)
-        r, _rt = rec(expr.right)
+        l, lt = rec(expr.left)
+        r, rt = rec(expr.right)
+        _res_ty(lt, rt)   # NEP 50 acceptance check (weak out-of-range)
         return f"(({l}) {_CMP_CPP[expr.op]} ({r}))", np.dtype(bool)
     if isinstance(expr, ir.BoolOp):
-        op = "&&" if expr.op == "and" else "||"
-        parts = [_truthy(*rec(o)) for o in expr.operands]
-        return "(" + f" {op} ".join(parts) + ")", np.dtype(bool)
+        # the oracle reduces and/or with BITWISE &/| (interpreter.py
+        # _eval) — ints combine bitwise (4 and 3 -> 4 & 3 = 0); floats
+        # raise TypeError there, so they must not reach this emitter
+        parts = [rec(o) for o in expr.operands]
+        ty = parts[0][1]
+        for _, t in parts[1:]:
+            if _is_flt(ty) or _is_flt(t):
+                raise NativeBuildError(
+                    "and/or on floats is a TypeError in the oracle "
+                    "(bitwise &/|); Python machine fallback")
+            ty = _res_ty(ty, t)
+        ty = strong(ty)
+        ct = _ct_of(ty)
+        op = "&" if expr.op == "and" else "|"
+        joined = f" {op} ".join(f"({ct})({s})" for s, _ in parts)
+        return f"({ct})({joined})", ty
     if isinstance(expr, ir.Select):
         c, ct_ = rec(expr.cond)
         t, tt = rec(expr.if_true)
         f, ft = rec(expr.if_false)
-        ty = _res_ty(tt, ft)   # np.where promotes both branches
+        # np.where promotes both branches; all-weak branches materialize
+        # STRONG (np.where(c, 1.0, 0.5) is a strong float64)
+        ty = strong(_res_ty(tt, ft))
         return (f"({_truthy(c, ct_)} ? {to_ty(t, tt, ty)} : "
                 f"{to_ty(f, ft, ty)})"), ty
     if isinstance(expr, ir.Call):
         args = [rec(a) for a in expr.args]
         if expr.fn in ("min", "max"):
             (a, at), (b, bt) = args
-            ty = _res_ty(at, bt)
+            ty = strong(_res_ty(at, bt))   # np.minimum materializes
             if _is_flt(ty):    # NaN-propagating like np.minimum/maximum
                 fn = "sf_min" if expr.fn == "min" else "sf_max"
                 return _rnd_of(ty)(
@@ -306,19 +374,18 @@ def _expr_cpp_typed(expr: ir.Expr,
             fn = "std::min" if expr.fn == "min" else "std::max"
             src = (f"{fn}<long long>((long long)({a}), "
                    f"(long long)({b}))")
-            return (src if ty == _WEAK_INT
-                    else f"({_ct_of(ty)}){src}"), ty
+            return f"({_ct_of(ty)}){src}", ty
         if expr.fn == "abs":
             (a, at), = args
             if _is_bool(at):   # np.abs on bool_ is the identity
                 return a, at
-            if not _is_flt(at):
-                ct = _ct_of(at)
-                return f"({ct})sf_iabs((long long)({a}))", at
-            return _rnd_of(at)(f"std::fabs((double)({a}))"), at
-        # transcendentals: integral arguments promote to float64
+            ty = strong(at)    # np.abs materializes weak scalars
+            if not _is_flt(ty):
+                return f"({_ct_of(ty)})sf_iabs((long long)({a}))", ty
+            return _rnd_of(ty)(f"std::fabs((double)({a}))"), ty
+        # transcendentals: integral/weak arguments promote to float64
         (a, at), = args
-        ty = at if _is_flt(at) and at != _WEAK_FLOAT else np.dtype(
+        ty = at if _is_flt(at) and not _is_weak(at) else np.dtype(
             np.float64)
         return _rnd_of(ty)(f"{_FN_CPP[expr.fn]}((double)({a}))"), ty
     raise TypeError(f"unknown expression node {type(expr)}")
@@ -536,6 +603,16 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
         else:
             mode = None
             acc_tys = [src_dtype(f) for f, _ in plans]
+            # ml_dtypes bfloat16 has inconsistent scalar promotion
+            # (np.result_type(1, bf16) says bf16 but the ufunc computes
+            # f32) — mixed-dtype kernels touching bf16 take the Python
+            # machine, whose numpy scalars reproduce whatever the oracle
+            # does; uniform bf16 kernels keep the fast path above
+            if any(dt.name == "bfloat16" for dt in acc_tys + [kdt]):
+                raise NativeBuildError(
+                    "mixed-dtype kernel involving bfloat16: scalar "
+                    "promotion is not well-defined in numpy/ml_dtypes; "
+                    "Python machine fallback")
         for idx, (field, offs) in enumerate(plans):
             bc = kspec.boundary_conditions.get(field)
             dense = [x if x is not None else 0 for x in offs]

@@ -416,6 +416,17 @@ def test_random_mixed_dtype_programs(seed):
                ("stream backend",
                 np.asarray(run_chain_stream(p, inputs,
                                             interpret=True)[out]))]
+    # stacked lowerings where the random draw is in scope (same pattern
+    # as test_random_program_all_engines)
+    from stencilflow_tpu.backend.overlap import run_chain_overlap
+    from stencilflow_tpu.backend.panel import run_chain_panel
+    for name, engine in [("panel", run_chain_panel),
+                         ("overlap", run_chain_overlap)]:
+        try:
+            got = engine(p, inputs, interpret=True)[out]
+        except ValueError:
+            continue
+        engines.append((f"{name} backend", np.asarray(got)))
     exact = ref.dtype.kind in "ib"
     for label, got in engines:
         assert got.dtype == ref.dtype, label

@@ -452,6 +452,111 @@ class TestEngineParityEdgeCases:
                       {"t": {"type": "constant", "value": 1.5}},
                       "data_type": "int32"}}}, "intfloat")
 
+    def test_weak_const_select_materializes_strong(self):
+        """np.where over two weak python-float constants is a STRONG
+        float64 in the oracle — subsequent f32 arithmetic runs in f64.
+        The native emitter must not keep the select weak (review find)."""
+        self._parity({
+            "inputs": {"f": {"data": "random:0,1",
+                             "data_type": "float32"}},
+            "outputs": ["s"], "dimensions": [4, 4, 4],
+            "program": {"s": {
+                "computation_string":
+                "s = ((1.0 if f[i,j,k] > 0.5 else 0.3) + f[i,j,k])"
+                " * 100000000",
+                "boundary_conditions":
+                {"f": {"type": "constant", "value": 0.0}},
+                "data_type": "int32"}}}, "weaksel")
+
+    def test_boolop_on_ints_is_bitwise(self):
+        """The oracle reduces and/or with bitwise &/| — `4 and 3` is
+        4 & 3 = 0, not python's operand-returning `and` (3) nor a
+        truthiness && (1).  All engines must agree (review find)."""
+        self._parity({
+            "inputs": {"f": {"data": "constant:4", "data_type": "int32"},
+                       "g": {"data": "constant:3", "data_type": "int32"}},
+            "outputs": ["s"], "dimensions": [4, 4, 4],
+            "program": {"s": {
+                "computation_string": "s = f[i,j,k] and g[i,j,k]",
+                "boundary_conditions":
+                {"f": {"type": "constant", "value": 0},
+                 "g": {"type": "constant", "value": 0}},
+                "data_type": "int32"}}}, "andint")
+
+    def test_bf16_mixed_chain_falls_back(self):
+        """Mixed-dtype kernels touching bfloat16 take the Python machine
+        (ml_dtypes scalar promotion is inconsistent with result_type);
+        simulate() must still return the oracle's answer, not crash
+        (review find: DTypePromotionError escaped)."""
+        from stencilflow_tpu.sim import simulate
+        from stencilflow_tpu.sim.native import NativeBuildError
+        spec = {
+            "inputs": {"t": {"data": "random:0,3",
+                             "data_type": "bfloat16"},
+                       "n": {"data": "random:0,9", "data_type": "int32"}},
+            "outputs": ["s"], "dimensions": [4, 4, 4],
+            "program": {"s": {
+                "computation_string": "s = t[i,j,k] + n[i,j,k]",
+                "boundary_conditions":
+                {"t": {"type": "constant", "value": 0},
+                 "n": {"type": "constant", "value": 0}},
+                "data_type": "int32"}}}
+        p = sft.parse_program(spec, name="bf16mix")
+        inputs = sft.load_input_arrays(p, seed=0)
+        with pytest.raises(NativeBuildError):
+            NativeSimulator(p)
+        res = simulate(p, inputs)
+        np.testing.assert_array_equal(
+            np.asarray(res.outputs["s"]),
+            np.asarray(sft.run_interpreter(p, inputs)["s"]))
+
+    def test_weak_const_demotion_vs_bf16_field(self):
+        """JAX's weak-type lattice demotes a weak float const against a
+        bf16 neighbor (weak f32 + bf16 -> bf16) where the numpy oracle
+        computes f32 — float consts are pinned to the kernel dtype in
+        every jnp path (tile_eval/fast_tile/jnp interpreter) so all
+        backends match the oracle (found by end-to-end verification)."""
+        import warnings
+        from stencilflow_tpu.backend.stream import run_chain_stream
+        from stencilflow_tpu.backend.xla import compile_chain
+        spec = {
+            "inputs": {"f": {"data": "random:0,9", "data_type": "int32"},
+                       "b": {"data": "random:0,3",
+                             "data_type": "bfloat16"}},
+            "outputs": ["s"], "dimensions": [6, 6, 6],
+            "program": {
+                "m": {"computation_string":
+                      "m = (f[i,j,k] > 2 and f[i,j,k-1] > 1)",
+                      "boundary_conditions":
+                      {"f": {"type": "constant", "value": 0}},
+                      "data_type": "bool"},
+                "w": {"computation_string":
+                      "w = (b[i,j,k] + b[i,j+1,k]) * 0.5",
+                      "boundary_conditions":
+                      {"b": {"type": "constant", "value": 1.0}},
+                      "data_type": "bfloat16"},
+                "s": {"computation_string":
+                      "s = ((1.0 if m[i,j,k] else 0.3) + w[i,j,k])"
+                      " * 1000 + (f[i,j,k] and f[i+1,j,k])",
+                      "boundary_conditions":
+                      {"m": {"type": "constant", "value": 0},
+                       "w": {"type": "constant", "value": 0.5},
+                       "f": {"type": "constant", "value": 0}},
+                      "data_type": "float32"}}}
+        p = sft.parse_program(spec, name="weakdemote")
+        inputs = sft.load_input_arrays(p, seed=0)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ref = np.asarray(sft.run_interpreter(p, inputs)["s"])
+            py = np.asarray(Simulator(p).run(inputs).outputs["s"])
+        np.testing.assert_array_equal(py, ref, err_msg="python machine")
+        for strat in ("interpreter", "tile"):
+            got = np.asarray(compile_chain(p, strategy=strat)(inputs)["s"])
+            np.testing.assert_array_equal(got, ref,
+                                          err_msg=f"xla:{strat}")
+        st = np.asarray(run_chain_stream(p, inputs, interpret=True)["s"])
+        np.testing.assert_array_equal(st, ref, err_msg="stream")
+
     def test_int64_kernel_native(self):
         """int64 kernels run natively (documented envelope: FIFO
         transport is double, so |values| must stay below 2**53)."""
