@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -75,10 +76,21 @@ def _cmd_simulate(args) -> int:
     program = parse_program(args.stencil_file)
     inputs = load_input_arrays(program, prefix=args.input_directory,
                                seed=args.seed)
+    trace = args.trace
+    if args.trace_chrome and not trace:
+        import tempfile
+        trace = os.path.join(tempfile.mkdtemp(prefix="sft_trace_"),
+                             "trace.csv")
     res = simulate(program, inputs, native=not args.no_native,
-                   trace=args.trace)
+                   trace=trace)
     if args.trace:
         print(f"per-cycle trace written to {args.trace}")
+    if args.trace_chrome:
+        from .sim.trace import csv_to_chrome
+        n = csv_to_chrome(trace, args.trace_chrome,
+                          every=args.trace_every)
+        print(f"chrome trace written to {args.trace_chrome} "
+              f"({n} events; open in Perfetto / chrome://tracing)")
     print(f"cycles: {res.cycles} (elements: {program.total_elements})")
     for (src, dst), high in res.edge_high_water.items():
         mean = res.edge_mean_occupancy.get((src, dst))
@@ -730,6 +742,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace", metavar="CSV",
                    help="write a per-cycle CSV (kernel PCs + FIFO "
                         "occupancies; uses the Python engine)")
+    p.add_argument("--trace-chrome", metavar="JSON",
+                   help="write a Chrome/Perfetto trace (counter tracks "
+                        "per FIFO and kernel + activity spans; implies "
+                        "the Python engine)")
+    p.add_argument("--trace-every", type=int, default=1,
+                   help="decimation for --trace-chrome counter samples "
+                        "(change points always kept)")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=_cmd_simulate)
 

@@ -238,6 +238,31 @@ class TestNativeMatchesPython:
                                       r_cc.outputs["s1"])
 
 
+def test_chrome_trace_export(tmp_path):
+    """simulate --trace CSV converts to a Chrome/Perfetto trace whose
+    per-kernel activity spans line up with the machine's first-fire
+    cycles (counter tracks per FIFO/PC, change points always kept)."""
+    import json
+    from stencilflow_tpu.sim.trace import csv_to_chrome
+    p = sft.parse_program(jacobi(3, 6, iterations=3), name="chrometrace")
+    inputs = sft.load_input_arrays(p, seed=0)
+    csv = tmp_path / "trace.csv"
+    res = Simulator(p).run(inputs, trace=str(csv))
+    out = tmp_path / "trace.json"
+    n = csv_to_chrome(str(csv), str(out), every=8)
+    assert n > 0
+    ev = json.loads(out.read_text())["traceEvents"]
+    spans = {e["name"].removeprefix("active "): e for e in ev
+             if e["ph"] == "X"}
+    assert set(spans) == set(p.kernels)
+    for k, st in res.kernel_stats.items():
+        assert spans[k]["ts"] == st["first_fire"]
+    # counter tracks exist for every FIFO and every kernel PC
+    names = {e["name"] for e in ev if e["ph"] == "C"}
+    assert any(nm.startswith("occ:") for nm in names)
+    assert any(nm.startswith("pc:") for nm in names)
+
+
 def test_per_cycle_trace(tmp_path):
     """--trace CSV: one row per cycle, PCs monotone, occupancies bounded
     by the proven high-water marks."""
