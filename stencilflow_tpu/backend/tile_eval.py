@@ -145,13 +145,15 @@ _CALLS: Dict[str, Callable] = {
 
 def const_dtype_of(kspec: ir.KernelSpec):
     """Pin dtype for a kernel's float constants: the kernel dtype when it
-    is floating, else None (weak).  Matches the oracle's pinning
-    (interpreter.py): a weak jnp const DEMOTES against a narrower
-    neighbor (weak f32 + bf16 -> bf16 in JAX's lattice, where numpy
-    computes f32), so mixed-dtype kernels need strong consts to match."""
+    is floating, else float32.  Matches the oracle's pinning
+    (interpreter.py eval_kernel): a weak jnp const DEMOTES against a
+    narrower neighbor (weak f32 + bf16 -> bf16 in JAX's lattice, where
+    numpy computes f32), and in non-floating kernels an unpinned numpy
+    const would materialize strong float64 — which TPU compute cannot
+    express — so f32 is the defined semantics there."""
     from ..dtypes import is_floating
     dt = np.dtype(kspec.dtype)
-    return dt if is_floating(dt) else None
+    return dt if is_floating(dt) else np.dtype(np.float32)
 
 
 def _eval_expr(expr: ir.Expr, fields: Dict[str, Any], env: Dict[str, Any],

@@ -76,21 +76,26 @@ def _cmd_simulate(args) -> int:
     program = parse_program(args.stencil_file)
     inputs = load_input_arrays(program, prefix=args.input_directory,
                                seed=args.seed)
-    trace = args.trace
+    trace, tmp_dir = args.trace, None
     if args.trace_chrome and not trace:
         import tempfile
-        trace = os.path.join(tempfile.mkdtemp(prefix="sft_trace_"),
-                             "trace.csv")
-    res = simulate(program, inputs, native=not args.no_native,
-                   trace=trace)
-    if args.trace:
-        print(f"per-cycle trace written to {args.trace}")
-    if args.trace_chrome:
-        from .sim.trace import csv_to_chrome
-        n = csv_to_chrome(trace, args.trace_chrome,
-                          every=args.trace_every)
-        print(f"chrome trace written to {args.trace_chrome} "
-              f"({n} events; open in Perfetto / chrome://tracing)")
+        tmp_dir = tempfile.mkdtemp(prefix="sft_trace_")
+        trace = os.path.join(tmp_dir, "trace.csv")
+    try:
+        res = simulate(program, inputs, native=not args.no_native,
+                       trace=trace)
+        if args.trace:
+            print(f"per-cycle trace written to {args.trace}")
+        if args.trace_chrome:
+            from .sim.trace import csv_to_chrome
+            n = csv_to_chrome(trace, args.trace_chrome,
+                              every=args.trace_every)
+            print(f"chrome trace written to {args.trace_chrome} "
+                  f"({n} events; open in Perfetto / chrome://tracing)")
+    finally:
+        if tmp_dir is not None:
+            import shutil
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     print(f"cycles: {res.cycles} (elements: {program.total_elements})")
     for (src, dst), high in res.edge_high_water.items():
         mean = res.edge_mean_occupancy.get((src, dst))

@@ -198,8 +198,13 @@ class ChainInterpreter:
         dt = np.dtype(kspec.dtype)
         # is_floating, not kind == "f": ml_dtypes bfloat16 has kind "V",
         # and an unpinned python-float const promotes a bf16 chain to
-        # float32 under numpy (jnp keeps consts weak -> per-op bf16)
-        self._kdtype = dt if is_floating(dt) else None
+        # float32 under numpy (jnp keeps consts weak -> per-op bf16).
+        # In NON-floating kernels float consts pin to float32 — the
+        # framework's defined semantics: numpy would otherwise
+        # materialize a weak const STRONG float64 inside np.where /
+        # np.minimum, forcing f64 compute the TPU backends cannot
+        # express, so f32 is the spec and every engine implements it.
+        self._kdtype = dt if is_floating(dt) else np.dtype(np.float32)
         env: Dict[str, Any] = {}
         for stmt in kspec.statements:
             env[stmt.lhs] = self._eval(stmt.rhs, fields, env,

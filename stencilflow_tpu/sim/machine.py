@@ -178,12 +178,19 @@ def compile_kernel_fn(kspec: ir.KernelSpec,
     dt = np.dtype(kspec.dtype)
     from ..dtypes import is_floating
     def _sel(c, a, b):
+        # np.where semantics: promote to result_type and CONVERT with
+        # astype's wraparound (np.where(c, 300, int8) is 44; r.type(300)
+        # would raise OverflowError — the ufunc rule, not where's)
         r = np.result_type(a, b)
-        return r.type(a) if c else r.type(b)
+        v = a if c else b
+        return np.asarray(v).astype(r)[()]
 
     ns: Dict[str, Any] = {
         "np": np,
-        "_dt": dt.type if is_floating(dt) else (lambda v: v),
+        # float consts pin to the kernel dtype (floating kernels) or
+        # float32 (non-floating — the framework's defined semantics;
+        # see interpreter.eval_kernel)
+        "_dt": dt.type if is_floating(dt) else np.float32,
         "_sel": _sel,
     }
     exec(src, ns)  # noqa: S102 — source is generated from the typed IR

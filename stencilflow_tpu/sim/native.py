@@ -95,13 +95,16 @@ def _round_mode(dtype) -> str:
 
 
 def _expr_cpp(expr: ir.Expr, access_ids: Dict[Tuple[str, ir.Offsets], int],
-              mode: str = "f64") -> str:
+              mode: str = "f64",
+              bool_temps: frozenset = frozenset()) -> str:
     """C++ source for an expression; every operation result is rounded to
-    the kernel dtype (``mode``), matching numpy narrow-scalar semantics."""
+    the kernel dtype (``mode``), matching numpy narrow-scalar semantics.
+    ``bool_temps``: statement names whose value is bool (comparison
+    results) — legal operands for and/or."""
     def rnd(src: str) -> str:
         return _RND_CPP[mode].format(f"({src})")
 
-    rec = lambda e: _expr_cpp(e, access_ids, mode)
+    rec = lambda e: _expr_cpp(e, access_ids, mode, bool_temps)
     if isinstance(expr, ir.Const):
         # pin float consts to the kernel dtype so every op sees the same
         # operand bits as the numpy oracle (per-op rounding)
@@ -120,10 +123,12 @@ def _expr_cpp(expr: ir.Expr, access_ids: Dict[Tuple[str, ir.Offsets], int],
         return (f"(double)({rec(expr.left)} "
                 f"{_CMP_CPP[expr.op]} {rec(expr.right)})")
     if isinstance(expr, ir.BoolOp):
-        # only bool-valued operands (comparisons) reach && soundly: the
-        # oracle reduces and/or with bitwise &/|, which RAISES on floats
-        # — route anything else to the Python machine, which mirrors that
+        # only bool-valued operands (comparisons, or temps holding
+        # comparison results) reach && soundly: the oracle reduces
+        # and/or with bitwise &/|, which RAISES on floats — route
+        # anything else to the Python machine, which mirrors that
         if not all(isinstance(o, (ir.Compare, ir.BoolOp))
+                   or (isinstance(o, ir.Ref) and o.name in bool_temps)
                    for o in expr.operands):
             raise NativeBuildError(
                 "and/or on non-comparison operands: the oracle's "
@@ -178,27 +183,33 @@ def _is_bool(ty) -> bool:
 
 def _res_ty(*tys):
     """numpy result dtype with NEP 50 weak-scalar semantics.  Raises
-    NativeBuildError (-> Python machine fallback, which then mirrors the
-    oracle's exception) when numpy itself would reject the promotion —
-    including a weak int constant out of range for the concrete dtype."""
+    NativeBuildError (-> Python machine fallback) when numpy itself
+    rejects the promotion (e.g. ml_dtypes bf16 x int)."""
     if all(_is_weak(t) for t in tys):
         return (_WF, None) if any(t[0] == _WF for t in tys) \
             else (_WI, None)
     args = [(1 if t[0] == _WI else 1.0) if _is_weak(t) else t
             for t in tys]
     try:
-        rd = np.result_type(*args)
+        return np.result_type(*args)
     except Exception as exc:   # e.g. DTypePromotionError (bf16 x int)
         raise NativeBuildError(
             f"numpy rejects the dtype promotion {tys}: {exc}") from exc
-    if rd.kind in "iu":
-        for t in tys:
-            if (_is_weak(t) and t[0] == _WI and t[1] is not None
-                    and not (np.iinfo(rd).min <= t[1] <= np.iinfo(rd).max)):
-                raise NativeBuildError(
-                    f"python int {t[1]} out of bounds for {rd} (NEP 50 "
-                    "OverflowError in the oracle)")
-    return rd
+
+
+def _check_weak_fits(rd, *tys):
+    """NEP 50 UFUNC rule: a weak python int out of range for the result
+    dtype raises OverflowError in the oracle's arithmetic (np.add,
+    np.minimum, ...) — but NOT in np.where, which wraps, nor in
+    comparisons; call this only at ufunc-shaped sites."""
+    if not (isinstance(rd, np.dtype) and rd.kind in "iu"):
+        return
+    for t in tys:
+        if (_is_weak(t) and t[0] == _WI and t[1] is not None
+                and not (np.iinfo(rd).min <= t[1] <= np.iinfo(rd).max)):
+            raise NativeBuildError(
+                f"python int {t[1]} out of bounds for {rd} (NEP 50 "
+                "OverflowError in the oracle)")
 
 
 def _ct_of(ty) -> str:
@@ -274,12 +285,13 @@ def _expr_cpp_typed(expr: ir.Expr,
         if isinstance(expr.value, bool):
             return ("true" if expr.value else "false"), np.dtype(bool)
         if isinstance(expr.value, float):
+            # float consts pin to the kernel dtype (floating kernels) or
+            # float32 (non-floating — the framework's defined semantics;
+            # see interpreter.eval_kernel)
             from ..dtypes import is_floating
-            if is_floating(kdt):
-                # float consts are pinned to a floating kernel's dtype
-                # (oracle: interpreter.py _kdtype pinning)
-                v = float(np.asarray(expr.value, np.float64).astype(kdt))
-                return f"{v!r}", kdt
+            pin = kdt if is_floating(kdt) else np.dtype(np.float32)
+            v = float(np.asarray(expr.value, np.float64).astype(pin))
+            return f"{v!r}", pin
         return weak_const(expr.value)
     if isinstance(expr, ir.Ref):
         return f"t_{expr.name}", stypes[expr.name]
@@ -302,6 +314,7 @@ def _expr_cpp_typed(expr: ir.Expr,
                     "Python machine fallback") from exc
             return weak_const(v)
         ty = _res_ty(lt, rt)
+        _check_weak_fits(ty, lt, rt)   # arithmetic is a ufunc
         if expr.op == "div":   # numpy true division: ints go to float64
             if not _is_flt(ty):
                 ty = np.dtype(np.float64)
@@ -334,7 +347,9 @@ def _expr_cpp_typed(expr: ir.Expr,
     if isinstance(expr, ir.Compare):
         l, lt = rec(expr.left)
         r, rt = rec(expr.right)
-        _res_ty(lt, rt)   # NEP 50 acceptance check (weak out-of-range)
+        # promotion acceptance only — numpy comparisons do NOT raise on
+        # out-of-range weak ints, so no _check_weak_fits here
+        _res_ty(lt, rt)
         return f"(({l}) {_CMP_CPP[expr.op]} ({r}))", np.dtype(bool)
     if isinstance(expr, ir.BoolOp):
         # the oracle reduces and/or with BITWISE &/| (interpreter.py
@@ -367,6 +382,7 @@ def _expr_cpp_typed(expr: ir.Expr,
         if expr.fn in ("min", "max"):
             (a, at), (b, bt) = args
             ty = strong(_res_ty(at, bt))   # np.minimum materializes
+            _check_weak_fits(ty, at, bt)   # ufunc: weak ints must fit
             if _is_flt(ty):    # NaN-propagating like np.minimum/maximum
                 fn = "sf_min" if expr.fn == "min" else "sf_max"
                 return _rnd_of(ty)(
@@ -650,8 +666,14 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
                 w(f"      {_ct_of(pd)} v{idx} = "
                   f"{_cast_double_to(f'r{idx}', pd)};")
         if uniform:
+            bool_temps: set = set()
             for stmt in kspec.statements:
-                src = _expr_cpp(stmt.rhs, access_ids, mode=mode)
+                if isinstance(stmt.rhs, (ir.Compare, ir.BoolOp)) or (
+                        isinstance(stmt.rhs, ir.Ref)
+                        and stmt.rhs.name in bool_temps):
+                    bool_temps.add(stmt.lhs)
+                src = _expr_cpp(stmt.rhs, access_ids, mode=mode,
+                                bool_temps=frozenset(bool_temps))
                 if mode != "f64":
                     src = rnd(f"({src})")
                 w(f"      double t_{stmt.lhs} = {src};")

@@ -31,7 +31,9 @@ def csv_to_chrome(csv_path, out_path, every: int = 1) -> int:
     with open(csv_path) as f:
         header = f.readline().strip().split(",")
         cols = header[1:]
-        prev: List[Optional[str]] = [None] * len(cols)
+        # machine state before cycle 0 is all zeros (pc=0, occ=0), so a
+        # kernel firing at cycle 0 registers as a change on the first row
+        prev: List[Optional[str]] = ["0"] * len(cols)
         first_change: Dict[str, int] = {}
         last_change: Dict[str, int] = {}
         events: List[Dict[str, Any]] = []
@@ -48,8 +50,7 @@ def csv_to_chrome(csv_path, out_path, every: int = 1) -> int:
             cycle = int(parts[0])
             sample = (row_i % every) == 0
             for ci, val in enumerate(parts[1:]):
-                # the first row is the baseline, not a change
-                changed = prev[ci] is not None and val != prev[ci]
+                changed = val != prev[ci]
                 if changed:
                     name = cols[ci]
                     if name not in first_change:

@@ -478,10 +478,14 @@ class TestEngineParityEdgeCases:
                       "data_type": "int32"}}}, "intfloat")
 
     def test_weak_const_select_materializes_strong(self):
-        """np.where over two weak python-float constants is a STRONG
-        float64 in the oracle — subsequent f32 arithmetic runs in f64.
-        The native emitter must not keep the select weak (review find)."""
-        self._parity({
+        """Float consts in a NON-floating kernel pin to float32 — the
+        framework's defined semantics (numpy would materialize a weak
+        const strong float64 in np.where, which TPU compute cannot
+        express).  All engines, including the jnp backends, must agree
+        on this program (review find: the select's constants)."""
+        from stencilflow_tpu.backend.stream import run_chain_stream
+        from stencilflow_tpu.backend.xla import compile_chain
+        spec = {
             "inputs": {"f": {"data": "random:0,1",
                              "data_type": "float32"}},
             "outputs": ["s"], "dimensions": [4, 4, 4],
@@ -491,7 +495,39 @@ class TestEngineParityEdgeCases:
                 " * 100000000",
                 "boundary_conditions":
                 {"f": {"type": "constant", "value": 0.0}},
-                "data_type": "int32"}}}, "weaksel")
+                "data_type": "int32"}}}
+        self._parity(spec, "weaksel")
+        p = sft.parse_program(spec, name="weakselb")
+        inputs = sft.load_input_arrays(p, seed=1)
+        ref = np.asarray(sft.run_interpreter(p, inputs)["s"])
+        for strat in ("interpreter", "tile"):
+            got = np.asarray(compile_chain(p, strategy=strat)(inputs)["s"])
+            np.testing.assert_array_equal(got, ref,
+                                          err_msg=f"xla:{strat}")
+        st = np.asarray(run_chain_stream(p, inputs, interpret=True)["s"])
+        np.testing.assert_array_equal(st, ref, err_msg="stream")
+
+    def test_boolop_ref_to_comparison_temp_stays_native(self):
+        """A uniform float kernel using a bool-valued statement temp as
+        an and/or operand keeps the fast C++ path (the bool-operand gate
+        tracks comparison temps; review find)."""
+        spec = {
+            "inputs": {"f": {"data": "random:0,4",
+                             "data_type": "float32"}},
+            "outputs": ["s"], "dimensions": [5, 5, 5],
+            "program": {"s": {
+                "computation_string":
+                "m = f[i,j,k] > 2.0; "
+                "s = 1.0 if (m and f[i,j+1,k] > 1.0) else 0.25",
+                "boundary_conditions":
+                {"f": {"type": "constant", "value": 0.0}},
+                "data_type": "float32"}}}
+        p = sft.parse_program(spec, name="boolref")
+        inputs = sft.load_input_arrays(p, seed=2)
+        sim = NativeSimulator(p)   # must not raise NativeBuildError
+        np.testing.assert_array_equal(
+            np.asarray(sim.run(inputs).outputs["s"]),
+            np.asarray(sft.run_interpreter(p, inputs)["s"]))
 
     def test_boolop_on_ints_is_bitwise(self):
         """The oracle reduces and/or with bitwise &/| — `4 and 3` is
