@@ -308,6 +308,8 @@ def compile_chain_overlap(program: ir.Program,
     failures at build/first-execution, so the safety margin blind
     policy needs does not apply there."""
     analysis = analysis or ChainAnalysis.run(program)
+    from .tile_eval import reject_unsupported_mosaic
+    reject_unsupported_mosaic(program, interpret)
     dims = program.dimensions
     I, J, K = dims
     needs = _chain_needs(program, analysis)

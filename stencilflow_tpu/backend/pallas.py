@@ -190,6 +190,8 @@ def compile_chain_pallas(program: ir.Program,
     fixup in XLA; "auto" picks fast when the domain dwarfs the shell.
     """
     analysis = analysis or ChainAnalysis.run(program)
+    from .tile_eval import reject_unsupported_mosaic
+    reject_unsupported_mosaic(program, interpret)
     graph = analysis.graph
     halo = chain_halo(analysis)
     dims = program.dimensions

@@ -451,6 +451,8 @@ def compile_chain_panel(program: ir.Program,
     blind policy; the autotuner passes 1.0 for explicitly requested
     panels since it catches Mosaic failures itself — see overlap.py)."""
     analysis = analysis or ChainAnalysis.run(program)
+    from .tile_eval import reject_unsupported_mosaic
+    reject_unsupported_mosaic(program, interpret)
     dims = program.dimensions
     I, J, K = dims
     auto = panel <= 0

@@ -422,6 +422,9 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 if ring_storage == "bfloat16" else frozenset())
 
     def to_ring(field, plane):
+        if plane.dtype == jnp.bool_:
+            # bool rings are stored as int32 (Mosaic crash — ring_dtype)
+            return plane.astype(jnp.int32)
         if field not in rs_round:
             return plane
         if interpret:
@@ -1239,6 +1242,8 @@ def compile_chain_stream(program: ir.Program,
     fall back to the overlapped-tile backend).
     """
     analysis = analysis or ChainAnalysis.run(program)
+    from .tile_eval import reject_unsupported_mosaic
+    reject_unsupported_mosaic(program, interpret)
     dims = program.dimensions
     I, J, K = dims
 
@@ -1567,6 +1572,13 @@ def compile_chain_stream(program: ir.Program,
         if (ring_storage == "bfloat16" and dt == jnp.float32
                 and not interpret):
             return jnp.bfloat16
+        if dt == jnp.bool_:
+            # bool (and int8: same crash) VMEM rings with i-history
+            # rolls crash the Mosaic compiler (measured on v5e: HTTP 500
+            # from tpu_compile_helper on a bool ring read at i-1); store
+            # 0/1 in int32, cast back to bool at read (to_eval) —
+            # value-exact
+            return jnp.int32
         return dt
 
     # HBM-spilled rings are extra ANY-space outputs (Mosaic has no HBM
@@ -1853,6 +1865,9 @@ def compile_local_stream(program: ir.Program, analysis: ChainAnalysis,
         if (ring_storage == "bfloat16" and dt == jnp.float32
                 and not interpret):
             return jnp.bfloat16
+        if dt == jnp.bool_:
+            # bool VMEM rings crash Mosaic (see ring_dtype); int32 store
+            return jnp.int32
         return dt
 
     # HBM-spilled rings as extra ANY-space outputs (dropped by fn)

@@ -143,6 +143,30 @@ _CALLS: Dict[str, Callable] = {
 }
 
 
+def reject_unsupported_mosaic(program: ir.Program,
+                              interpret: bool) -> None:
+    """Scope gate shared by the Pallas lowerings (stream/panel/overlap):
+    a BOOL field read at a nonzero i-offset needs an i1 ring/stack with
+    history rolls, which crashes the Mosaic compiler outright (measured
+    on v5e: tpu_compile_helper exit 1; int8/int32 re-typed rings crash
+    the same way).  Raise a clean ValueError so compile_chain_best falls
+    through to the fused-XLA backend, which handles these programs on
+    TPU (verified on chip).  Same-plane bool reads are fine."""
+    if interpret:
+        return
+    for kname, kspec in program.kernels.items():
+        for field, offsets in kspec.accesses().items():
+            if np.dtype(program.field_dtype(field)).kind != "b":
+                continue
+            for offs in offsets:
+                if offs and offs[0] not in (0, None):
+                    raise ValueError(
+                        f"kernel {kname!r} reads bool field {field!r} at "
+                        f"i-offset {offs[0]}: bool rings with i-history "
+                        "are unsupported by the Mosaic compiler (use the "
+                        "fused-XLA backend)")
+
+
 def const_dtype_of(kspec: ir.KernelSpec):
     """Pin dtype for a kernel's float constants: the kernel dtype when it
     is floating, else float32.  Matches the oracle's pinning

@@ -507,6 +507,45 @@ class TestEngineParityEdgeCases:
         st = np.asarray(run_chain_stream(p, inputs, interpret=True)["s"])
         np.testing.assert_array_equal(st, ref, err_msg="stream")
 
+    def test_bool_i_history_gated_off_mosaic(self):
+        """A bool field read at a nonzero i-offset crashes the Mosaic
+        compiler (measured on v5e: tpu_compile_helper exit 1 for i1/i8/
+        i32-retyped rings alike), so every Pallas lowering rejects it
+        with a clean ValueError (compile_chain_best then lands on the
+        fused-XLA backend, verified OK on chip); interpret mode keeps
+        working."""
+        from stencilflow_tpu.backend.overlap import compile_chain_overlap
+        from stencilflow_tpu.backend.pallas import compile_chain_pallas
+        from stencilflow_tpu.backend.panel import compile_chain_panel
+        from stencilflow_tpu.backend.stream import (compile_chain_stream,
+                                                    run_chain_stream)
+        spec = {
+            "inputs": {"a": {"data": "random:-1,1",
+                             "data_type": "float32"}},
+            "outputs": ["s"], "dimensions": [7, 8, 8],
+            "program": {
+                "m": {"computation_string": "m = a[i,j,k] > 0.0",
+                      "boundary_conditions":
+                      {"a": {"type": "constant", "value": 0.0}},
+                      "data_type": "bool"},
+                "s": {"computation_string":
+                      "s = (m[i-1,j+1,k] * 2) * 0.25 + a[i,j,k]",
+                      "boundary_conditions":
+                      {"m": {"type": "constant", "value": 0},
+                       "a": {"type": "constant", "value": 0.0}},
+                      "data_type": "float32"}}}
+        p = sft.parse_program(spec, name="boolhistgate")
+        for compiler in (compile_chain_stream, compile_chain_panel,
+                         compile_chain_overlap, compile_chain_pallas):
+            with pytest.raises(ValueError, match="bool.*i-"):
+                compiler(p, interpret=False)
+        inputs = sft.load_input_arrays(p, seed=0)
+        got = run_chain_stream(p, inputs, interpret=True)["s"]
+        np.testing.assert_allclose(
+            np.asarray(got),
+            np.asarray(sft.run_interpreter(p, inputs)["s"]),
+            rtol=2e-5, atol=1e-6)
+
     def test_boolop_ref_to_comparison_temp_stays_native(self):
         """A uniform float kernel using a bool-valued statement temp as
         an and/or operand keeps the fast C++ path (the bool-operand gate
