@@ -29,6 +29,7 @@ import numpy as np
 from jax import lax
 
 from .. import ir
+from ..dtypes import is_floating
 from ..config import JUNK_VAL
 from ..frontend.chain import ChainGraph
 
@@ -175,7 +176,6 @@ def const_dtype_of(kspec: ir.KernelSpec):
     numpy computes f32), and in non-floating kernels an unpinned numpy
     const would materialize strong float64 — which TPU compute cannot
     express — so f32 is the defined semantics there."""
-    from ..dtypes import is_floating
     dt = np.dtype(kspec.dtype)
     return dt if is_floating(dt) else np.dtype(np.float32)
 

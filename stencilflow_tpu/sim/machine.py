@@ -180,10 +180,14 @@ def compile_kernel_fn(kspec: ir.KernelSpec,
     def _sel(c, a, b):
         # np.where semantics: promote to result_type and CONVERT with
         # astype's wraparound (np.where(c, 300, int8) is 44; r.type(300)
-        # would raise OverflowError — the ufunc rule, not where's)
+        # would raise OverflowError — the ufunc rule, not where's).
+        # Only python ints need the astype detour; everything else takes
+        # the cheap scalar constructor (this runs per element).
         r = np.result_type(a, b)
         v = a if c else b
-        return np.asarray(v).astype(r)[()]
+        if type(v) is int:
+            return np.asarray(v).astype(r)[()]
+        return r.type(v)
 
     ns: Dict[str, Any] = {
         "np": np,

@@ -15,7 +15,7 @@ Compiled objects are cached under ``.simcache/`` keyed by source hash.
 
 Integer and bool kernels run natively with numpy scalar semantics (typed
 expression emitter, per-dtype wraparound, true division to float64, weak
-python-int constants — see ``_expr_cpp_int``).  Values cross FIFOs as
+python-int constants — see ``_expr_cpp_typed``).  Values cross FIFOs as
 doubles, so int64 magnitudes beyond 2**53 are the one documented envelope
 where the C++ core diverges from the Python machine (use
 ``simulate(..., native=False)`` there).
@@ -32,6 +32,7 @@ import numpy as np
 
 from .. import ir
 from ..config import JUNK_VAL
+from ..dtypes import is_floating
 from ..frontend.analysis import ChainAnalysis, flatten_index
 from .machine import (SimResult, SimulationError, access_windows,
                       edge_capacities, fire_schedule)
@@ -173,7 +174,6 @@ def _is_weak(ty) -> bool:
 def _is_flt(ty) -> bool:
     if _is_weak(ty):
         return ty[0] == _WF
-    from ..dtypes import is_floating
     return isinstance(ty, np.dtype) and is_floating(ty)
 
 
@@ -288,7 +288,6 @@ def _expr_cpp_typed(expr: ir.Expr,
             # float consts pin to the kernel dtype (floating kernels) or
             # float32 (non-floating — the framework's defined semantics;
             # see interpreter.eval_kernel)
-            from ..dtypes import is_floating
             pin = kdt if is_floating(kdt) else np.dtype(np.float32)
             v = float(np.asarray(expr.value, np.float64).astype(pin))
             return f"{v!r}", pin
@@ -600,7 +599,6 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
           f" && {avail_c}) {{")
         w(f"      const long long t = pc_{kname};")
         kdt = np.dtype(kspec.dtype)
-        from ..dtypes import is_floating
 
         def src_dtype(field: str) -> np.dtype:
             if field in program.inputs:
