@@ -27,8 +27,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
+# tests/conftest.py enables x64 under pytest; the soak must match or
+# float64 programs (mixed_dtype leg) silently truncate in the jnp
+# backends and fail the dtype asserts
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
 LEGS = ["all_engines", "multi_output", "deep", "mxu", "mxu_bf16",
-        "rows", "rows_outofcore", "comm_overlap", "jtiled_split"]
+        "rows", "rows_outofcore", "comm_overlap", "jtiled_split",
+        "mixed_dtype"]
 
 
 def main() -> int:
@@ -51,6 +59,7 @@ def main() -> int:
         "rows_outofcore": tf.test_random_2d_rows_outofcore_composition,
         "comm_overlap": tf.test_random_program_comm_overlap,
         "jtiled_split": tf.test_random_jtiled_interior_split,
+        "mixed_dtype": tf.test_random_mixed_dtype_programs,
     }
     t0 = time.time()
     ran = 0
