@@ -325,6 +325,40 @@ def test_random_program_all_engines(seed):
                                    err_msg=f"{name} backend")
 
 
+def assert_close_modulo_reassociation(got, ref, spec, inputs, out,
+                                      label):
+    """allclose(rtol=2e-5), except for RARE cells where two equally
+    valid f32 evaluations legitimately part ways: XLA contracts a*b+c
+    to FMA differently across compilations (measured: the shard_map
+    body vs the jitted interpreter — ~1 ulp at ~15% of cells on a
+    mul-add-heavy random chain), and cancellation can amplify that
+    1 ulp past any fixed relative tolerance.  Outliers must be (1) rare
+    (< 0.2% of cells) and (2) no farther from the float64 truth than
+    plain f32 rounding puts the oracle itself at those cells — a
+    genuine halo/stitching bug fails both."""
+    import copy
+    close = np.isclose(got, ref, rtol=2e-5, atol=1e-6)
+    if close.all():
+        return
+    frac = 1.0 - close.mean()
+    assert frac < 2e-3, f"{label}: {frac:.2%} of cells mismatch"
+    spec64 = copy.deepcopy(spec)
+    for k in spec64["program"]:
+        spec64["program"][k]["data_type"] = "float64"
+    for k in spec64["inputs"]:
+        spec64["inputs"][k]["data_type"] = "float64"
+    p64 = sft.parse_program(spec64, name="shadow64")
+    in64 = {k: np.asarray(v).astype(np.float64)
+            for k, v in inputs.items()}
+    truth = np.asarray(sft.run_interpreter(p64, in64)[out])
+    bad = ~close
+    e_got = np.abs(got.astype(np.float64) - truth)[bad].max()
+    e_ref = np.abs(ref.astype(np.float64) - truth)[bad].max()
+    assert e_got <= 8 * e_ref + 1e-5, (
+        f"{label}: outlier cells are farther from the f64 truth "
+        f"({e_got:.3e}) than f32 rounding explains ({e_ref:.3e})")
+
+
 def make_mixed_dtype_program(rng):
     """Random chains with a different dtype per kernel (float32/float64/
     int32/int16/bool): edges carry the PRODUCER's dtype, results are cast
@@ -592,8 +626,8 @@ def test_random_program_comm_overlap(seed):
     dev_in = {n: jax.device_put(jnp.asarray(v), sh[n])
               for n, v in inputs.items()}
     got = np.asarray(fn(dev_in)[out])
-    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6,
-                               err_msg="xla comm_overlap (j,k)")
+    assert_close_modulo_reassociation(got, ref, spec, inputs, out,
+                                      "xla comm_overlap (j,k)")
 
     if len(p.raw_dimensions) == 3 and halo[0] > 0:
         mesh1 = Mesh(np.array(jax.devices()[:2]), ("x",))
@@ -605,5 +639,5 @@ def test_random_program_comm_overlap(seed):
         dev1 = {n: jax.device_put(jnp.asarray(v), sh1[n])
                 for n, v in inputs.items()}
         got1 = np.asarray(fn1(dev1)[out])
-        np.testing.assert_allclose(got1, ref, rtol=2e-5, atol=1e-6,
-                                   err_msg="stream comm_overlap (i)")
+        assert_close_modulo_reassociation(got1, ref, spec, inputs, out,
+                                          "stream comm_overlap (i)")
