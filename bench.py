@@ -38,10 +38,27 @@ def main():
                          " ~0.94 of the VPU roofline vs ~0.79 at 256^3)")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--backend", default="auto",
-                    choices=["auto", "stream", "panel", "overlap", "pallas",
-                             "xla", "rows"])
+                    choices=["auto", "stream", "panel", "overlap", "group",
+                             "pallas", "xla", "rows"])
     ap.add_argument("--panel", type=int, default=0,
-                    help="panel size B for --backend panel (0 = auto)")
+                    help="panel size B for --backend panel/group/rows"
+                         " (0 = auto)")
+    ap.add_argument("--group-size", type=int, default=2,
+                    help="stages per group for --backend group"
+                         " (rings every g stages, recompute within)")
+    ap.add_argument("--rows-backend", default="auto",
+                    choices=["auto", "stream", "panel", "overlap",
+                             "group"],
+                    help="inner 3-D lowering for --backend rows")
+    ap.add_argument("--interior-split", default="off",
+                    choices=["on", "off"],
+                    help="interior/boundary body split for --backend"
+                         " group (measured 37% slower ON at the"
+                         " headline — duplicated group bodies)")
+    ap.add_argument("--mxu-precision", default="split",
+                    choices=["split", "bf16", "exact"],
+                    help="band-transform precision for the MXU lowering"
+                         " (--backend stream/auto; bf16 = opt-in 1-pass)")
     ap.add_argument("--fast", default="auto",
                     help="interior-read mode for --backend stream"
                          " (auto/off/shift/j/jk — see backend/stream.py)")
@@ -55,6 +72,21 @@ def main():
     ap.add_argument("--block", type=int, default=0,
                     help="planes per grid step for --backend stream"
                          " (0 = auto)")
+    ap.add_argument("--sessions", type=int, default=0,
+                    help="measurement sessions: repeat the whole"
+                         " differenced-loop protocol N times and report"
+                         " the MEDIAN with the observed spread (0 ="
+                         " default: 3 on TPU, 1 on CPU).  Back-to-back"
+                         " sessions bound short-term tunnel variance;"
+                         " cross-day spread needs separated runs"
+                         " appended via --append-log + session_stats.py")
+    ap.add_argument("--session-gap", type=float, default=0.0,
+                    help="seconds to sleep between sessions")
+    ap.add_argument("--append-log", default=None,
+                    help="append the JSON record (plus a timestamp) to"
+                         " this file — accumulate runs across"
+                         " hours/days, aggregate with"
+                         " scripts/session_stats.py")
     ap.add_argument("--workload", default="jacobi",
                     choices=["jacobi", "jacobi2d", "box", "hotspot",
                              "hdiff"],
@@ -115,14 +147,24 @@ def main():
     elif args.backend == "rows":
         from stencilflow_tpu.backend import compile_chain_rows
         fn, backend = compile_chain_rows(program, panel=args.panel,
-                                         ring_storage=args.ring_storage)
+                                         ring_storage=args.ring_storage,
+                                         backend=args.rows_backend,
+                                         group=args.group_size)
     elif args.backend == "stream":
         from stencilflow_tpu.backend.stream import compile_chain_stream
         fn = compile_chain_stream(program, fast=args.fast,
                                   stage_major=args.stage_major,
                                   block=args.block, interpret=not on_tpu,
+                                  mxu_precision=args.mxu_precision,
                                   ring_storage=args.ring_storage)
         backend = "stream"
+    elif args.backend == "group":
+        from stencilflow_tpu.backend.group import compile_chain_group
+        fn = compile_chain_group(
+            program, panel=args.panel, group=args.group_size,
+            interpret=not on_tpu, ring_storage=args.ring_storage,
+            interior_split=args.interior_split == "on")
+        backend = f"group_g{args.group_size}"
     elif args.backend == "panel":
         from stencilflow_tpu.backend.panel import compile_chain_panel
         fn, backend = (compile_chain_panel(
@@ -182,8 +224,20 @@ def main():
     else:
         big = int(min(1920, max(15, round(15 * (512**3 / cells)))))
         small, trials = max(3, big // 5), 5
-    # two chain applications per loop iteration (see `loop` above)
-    dt = (timed(big, trials) - timed(small, trials)) / (2 * (big - small))
+
+    # variance-aware protocol (VERDICT r4 #3): repeat the WHOLE
+    # differenced measurement N times and take the median — single
+    # best-of-5 readings at 8192^2 / <=128^3 have measured cross-session
+    # swings beyond the documented +-5-8% tunnel band.  two chain
+    # applications per loop iteration (see `loop` above).
+    sessions = args.sessions or (3 if on_tpu else 1)
+    dts = []
+    for s in range(sessions):
+        if s and args.session_gap:
+            time.sleep(args.session_gap)
+        dts.append((timed(big, trials) - timed(small, trials))
+                   / (2 * (big - small)))
+    dt = float(np.median(dts))
     gcell_s = cells / dt / 1e9
 
     report = Report.build(program)
@@ -207,7 +261,17 @@ def main():
     }
     if on_tpu:
         record["bounds"] = report.bound_fractions(dt)
+    if sessions > 1:
+        vals = sorted(cells / d / 1e9 for d in dts)
+        record["sessions"] = sessions
+        record["session_values"] = [round(v, 3) for v in vals]
+        record["spread_pct"] = round(
+            100.0 * (vals[-1] - vals[0]) / gcell_s, 1)
     print(json.dumps(record))
+    if args.append_log:
+        record["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        with open(args.append_log, "a") as f:
+            f.write(json.dumps(record) + "\n")
 
 
 if __name__ == "__main__":

@@ -109,6 +109,15 @@ def main() -> int:
                     help="subset of config names")
     ap.add_argument("-o", "--output", default=None,
                     help="also append JSON lines to this file")
+    ap.add_argument("--sessions", type=int, default=1,
+                    help="repeat the whole differenced measurement N"
+                         " times per config and report median + spread"
+                         " (VERDICT r4 #3: single best-of-5 readings"
+                         " at 8192^2 / <=128^3 swing beyond the +-5-8%"
+                         " band); accumulate runs hours apart via"
+                         " --output and scripts/session_stats.py")
+    ap.add_argument("--session-gap", type=float, default=0.0,
+                    help="seconds between sessions")
     args = ap.parse_args()
 
     import jax
@@ -135,7 +144,15 @@ def main() -> int:
                          "overlap": compile_chain_overlap,
                          "stream": compile_chain_stream}[args.backend]
                 fn, backend = maker(program), args.backend
-            gcell, dt = bench(program, fn, on_tpu)
+            vals, dts = [], []
+            for s in range(max(1, args.sessions)):
+                if s and args.session_gap:
+                    time.sleep(args.session_gap)
+                gcell, dt = bench(program, fn, on_tpu)
+                vals.append(gcell)
+                dts.append(dt)
+            gcell = float(np.median(vals))
+            dt = float(np.median(dts))
             vs = (Report.build(program).roofline_time_s() / dt
                   if on_tpu else None)
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
@@ -145,7 +162,12 @@ def main() -> int:
             continue
         row = {"config": name, "backend": backend,
                "gcell_s": round(gcell, 2),
-               "vs_roofline": round(vs, 4) if vs is not None else None}
+               "vs_roofline": round(vs, 4) if vs is not None else None,
+               "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
+        if args.sessions > 1:
+            sv = sorted(round(v, 2) for v in vals)
+            row["session_values"] = sv
+            row["spread_pct"] = round(100 * (sv[-1] - sv[0]) / gcell, 1)
         rows.append(row)
         print(json.dumps(row), flush=True)
         if args.output:

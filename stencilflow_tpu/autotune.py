@@ -55,6 +55,7 @@ def _builders(program: ir.Program, analysis: ChainAnalysis,
     (so ``run --no-mxu --backend autotuned`` is honored).
     """
     from .backend import _any_mxu_candidate, compile_chain
+    from .backend.group import compile_chain_group
     from .backend.overlap import compile_chain_overlap
     from .backend.panel import compile_chain_panel
     from .backend.pallas import compile_chain_pallas
@@ -72,6 +73,9 @@ def _builders(program: ir.Program, analysis: ChainAnalysis,
         b["stream:rings=bf16"] = lambda: compile_chain_stream(
             program, analysis, interpret=interpret, mxu=mxu,
             mxu_precision=mxu_precision, spill=spill,
+            ring_storage="bfloat16")
+        b["panel:rings=bf16"] = lambda: compile_chain_panel(
+            program, analysis, interpret=interpret,
             ring_storage="bfloat16")
     if mxu != "off" and _any_mxu_candidate(program):
         b["stream:mxu=off"] = lambda: compile_chain_stream(
@@ -102,6 +106,17 @@ def _builders(program: ir.Program, analysis: ChainAnalysis,
         b[f"overlap:B={B}"] = (lambda B=B: compile_chain_overlap(
             program, analysis, panel=B, interpret=interpret,
             gate_frac=1.0))
+    # stage-grouped recompute (backend/group.py): rings every g stages,
+    # overlap-style recompute within groups — the panel<->overlap hybrid
+    # trading VPU flops (recompute halo) for VMEM passes (ring stores)
+    for g in (2, 4):
+        b[f"group:g={g}"] = (lambda g=g: compile_chain_group(
+            program, analysis, group=g, interpret=interpret))
+        for B in (2, 4, 8):
+            b[f"group:g={g}:B={B}"] = (
+                lambda g=g, B=B: compile_chain_group(
+                    program, analysis, group=g, panel=B,
+                    interpret=interpret, gate_frac=1.0))
     if len(program.raw_dimensions) == 2:
         from .backend import compile_chain_rows
         b["rows:auto"] = lambda: compile_chain_rows(
@@ -125,8 +140,13 @@ def _builders(program: ir.Program, analysis: ChainAnalysis,
 # rounding) — reduced-precision candidates are opt-in via explicit
 # labels (--labels stream:rings=bf16,...), like mxu_precision="bf16"
 DEFAULT_LABELS = ["stream", "stream:mxu=off", "stream:sm=off",
-                  "panel:B=auto", "overlap:B=auto", "rows:auto", "pallas",
-                  "xla"]
+                  "panel:B=auto", "overlap:B=auto", "group:g=2",
+                  "group:g=4", "rows:auto", "pallas", "xla"]
+
+# documented reduced-precision opt-ins (per-stage rounding envelopes) —
+# added to the measured set by `autotune --allow-reduced-precision`;
+# verification must widen to the bf16 envelope when one of these wins
+REDUCED_PRECISION_LABELS = ["stream:rings=bf16", "panel:rings=bf16"]
 
 
 def build_from_label(program: ir.Program, label: str,

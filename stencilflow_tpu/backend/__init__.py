@@ -68,7 +68,8 @@ def compile_chain_rows(program, interpret: bool = False, panel: int = 0,
                        backend: str = "auto", mxu: str = "auto",
                        mxu_precision: str = "split", spill: str = "auto",
                        gate_frac: float = 0.7,
-                       ring_storage: str = "off"):
+                       ring_storage: str = "off",
+                       group: int = 2):
     """Row-streaming lowering for 2-D programs: rotate the padded domain
     ``(1, J, K) -> (J, 1, K)`` (frontend.canonicalize.rotate_2d_to_rows)
     and stream ROWS through the 3-D backends — the panel lowering stacks
@@ -85,7 +86,7 @@ def compile_chain_rows(program, interpret: bool = False, panel: int = 0,
     from ..frontend.canonicalize import rotate_2d_to_rows
     rot = rotate_2d_to_rows(program)
     if ring_storage != "off" and not (
-            backend in ("stream", "panel")
+            backend in ("stream", "panel", "group")
             or (backend == "auto" and panel > 0)):
         raise ValueError(
             "ring_storage requires the stream or panel rows lowering "
@@ -103,6 +104,13 @@ def compile_chain_rows(program, interpret: bool = False, panel: int = 0,
         fn, name = (compile_chain_overlap(rot, panel=panel,
                                           interpret=interpret,
                                           gate_frac=gate_frac), "overlap")
+    elif backend == "group":
+        from .group import compile_chain_group
+        fn, name = (compile_chain_group(rot, panel=panel, group=group,
+                                        interpret=interpret,
+                                        gate_frac=gate_frac,
+                                        ring_storage=ring_storage),
+                    f"group_g{group}")
     elif backend == "stream":
         from .stream import compile_chain_stream
         fn, name = (compile_chain_stream(rot, interpret=interpret,

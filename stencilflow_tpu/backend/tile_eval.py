@@ -225,12 +225,22 @@ def eval_expr_generic(expr: ir.Expr, env: Dict[str, Any], read_fn,
     if isinstance(expr, ir.Access):
         return read_fn(expr.field, expr.offsets)
     rec = lambda e: eval_expr_generic(e, env, read_fn, const_dtype)
+    # Mixed int x float sites apply the framework's JAX-lattice
+    # promotion spec (interpreter._match_mixed) EXPLICITLY: without it,
+    # jnp itself only implements that lattice when jax_enable_x64 is
+    # off — under x64 (the CPU test configuration) jnp reverts to
+    # numpy's int32 x float32 -> float64, splitting the engines
+    # (ADVICE r4 medium).  The explicit cast is a no-op where jnp's
+    # implicit promotion already lands on the float dtype.
+    from ..interpreter import _match_mixed
     if isinstance(expr, ir.BinOp):
-        return _BINOPS[expr.op](rec(expr.left), rec(expr.right))
+        return _BINOPS[expr.op](*_match_mixed(rec(expr.left),
+                                              rec(expr.right)))
     if isinstance(expr, ir.UnaryOp):
         return -rec(expr.operand)
     if isinstance(expr, ir.Compare):
-        return _CMPOPS[expr.op](rec(expr.left), rec(expr.right))
+        return _CMPOPS[expr.op](*_match_mixed(rec(expr.left),
+                                              rec(expr.right)))
     if isinstance(expr, ir.BoolOp):
         vals = [rec(o) for o in expr.operands]
         acc = vals[0]
@@ -238,10 +248,13 @@ def eval_expr_generic(expr: ir.Expr, env: Dict[str, Any], read_fn,
             acc = (acc & v) if expr.op == "and" else (acc | v)
         return acc
     if isinstance(expr, ir.Select):
-        return jnp.where(rec(expr.cond), rec(expr.if_true),
-                         rec(expr.if_false))
+        t, f = _match_mixed(rec(expr.if_true), rec(expr.if_false))
+        return jnp.where(rec(expr.cond), t, f)
     if isinstance(expr, ir.Call):
-        return _CALLS[expr.fn](*[rec(a) for a in expr.args])
+        args = [rec(a) for a in expr.args]
+        if len(args) == 2:   # min/max: binary ufunc-shaped sites
+            args = _match_mixed(*args)
+        return _CALLS[expr.fn](*args)
     raise TypeError(f"unknown expression node {type(expr)}")
 
 

@@ -72,6 +72,30 @@ def _round_narrow(xp, v):
     return lax.reduce_precision(v, *rp)
 
 
+def _match_mixed(a, b):
+    """Mixed int x float promotion — the framework's defined semantics
+    (spec'd round 5, ADVICE r4): a STRONG integer/bool operand meeting a
+    STRONG floating operand converts to that float dtype before the op,
+    i.e. JAX's no-f64 lattice (int32 * float32 computes in float32).
+    numpy's NEP 50 would widen int32/int64 x float32 to float64 — a
+    compute dtype the TPU backends cannot express, so the jnp engines
+    could never match the oracle bit-exactly on such programs.  Weak
+    python scalars are untouched (NEP 50 already agrees with JAX there);
+    float x float and int x int keep numpy semantics."""
+    da = getattr(a, "dtype", None)
+    db = getattr(b, "dtype", None)
+    if da is None or db is None:
+        return a, b
+    from .dtypes import is_floating
+    da, db = np.dtype(da), np.dtype(db)
+    fa, fb = is_floating(da), is_floating(db)
+    if fa and not fb and db.kind in "iub":
+        return a, b.astype(da)
+    if fb and not fa and da.kind in "iub":
+        return a.astype(db), b
+    return a, b
+
+
 def _broadcast_to_domain(xp, arr, dim_mask, dimensions):
     """Expand a (possibly lower-dimensional) field to the full 3-D domain."""
     arr = xp.asarray(arr)
@@ -166,15 +190,15 @@ class ChainInterpreter:
             return read_access(xp, arr3, expr.offsets, bcs.get(expr.field),
                                self.program.dimensions)
         if isinstance(expr, ir.BinOp):
-            return _round_narrow(xp, _BINOPS[expr.op](
+            return _round_narrow(xp, _BINOPS[expr.op](*_match_mixed(
                 self._eval(expr.left, fields, env, bcs),
-                self._eval(expr.right, fields, env, bcs)))
+                self._eval(expr.right, fields, env, bcs))))
         if isinstance(expr, ir.UnaryOp):
             return -self._eval(expr.operand, fields, env, bcs)
         if isinstance(expr, ir.Compare):
-            return _CMPOPS[expr.op](
+            return _CMPOPS[expr.op](*_match_mixed(
                 self._eval(expr.left, fields, env, bcs),
-                self._eval(expr.right, fields, env, bcs))
+                self._eval(expr.right, fields, env, bcs)))
         if isinstance(expr, ir.BoolOp):
             vals = [self._eval(o, fields, env, bcs) for o in expr.operands]
             acc = vals[0]
@@ -182,12 +206,15 @@ class ChainInterpreter:
                 acc = (acc & v) if expr.op == "and" else (acc | v)
             return acc
         if isinstance(expr, ir.Select):
-            return _round_narrow(xp, xp.where(
-                self._eval(expr.cond, fields, env, bcs),
+            t, f = _match_mixed(
                 self._eval(expr.if_true, fields, env, bcs),
-                self._eval(expr.if_false, fields, env, bcs)))
+                self._eval(expr.if_false, fields, env, bcs))
+            return _round_narrow(xp, xp.where(
+                self._eval(expr.cond, fields, env, bcs), t, f))
         if isinstance(expr, ir.Call):
             args = [self._eval(a, fields, env, bcs) for a in expr.args]
+            if len(args) == 2:   # min/max: binary ufunc-shaped sites
+                args = _match_mixed(*args)
             return _round_narrow(xp, self.calls[expr.fn](*args))
         raise TypeError(f"unknown expression node {type(expr)}")
 

@@ -115,12 +115,18 @@ _FN_SRC = {
     "sin": "np.sin", "cos": "np.cos", "tan": "np.tan",
     "sinh": "np.sinh", "cosh": "np.cosh", "tanh": "np.tanh",
     "sqrt": "np.sqrt", "exp": "np.exp", "log": "np.log",
-    "abs": "np.abs", "min": "np.minimum", "max": "np.maximum",
+    "abs": "np.abs", "min": "_f_min", "max": "_f_max",
 }
 
-_BIN_SRC = {"add": "+", "sub": "-", "mult": "*", "div": "/"}
-_CMP_SRC = {"lt": "<", "le": "<=", "gt": ">", "ge": ">=",
-            "eq": "==", "ne": "!="}
+# binops/compares emit through _b(...)/_c(...) wrappers so mixed
+# int x float sites apply the framework's JAX-lattice promotion spec
+# (interpreter._match_mixed) before numpy's scalar op — a bare
+# `np.int32 * np.float32` would compute float64, which the TPU engines
+# cannot express (ADVICE r4 medium)
+_BIN_SRC = {"add": "_b_add", "sub": "_b_sub", "mult": "_b_mult",
+            "div": "_b_div"}
+_CMP_SRC = {"lt": "_c_lt", "le": "_c_le", "gt": "_c_gt", "ge": "_c_ge",
+            "eq": "_c_eq", "ne": "_c_ne"}
 
 
 def _expr_src(expr: ir.Expr, access_ids: Dict[Tuple[str, ir.Offsets], int]
@@ -136,12 +142,12 @@ def _expr_src(expr: ir.Expr, access_ids: Dict[Tuple[str, ir.Offsets], int]
     if isinstance(expr, ir.Access):
         return f"v[{access_ids[(expr.field, expr.offsets)]}]"
     if isinstance(expr, ir.BinOp):
-        return (f"({_expr_src(expr.left, access_ids)} {_BIN_SRC[expr.op]} "
+        return (f"{_BIN_SRC[expr.op]}({_expr_src(expr.left, access_ids)}, "
                 f"{_expr_src(expr.right, access_ids)})")
     if isinstance(expr, ir.UnaryOp):
         return f"(-{_expr_src(expr.operand, access_ids)})"
     if isinstance(expr, ir.Compare):
-        return (f"({_expr_src(expr.left, access_ids)} {_CMP_SRC[expr.op]} "
+        return (f"{_CMP_SRC[expr.op]}({_expr_src(expr.left, access_ids)}, "
                 f"{_expr_src(expr.right, access_ids)})")
     if isinstance(expr, ir.BoolOp):
         # BITWISE &/| like the oracle (interpreter.py _eval): python
@@ -177,13 +183,57 @@ def compile_kernel_fn(kspec: ir.KernelSpec,
     src = "\n".join(lines)
     dt = np.dtype(kspec.dtype)
     from ..dtypes import is_floating
+    # Type-pair memos: np.result_type over two scalars depends only on
+    # their TYPES under NEP 50 (numpy scalars strong, python int/float
+    # weak), and every site sees the same operand types each cycle —
+    # the innermost loop pays dict lookups, not dtype dispatch
+    # (ADVICE r4: this engine is already the 100-1000x fallback).
+    _rt_memo: Dict[Tuple[type, type], Any] = {}
+    _mx_memo: Dict[Tuple[type, type], Any] = {}
+    _MISS = object()
+
+    def _mx(a, b):
+        """interpreter._match_mixed for scalars: a strong int/bool
+        meeting a strong float converts to that float dtype (the
+        framework's JAX-lattice mixed-promotion spec)."""
+        key = (type(a), type(b))
+        cast = _mx_memo.get(key, _MISS)
+        if cast is _MISS:
+            from ..dtypes import is_floating as _isf
+            da = getattr(a, "dtype", None)
+            db = getattr(b, "dtype", None)
+            cast = None
+            if da is not None and db is not None:
+                fa, fb = _isf(da), _isf(db)
+                if fa and not fb and np.dtype(db).kind in "iub":
+                    cast = (1, np.dtype(da).type)
+                elif fb and not fa and np.dtype(da).kind in "iub":
+                    cast = (0, np.dtype(db).type)
+            _mx_memo[key] = cast
+        if cast is None:
+            return a, b
+        side, ty = cast
+        return (a, ty(b)) if side else (ty(a), b)
+
+    def _mk_bin(op):
+        def f(a, b, op=op):
+            a, b = _mx(a, b)
+            return op(a, b)
+        return f
+
+    import operator as _op
+
     def _sel(c, a, b):
         # np.where semantics: promote to result_type and CONVERT with
         # astype's wraparound (np.where(c, 300, int8) is 44; r.type(300)
         # would raise OverflowError — the ufunc rule, not where's).
         # Only python ints need the astype detour; everything else takes
         # the cheap scalar constructor (this runs per element).
-        r = np.result_type(a, b)
+        a, b = _mx(a, b)
+        key = (type(a), type(b))
+        r = _rt_memo.get(key)
+        if r is None:
+            r = _rt_memo[key] = np.result_type(a, b)
         v = a if c else b
         if type(v) is int:
             return np.asarray(v).astype(r)[()]
@@ -196,6 +246,12 @@ def compile_kernel_fn(kspec: ir.KernelSpec,
         # see interpreter.eval_kernel)
         "_dt": dt.type if is_floating(dt) else np.float32,
         "_sel": _sel,
+        "_b_add": _mk_bin(_op.add), "_b_sub": _mk_bin(_op.sub),
+        "_b_mult": _mk_bin(_op.mul), "_b_div": _mk_bin(_op.truediv),
+        "_c_lt": _mk_bin(_op.lt), "_c_le": _mk_bin(_op.le),
+        "_c_gt": _mk_bin(_op.gt), "_c_ge": _mk_bin(_op.ge),
+        "_c_eq": _mk_bin(_op.eq), "_c_ne": _mk_bin(_op.ne),
+        "_f_min": _mk_bin(np.minimum), "_f_max": _mk_bin(np.maximum),
     }
     exec(src, ns)  # noqa: S102 — source is generated from the typed IR
     return ns["_kernel"]

@@ -41,6 +41,27 @@ from .machine import (SimResult, SimulationError, access_windows,
 class NativeBuildError(SimulationError):
     """g++ unavailable or compile failure — callers fall back to Python."""
 
+
+def _host_cast_sentinels() -> Dict[str, int]:
+    """numpy's float->int NaN/overflow cast results, probed from the
+    running interpreter (they follow the host ISA's convert instruction:
+    x86 -> INT_MIN sentinel, aarch64 -> saturate / NaN->0).  Baked into
+    the generated C++ so the core matches the oracle everywhere."""
+    out: Dict[str, int] = {}
+    with np.errstate(invalid="ignore", over="ignore"):
+        for name, dt in (("32", np.int32), ("64", np.int64)):
+            out["nan" + name] = int(np.array(np.nan).astype(dt)[()])
+            out["pos" + name] = int(np.array(1e300).astype(dt)[()])
+            out["neg" + name] = int(np.array(-1e300).astype(dt)[()])
+    return out
+
+
+def _cpp_i64(v: int) -> str:
+    """int64 literal without the -9223372036854775808LL overflow trap."""
+    if v == -(2 ** 63):
+        return "(-9223372036854775807LL - 1)"
+    return f"{v}LL"
+
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".simcache")
 
@@ -182,14 +203,25 @@ def _is_bool(ty) -> bool:
 
 
 def _res_ty(*tys):
-    """numpy result dtype with NEP 50 weak-scalar semantics.  Raises
+    """Result dtype at a binary site: numpy NEP 50 weak-scalar
+    semantics, EXCEPT that a strong integer/bool meeting a strong float
+    takes that float dtype — the framework's JAX-lattice mixed-promotion
+    spec (interpreter._match_mixed; numpy alone would widen int32 x
+    float32 to float64, which the TPU engines cannot express).  Raises
     NativeBuildError (-> Python machine fallback) when numpy itself
-    rejects the promotion (e.g. ml_dtypes bf16 x int)."""
+    rejects a promotion (e.g. ml_dtypes bf16 x weak float)."""
     if all(_is_weak(t) for t in tys):
         return (_WF, None) if any(t[0] == _WF for t in tys) \
             else (_WI, None)
-    args = [(1 if t[0] == _WI else 1.0) if _is_weak(t) else t
-            for t in tys]
+    strong = [t for t in tys if not _is_weak(t)]
+    flts = [t for t in strong if is_floating(t)]
+    if flts and any(np.dtype(t).kind in "iub" for t in strong):
+        # mixed spec: ints convert to the float side (weak scalars
+        # cannot override a strong float under NEP 50 either)
+        args = [t for t in flts]
+    else:
+        args = [(1 if t[0] == _WI else 1.0) if _is_weak(t) else t
+                for t in tys]
     try:
         return np.result_type(*args)
     except Exception as exc:   # e.g. DTypePromotionError (bf16 x int)
@@ -346,9 +378,15 @@ def _expr_cpp_typed(expr: ir.Expr,
     if isinstance(expr, ir.Compare):
         l, lt = rec(expr.left)
         r, rt = rec(expr.right)
-        # promotion acceptance only — numpy comparisons do NOT raise on
-        # out-of-range weak ints, so no _check_weak_fits here
-        _res_ty(lt, rt)
+        # numpy compares in the promoted dtype; no _check_weak_fits —
+        # comparisons do NOT raise on out-of-range weak ints.  Mixed
+        # int x float sites promote to the FLOAT dtype (the framework's
+        # JAX-lattice spec), so the int operand must round through f32
+        # before an f32 compare — a bare C compare would promote both
+        # to double (exact) and diverge from the other engines.
+        ty = _res_ty(lt, rt)
+        if isinstance(ty, np.dtype) and _is_flt(ty):
+            l, r = to_ty(l, lt, ty), to_ty(r, rt, ty)
         return f"(({l}) {_CMP_CPP[expr.op]} ({r}))", np.dtype(bool)
     if isinstance(expr, ir.BoolOp):
         # the oracle reduces and/or with BITWISE &/| (interpreter.py
@@ -442,6 +480,27 @@ def generate_cpp(program: ir.Program, analysis: ChainAnalysis,
     w(f"static const int N_EDGES = {len(edge_caps)};")
     caps = ", ".join(str(c) for c in edge_caps)
     w(f"static const long long EDGE_CAP[] = {{{caps or '0'}}};")
+    s = _host_cast_sentinels()
+    w(f"""
+// numpy float->int casts: NaN / out-of-range results are HOST-specific
+// (x86 cvttsd2si lands everything on the width's minimum; aarch64 fcvtzs
+// saturates and converts NaN to 0), so the values below were PROBED from
+// the running numpy at codegen time — the generated core matches the
+// oracle's own behavior on any architecture (ADVICE r4).  In-range
+// truncates toward zero; numpy converts to widths <= 32 through the
+// 32-bit form (the narrow store then keeps the low bits), and int64
+// through the 64-bit form.
+static inline int32_t sf_d2i32(double v) {{
+  if (v > -2147483649.0 && v < 2147483648.0) return (int32_t)v;
+  if (v != v) return (int32_t)({s['nan32']}L);
+  return v > 0 ? (int32_t)({s['pos32']}L) : (int32_t)({s['neg32']}L);
+}}
+static inline int64_t sf_d2i64(double v) {{
+  if (v >= -9223372036854775808.0 && v < 9223372036854775808.0)
+    return (int64_t)v;
+  if (v != v) return {_cpp_i64(s['nan64'])};
+  return v > 0 ? {_cpp_i64(s['pos64'])} : {_cpp_i64(s['neg64'])};
+}}""")
     w("""
 // stale-read fault record (proof discipline, underflow side — the
 // reference's BoundedQueue raised on both sides, bounded_queue.py:121-139)
@@ -453,19 +512,6 @@ static inline double sf_min(double a, double b) {
 }
 static inline double sf_max(double a, double b) {
   return (a != a) ? a : ((b != b) ? b : std::fmax(a, b));
-}
-// numpy float->int casts (x86 cvttsd2si semantics): NaN / out-of-range
-// land on the width's sentinel; in-range truncates toward zero.  numpy
-// converts to widths <= 32 through the 32-bit form (the narrow store then
-// keeps the low bits), and int64 through the 64-bit form.
-static inline int32_t sf_d2i32(double v) {
-  if (v > -2147483649.0 && v < 2147483648.0) return (int32_t)v;
-  return INT32_MIN;
-}
-static inline int64_t sf_d2i64(double v) {
-  if (v >= -9223372036854775808.0 && v < 9223372036854775808.0)
-    return (int64_t)v;
-  return INT64_MIN;
 }
 // np.abs on ints (INT_MIN wraps to itself, like numpy; -fwrapv)
 static inline long long sf_iabs(long long a) { return a < 0 ? -a : a; }

@@ -359,13 +359,21 @@ def assert_close_modulo_reassociation(got, ref, spec, inputs, out,
         f"({e_got:.3e}) than f32 rounding explains ({e_ref:.3e})")
 
 
-def make_mixed_dtype_program(rng):
+def make_mixed_dtype_program(rng, nondyadic: bool = False,
+                             amplified_consumer: bool = False):
     """Random chains with a different dtype per kernel (float32/float64/
     int32/int16/bool): edges carry the PRODUCER's dtype, results are cast
     once at each kernel's output (the oracle's semantics — see
     interpreter.eval_kernel).  Constants are kept f32-exact (the jnp
     backends hold them weak where the numpy oracle pins them) and small
-    enough for every int width (NEP 50 raises on out-of-range weak ints)."""
+    enough for every int width (NEP 50 raises on out-of-range weak ints).
+
+    ``nondyadic`` draws full-precision float consts (0.1-like values
+    whose f32 vs f64 compute differs) and ``amplified_consumer`` appends
+    an int32 stage multiplying the chain output by 2**10 — together they
+    make the mixed int x float PROMOTION spec observable (ADVICE r4: the
+    dyadic consts of the base leg are exact in both f32 and f64, hiding
+    a wrong compute dtype)."""
     dims = [int(rng.integers(4, 8)) for _ in range(3)]
 
     def acc(field):
@@ -373,6 +381,8 @@ def make_mixed_dtype_program(rng):
         return field + _offset_str(["i", "j", "k"], offs)
 
     def fconst():
+        if nondyadic:
+            return f"{float(rng.uniform(-2, 2))!r}"
         return f"{round(float(rng.uniform(-2, 2)) * 64) / 64!r}"
 
     inputs = {"a": {"data": "random:-1,1", "data_type": "float32"},
@@ -422,6 +432,15 @@ def make_mixed_dtype_program(rng):
         prog[name] = {"computation_string": f"{name} = {expr}",
                       "boundary_conditions": bcs, "data_type": dt}
         avail.append((name, dt))
+    if amplified_consumer:
+        last = avail[-1][0]
+        mul = 1 if avail[-1][1] == "bool" else 1024
+        prog["amp"] = {
+            "computation_string": f"amp = {acc(last)} * {mul}",
+            "boundary_conditions": {
+                last: {"type": "constant", "value": 0}},
+            "data_type": "int32"}
+        avail.append(("amp", "int32"))
     return {"inputs": inputs, "outputs": [avail[-1][0]],
             "dimensions": dims, "program": prog}
 
@@ -470,6 +489,51 @@ def test_random_mixed_dtype_programs(seed):
             np.testing.assert_allclose(
                 got.astype(np.float64), ref.astype(np.float64),
                 rtol=2e-5, atol=1e-6, err_msg=label)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_mixed_promotion_programs(seed):
+    """The mixed int x float PROMOTION spec under non-dyadic consts with
+    an amplified int32 consumer (ADVICE r4): the three numpy-semantics
+    engines (oracle / Python machine / native C++) must stay BIT-equal —
+    a wrong compute dtype (numpy's f64 widening) shows up here as whole
+    integer counts.  The jnp engines are checked to a small absolute
+    slack on the amplified ints: XLA CPU contracts `a*c1 + b*c2` into
+    FMA (~1 f32 ulp, a platform artifact orthogonal to promotion —
+    tests/test_mixed_promotion.py pins the spec itself discretely)."""
+    import warnings
+    from stencilflow_tpu.sim.machine import Simulator
+    rng = np.random.default_rng(52000 + seed)
+    spec = make_mixed_dtype_program(rng, nondyadic=True,
+                                    amplified_consumer=True)
+    p = sft.parse_program(spec, name=f"mixpr{seed}")
+    inputs = sft.load_input_arrays(p, seed=seed)
+    out = p.outputs[0]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")   # int overflow wrap on purpose
+        ref = np.asarray(sft.run_interpreter(p, inputs)[out])
+        got_py = np.asarray(Simulator(p).run(inputs).outputs[out])
+        np.testing.assert_array_equal(got_py, ref,
+                                      err_msg="python machine")
+        try:
+            got_nat = np.asarray(
+                NativeSimulator(p).run(inputs).outputs[out])
+            np.testing.assert_array_equal(got_nat, ref,
+                                          err_msg="native simulator")
+        except SimulationError:
+            pass   # outside the native scope (bf16 mixing etc.)
+        for label, got in [
+                ("xla", np.asarray(run_chain(p, inputs)[out])),
+                ("stream", np.asarray(run_chain_stream(
+                    p, inputs, interpret=True)[out]))]:
+            assert got.dtype == ref.dtype, label
+            if ref.dtype.kind in "ib":
+                d = np.abs(got.astype(np.int64) - ref.astype(np.int64))
+                assert d.max() <= 8, (label, d.max())
+            else:
+                np.testing.assert_allclose(
+                    got.astype(np.float64), ref.astype(np.float64),
+                    rtol=2e-5, atol=1e-6, err_msg=label)
 
 
 @pytest.mark.parametrize("seed", range(10))
