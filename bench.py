@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--group-size", type=int, default=2,
                     help="stages per group for --backend group"
                          " (rings every g stages, recompute within)")
+    ap.add_argument("--input-windows", default="ring",
+                    choices=["ring", "direct"],
+                    help="--backend group / rows+group: VMEM input rings"
+                         " vs overlapping direct block refs (trades"
+                         " VMEM passes for extra HBM input reads)")
     ap.add_argument("--rows-backend", default="auto",
                     choices=["auto", "stream", "panel", "overlap",
                              "group"],
@@ -149,7 +154,8 @@ def main():
         fn, backend = compile_chain_rows(program, panel=args.panel,
                                          ring_storage=args.ring_storage,
                                          backend=args.rows_backend,
-                                         group=args.group_size)
+                                         group=args.group_size,
+                                         input_windows=args.input_windows)
     elif args.backend == "stream":
         from stencilflow_tpu.backend.stream import compile_chain_stream
         fn = compile_chain_stream(program, fast=args.fast,
@@ -163,7 +169,8 @@ def main():
         fn = compile_chain_group(
             program, panel=args.panel, group=args.group_size,
             interpret=not on_tpu, ring_storage=args.ring_storage,
-            interior_split=args.interior_split == "on")
+            interior_split=args.interior_split == "on",
+            input_windows=args.input_windows)
         backend = f"group_g{args.group_size}"
     elif args.backend == "panel":
         from stencilflow_tpu.backend.panel import compile_chain_panel
@@ -241,11 +248,22 @@ def main():
     gcell_s = cells / dt / 1e9
 
     report = Report.build(program)
-    vs = report.roofline_time_s() / dt if on_tpu else None
+    # a bf16 single-pass MXU run is measured against ITS OWN (1-pass)
+    # denominator so vs_baseline stays <= 1 (VERDICT r4 weak #7); the
+    # split-priced candidate is still emitted in "bounds"
+    vs = (report.roofline_time_s(mxu_precision=args.mxu_precision)
+          / dt if on_tpu else None)
 
     tag = (args.workload if args.workload.endswith("2d")
            else f"{args.workload}3d")
     rank = len(program.raw_dimensions)
+    # opt-in accuracy envelopes are part of the metric IDENTITY: a bf16
+    # ring-storage leg must never pool with the exact leg in session
+    # aggregation (scripts/session_stats.py groups by metric string)
+    if args.ring_storage == "bfloat16":
+        backend += "_bf16rings"
+    if args.mxu_precision != "split":
+        backend += f"_mxu-{args.mxu_precision}"
     # vs_baseline is the fraction of the BINDING roofline; its name is in
     # the metric string and every candidate bound is emitted alongside so
     # the artifact stays self-describing across ceiling recalibrations

@@ -23,7 +23,10 @@ run --workload jacobi --backend panel                    # headline 512^3 x8
 run --workload jacobi2d --backend stream                 # 8192^2 x8 j-tiled
 run --workload hdiff --backend panel
 run --workload hotspot --backend panel
-run --workload box                                       # auto: composed MXU
+run --workload box --size 256                            # auto: composed MXU
+                                                         # (256^3 criterion
+                                                         # size; 128^3 swings
+                                                         # +-25% day-to-day)
 # opt-in cells (documented reduced-precision envelopes)
 run --workload jacobi --backend panel --ring-storage bfloat16
 run --workload jacobi2d --backend stream --ring-storage bfloat16

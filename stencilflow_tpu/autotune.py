@@ -129,6 +129,18 @@ def _builders(program: ir.Program, analysis: ChainAnalysis,
             b[f"rows:B={B}"] = (lambda B=B: compile_chain_rows(
                 program, interpret=interpret, panel=B,
                 backend="panel", gate_frac=1.0)[0])
+        # stage-grouped rows: g >= depth (single group, overlap-style
+        # zero intermediate rings) measured the 2-D exact-mode winner
+        # (jacobi2d 8192^2 x8: 16.9 vs j-tiled stream 15.4 — RESULTS.md
+        # round 5); win=direct additionally drops the input ring
+        for g, B, win in ((8, 64, "ring"), (8, 64, "direct"),
+                          (4, 64, "ring")):
+            suffix = ":win=direct" if win == "direct" else ""
+            b[f"rows:group:g={g}:B={B}{suffix}"] = (
+                lambda g=g, B=B, win=win: compile_chain_rows(
+                    program, interpret=interpret, panel=B,
+                    backend="group", group=g, gate_frac=1.0,
+                    input_windows=win)[0])
     b["pallas"] = lambda: compile_chain_pallas(
         program, analysis, interpret=interpret)
     b["xla"] = lambda: compile_chain(program, analysis)
@@ -141,7 +153,8 @@ def _builders(program: ir.Program, analysis: ChainAnalysis,
 # labels (--labels stream:rings=bf16,...), like mxu_precision="bf16"
 DEFAULT_LABELS = ["stream", "stream:mxu=off", "stream:sm=off",
                   "panel:B=auto", "overlap:B=auto", "group:g=2",
-                  "group:g=4", "rows:auto", "pallas", "xla"]
+                  "group:g=4", "rows:auto", "rows:group:g=8:B=64",
+                  "pallas", "xla"]
 
 # documented reduced-precision opt-ins (per-stage rounding envelopes) —
 # added to the measured set by `autotune --allow-reduced-precision`;
@@ -277,13 +290,21 @@ def autotune(program: ir.Program,
              verbose: bool = False,
              mxu: str = "auto",
              mxu_precision: str = "split",
-             spill: str = "auto") -> AutotuneResult:
+             spill: str = "auto",
+             allow_reduced_precision: bool = False) -> AutotuneResult:
     """Measure every applicable lowering and return the winner.
 
     ``sweep`` adds the panel/overlap block-size grid to the default
     candidate set.  Candidates whose scope checks reject the program are
     recorded in ``skipped``; a candidate that fails at runtime is
     recorded with infinite time.
+
+    ``allow_reduced_precision`` adds the documented opt-in rounding
+    envelopes (bf16 ring storage) to the measured set — autotune selects
+    on SPEED alone, so accuracy-trading candidates never enter the pool
+    implicitly; a reduced-precision winner is flagged in the cache and
+    ``run --backend autotuned`` widens verification to the bf16
+    envelope.  Passing explicit ``labels`` bypasses the filter.
     """
     import jax
     import jax.numpy as jnp
@@ -296,6 +317,8 @@ def autotune(program: ir.Program,
     if labels is None:
         labels = list(builders) if sweep else [
             l for l in DEFAULT_LABELS if l in builders]
+        if not allow_reduced_precision:
+            labels = [l for l in labels if ":rings=bf16" not in l]
 
     inputs = load_input_arrays(program, seed=seed)
     arrs = {k: jnp.asarray(v) for k, v in inputs.items()}
@@ -383,6 +406,10 @@ def save_result(program: ir.Program, res: AutotuneResult,
         # they MEASURED (compiled + executed) on this device during
         # tuning; recorded so `run --backend autotuned` users can see it
         "over_gate": ":B=" in res.label,
+        # reduced-precision winners (bf16 rings) carry a documented
+        # rounding envelope: `run --backend autotuned` widens its
+        # verification tolerance when this is set
+        "reduced_precision": ":rings=bf16" in res.label,
         "seconds": res.seconds,
         "timings": {l: (None if not np.isfinite(t) else t)
                     for l, t in res.timings.items()},
@@ -402,12 +429,18 @@ def compile_chain_autotuned(program: ir.Program,
                             mxu: str = "auto",
                             mxu_precision: str = "split",
                             spill: str = "auto",
+                            allow_reduced_precision: bool = False,
                             **autotune_kw) -> Tuple[Any, str]:
     """Return ``(fn, label)`` for the measured-best lowering, consulting
-    (and updating) the on-disk cache."""
+    (and updating) the on-disk cache.  ``allow_reduced_precision`` is
+    part of the cache key: a bf16-rings winner tuned under the flag is
+    never served to a run that didn't opt in."""
     path = cache_path or DEFAULT_CACHE
     settings = dict(mxu=mxu, mxu_precision=mxu_precision, spill=spill)
-    key = cache_key(program, interpret, **settings)
+    key_settings = dict(settings)
+    if allow_reduced_precision:
+        key_settings["allow_reduced_precision"] = True
+    key = cache_key(program, interpret, **key_settings)
     cache = _load_cache(path)
     if not force and key in cache:
         label = cache[key]["label"]
@@ -417,7 +450,8 @@ def compile_chain_autotuned(program: ir.Program,
                     label)
         except (ValueError, NotImplementedError, KeyError):
             pass  # stale entry (e.g. tuned on different jax) — re-tune
-    res = autotune(program, analysis, interpret=interpret, **settings,
-                   **autotune_kw)
-    save_result(program, res, path, interpret, **settings)
+    res = autotune(program, analysis, interpret=interpret,
+                   allow_reduced_precision=allow_reduced_precision,
+                   **settings, **autotune_kw)
+    save_result(program, res, path, interpret, **key_settings)
     return res.fn, res.label

@@ -69,7 +69,8 @@ def compile_chain_rows(program, interpret: bool = False, panel: int = 0,
                        mxu_precision: str = "split", spill: str = "auto",
                        gate_frac: float = 0.7,
                        ring_storage: str = "off",
-                       group: int = 2):
+                       group: int = 2,
+                       input_windows: str = "ring"):
     """Row-streaming lowering for 2-D programs: rotate the padded domain
     ``(1, J, K) -> (J, 1, K)`` (frontend.canonicalize.rotate_2d_to_rows)
     and stream ROWS through the 3-D backends — the panel lowering stacks
@@ -109,7 +110,8 @@ def compile_chain_rows(program, interpret: bool = False, panel: int = 0,
         fn, name = (compile_chain_group(rot, panel=panel, group=group,
                                         interpret=interpret,
                                         gate_frac=gate_frac,
-                                        ring_storage=ring_storage),
+                                        ring_storage=ring_storage,
+                                        input_windows=input_windows),
                     f"group_g{group}")
     elif backend == "stream":
         from .stream import compile_chain_stream

