@@ -63,7 +63,7 @@ from ..config import JUNK_VAL
 from ..frontend.analysis import ChainAnalysis
 from .stacked_io import (build_input_specs, has_partial_rank_risk,
                          ingest_panel, input_resident_bytes,
-                         make_forward, shift_fill_k)
+                         make_forward, narrow_store_dtype, shift_fill_k)
 from .tile_eval import eval_kernel_statements
 
 
@@ -195,7 +195,7 @@ class GroupPlan:
 def _group_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                        plan: GroupPlan, input_names, input_kinds,
                        shiftk: bool, interior_split: bool,
-                       ring_fields, win_ref_idx, *refs,
+                       ring_fields, win_ref_idx, bool_wire, *refs,
                        ring_storage="off"):
     B = plan.B
     dims = program.dimensions
@@ -230,6 +230,8 @@ def _group_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 if ring_storage == "bfloat16" else frozenset())
 
     def to_ring(field, panel):
+        if panel.dtype == jnp.bool_ and field in bool_wire:
+            return panel.astype(jnp.int32)
         if field not in rs_round:
             return panel
         if rings[field].dtype == panel.dtype:   # interpret: emulate
@@ -237,7 +239,11 @@ def _group_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         return panel.astype(rings[field].dtype)
 
     def to_eval(field, arr):
-        edt = _eval_dtype(field)
+        # bool history/blocks ride the wire as 0/1 int32 (panel.py's
+        # bool_wire contract: i1 shifts crash Mosaic); make_read
+        # converts with != 0 at its exit
+        edt = (jnp.int32 if field in bool_wire
+               else _eval_dtype(field))
         return arr if arr.dtype == edt else arr.astype(edt)
 
     def _slot(pidx, D):
@@ -411,7 +417,16 @@ def _group_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                                             jnp.roll(val, -ok, axis=1))
                     return val
 
-                return read, rows_c
+                if not bool_wire:
+                    return read, rows_c
+
+                def read_wire(field, offsets):
+                    val = read(field, offsets)
+                    if field in bool_wire:   # back to bool at read exit
+                        return val != 0
+                    return val
+
+                return read_wire, rows_c
 
             for kname in grp:
                 if kname not in nd:
@@ -424,7 +439,10 @@ def _group_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                     result = jnp.broadcast_to(result, (rows_c, K))
                 result = result.astype(
                     jax.dtypes.canonicalize_dtype(kspec.dtype))
-                vals[kname] = result
+                # bool stage results ride in-group reads as 0/1 int32
+                # too (slicing an i1 block risks the same Mosaic class)
+                vals[kname] = (result.astype(jnp.int32)
+                               if kname in bool_wire else result)
                 lo_s, _hi_s = nd[kname]
                 core = (jax.lax.slice(result, (lo_s * J, 0),
                                       (lo_s * J + BJ, K))
@@ -502,7 +520,7 @@ def compile_chain_group(program: ir.Program,
     that covers stale ring slots."""
     analysis = analysis or ChainAnalysis.run(program)
     from .tile_eval import reject_unsupported_mosaic
-    reject_unsupported_mosaic(program, interpret)
+    reject_unsupported_mosaic(program, interpret, bool_ihistory_ok=True)
     # The interior split is bit-exact on compiled Mosaic (verified on
     # v5e: the VPU does not contract mul+add, RESULTS.md vpu study) but
     # NOT in interpret mode: eliding a provably-all-false i-select
@@ -625,8 +643,8 @@ def compile_chain_group(program: ir.Program,
             lambda g, c=c, np_=n_panels: (jnp.clip(g - c, 0, np_ - 1),
                                           0, 0),
             memory_space=pltpu.VMEM))
-        out_dtype = jax.dtypes.canonicalize_dtype(
-            program.kernels[out].dtype)
+        out_dtype = narrow_store_dtype(program.kernels[out].dtype,
+                                       interpret)
         out_shapes.append(jax.ShapeDtypeStruct((I, J, K), out_dtype))
 
     def _ring_dtype(f):
@@ -634,7 +652,16 @@ def compile_chain_group(program: ir.Program,
         if (ring_storage == "bfloat16" and dt == jnp.float32
                 and not interpret):
             return jnp.bfloat16
+        if dt == jnp.bool_ and not interpret:
+            # bool history as 0/1 int32 (panel.py's bool_wire contract)
+            return jnp.int32
         return dt
+
+    bool_wire = (frozenset(
+        f for f in list(program.kernels) + list(program.inputs)
+        if jax.dtypes.canonicalize_dtype(
+            program.field_dtype(f)) == jnp.bool_)
+        if not interpret else frozenset())
 
     ring_fields_eff = [f for f in plan.ring_fields
                        if f not in direct_inputs]
@@ -646,7 +673,7 @@ def compile_chain_group(program: ir.Program,
     kernel = functools.partial(_group_kernel_body, program, analysis,
                                plan, input_names, input_kinds, shiftk,
                                interior_split, ring_fields_eff,
-                               win_ref_idx,
+                               win_ref_idx, bool_wire,
                                ring_storage=ring_storage)
     lag_max = max(plan.lag[plan.group_of[o]] for o in program.outputs)
     grid = (n_panels + lag_max,)

@@ -61,7 +61,7 @@ from ..config import JUNK_VAL
 from ..frontend.analysis import ChainAnalysis
 from .stacked_io import (build_input_specs, has_partial_rank_risk,
                          ingest_panel, input_resident_bytes,
-                         make_forward, shift_fill_k)
+                         make_forward, narrow_store_dtype, shift_fill_k)
 from .tile_eval import eval_kernel_statements
 
 
@@ -392,8 +392,8 @@ def compile_chain_overlap(program: ir.Program,
             (B, J, K),
             lambda g, np_=n_panels: (jnp.clip(g - 1, 0, np_ - 1), 0, 0),
             memory_space=pltpu.VMEM))
-        out_dtype = jax.dtypes.canonicalize_dtype(
-            program.kernels[out].dtype)
+        out_dtype = narrow_store_dtype(program.kernels[out].dtype,
+                                       interpret)
         out_shapes.append(jax.ShapeDtypeStruct((I, J, K), out_dtype))
 
     scratch_shapes = [

@@ -52,7 +52,7 @@ from ..config import JUNK_VAL
 from ..frontend.analysis import ChainAnalysis
 from .stacked_io import (build_input_specs, has_partial_rank_risk,
                          ingest_panel, input_resident_bytes,
-                         make_forward, shift_fill_k)
+                         make_forward, narrow_store_dtype, shift_fill_k)
 from .tile_eval import eval_kernel_statements
 
 
@@ -210,7 +210,23 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                           if _eval_dtype(f) == jnp.float32)
                 if ring_storage == "bfloat16" else frozenset())
 
+    # bool i-history: the ring is int32 (compile_chain_panel's
+    # _ring_dtype — an i1 ring with history reads crashes Mosaic), and
+    # the value stays 0/1 int32 THROUGH the slice/roll/mask machinery —
+    # make_read converts with `!= 0` only at its exit (shifting the i1
+    # vector itself is what crashed, not the ring storage).
+    bool_wire = frozenset(
+        f for f in plan.ring
+        if _eval_dtype(f) == jnp.bool_
+        and rings[f].dtype == jnp.int32)   # interpret keeps bool rings
+
+    def _wire_dtype(f):
+        edt = _eval_dtype(f)
+        return jnp.int32 if f in bool_wire else edt
+
     def to_ring(field, panel):
+        if panel.dtype == jnp.bool_ and field in bool_wire:
+            return panel.astype(jnp.int32)
         if field not in rs_round:
             return panel
         if rings[field].dtype == panel.dtype:   # interpret: emulate
@@ -218,7 +234,7 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         return panel.astype(rings[field].dtype)
 
     def to_eval(field, arr):
-        edt = _eval_dtype(field)
+        edt = _wire_dtype(field)
         return arr if arr.dtype == edt else arr.astype(edt)
 
     def ring_pair(field, behind):
@@ -339,7 +355,18 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                                     _roll_k(val, ok))
             return val
 
-        return read
+        if not bool_wire:
+            return read
+
+        def read_wire(field, offsets):
+            val = read(field, offsets)
+            # bool history rode the wire as 0/1 int32; hand the kernel
+            # a real bool only now, after every slice/roll/mask
+            if field in bool_wire:
+                return val != 0
+            return val
+
+        return read_wire
 
     def _jmask(oj):
         if oj in jmask_cache:
@@ -452,7 +479,7 @@ def compile_chain_panel(program: ir.Program,
     panels since it catches Mosaic failures itself — see overlap.py)."""
     analysis = analysis or ChainAnalysis.run(program)
     from .tile_eval import reject_unsupported_mosaic
-    reject_unsupported_mosaic(program, interpret)
+    reject_unsupported_mosaic(program, interpret, bool_ihistory_ok=True)
     dims = program.dimensions
     I, J, K = dims
     auto = panel <= 0
@@ -528,8 +555,8 @@ def compile_chain_panel(program: ir.Program,
             lambda g, c=c, np_=n_panels: (jnp.clip(g - c, 0, np_ - 1),
                                           0, 0),
             memory_space=pltpu.VMEM))
-        out_dtype = jax.dtypes.canonicalize_dtype(
-            program.kernels[out].dtype)
+        out_dtype = narrow_store_dtype(program.kernels[out].dtype,
+                                       interpret)
         out_shapes.append(jax.ShapeDtypeStruct((I, J, K), out_dtype))
 
     def _ring_dtype(f):
@@ -537,6 +564,12 @@ def compile_chain_panel(program: ir.Program,
         if (ring_storage == "bfloat16" and dt == jnp.float32
                 and not interpret):
             return jnp.bfloat16
+        if dt == jnp.bool_ and not interpret:
+            # an i1 ring with i-history reads crashes the Mosaic
+            # compiler (measured on v5e); store 0/1 int32 and keep the
+            # value int32 through the read machinery — the kernel body
+            # converts with `!= 0` at read exit (VERDICT r4 #5)
+            return jnp.int32
         return dt
 
     scratch_shapes = [

@@ -189,10 +189,27 @@ def shift_fill_k(x, o: int, fill):
     return shift_fill(x, o, 1, fill)
 
 
+def narrow_store_dtype(dt, interpret: bool):
+    """Mosaic crashes storing narrow-int/bool OUTPUT blocks at vreg-
+    unaligned panel shapes with B > 1 (measured on v5e: an int16 output
+    at (6,7,6) dims, B >= 2 — same packed-vreg bug family as the
+    round-3 tpu.concatenate guard).  Compiled kernels therefore store
+    such outputs as int32 and the forward wrapper casts back outside
+    the pallas_call — value-exact (the kernel result is cast to the
+    narrow dtype FIRST, so wraparound happens per the oracle)."""
+    dt = jax.dtypes.canonicalize_dtype(dt)
+    if interpret:
+        return dt
+    if np.dtype(dt).kind in "iub" and np.dtype(dt).itemsize < 4:
+        return jnp.int32
+    return dt
+
+
 def make_forward(program: ir.Program, input_names, dims, call,
                  n_outputs: int):
     """Dict-in/dict-out wrapper: reshape inputs to spanned dims, call,
-    reshape outputs to the program's raw rank."""
+    reshape outputs to the program's raw rank (casting back any output
+    the kernel stored widened — narrow_store_dtype)."""
     raw = program.raw_dimensions
 
     def forward(inputs: Dict[str, Any]) -> Dict[str, Any]:
@@ -208,7 +225,8 @@ def make_forward(program: ir.Program, input_names, dims, call,
         res = call(*args)
         if n_outputs == 1:
             res = (res,)
-        return {o: r.reshape(raw)
+        return {o: r.astype(jax.dtypes.canonicalize_dtype(
+                    program.kernels[o].dtype)).reshape(raw)
                 for o, r in zip(program.outputs, res)}
 
     return jax.jit(forward)

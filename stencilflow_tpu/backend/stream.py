@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import config, ir
 from ..config import JUNK_VAL
 from ..frontend.analysis import ChainAnalysis
-from .stacked_io import shift_fill
+from .stacked_io import narrow_store_dtype, shift_fill
 from .tile_eval import eval_kernel_statements, read_access_tile
 
 Vec3 = Tuple[int, int, int]
@@ -1559,7 +1559,8 @@ def compile_chain_stream(program: ir.Program,
         else:
             out_specs.append(pl.BlockSpec(
                 (block, J, K), idx, memory_space=pltpu.VMEM))
-        out_dtype = jax.dtypes.canonicalize_dtype(program.kernels[out].dtype)
+        out_dtype = narrow_store_dtype(program.kernels[out].dtype,
+                                       interpret)
         out_shapes.append(jax.ShapeDtypeStruct((I, J, K), out_dtype))
 
     def ring_dtype(f):
@@ -1701,7 +1702,8 @@ def compile_chain_stream(program: ir.Program,
         if len(out_shapes) == 1:
             res = (res,)
         # drop the HBM spill-ring outputs (kernel-internal scratch)
-        return {o: r.reshape(raw)
+        return {o: r.astype(jax.dtypes.canonicalize_dtype(
+                    program.kernels[o].dtype)).reshape(raw)
                 for o, r in zip(program.outputs, res)}
 
     return jax.jit(forward)

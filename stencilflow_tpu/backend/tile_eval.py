@@ -145,15 +145,41 @@ _CALLS: Dict[str, Callable] = {
 
 
 def reject_unsupported_mosaic(program: ir.Program,
-                              interpret: bool) -> None:
-    """Scope gate shared by the Pallas lowerings (stream/panel/overlap):
+                              interpret: bool,
+                              bool_ihistory_ok: bool = False) -> None:
+    """Scope gate shared by the Pallas lowerings (stream/overlap):
     a BOOL field read at a nonzero i-offset needs an i1 ring/stack with
-    history rolls, which crashes the Mosaic compiler outright (measured
-    on v5e: tpu_compile_helper exit 1; int8/int32 re-typed rings crash
-    the same way).  Raise a clean ValueError so compile_chain_best falls
-    through to the fused-XLA backend, which handles these programs on
-    TPU (verified on chip).  Same-plane bool reads are fine."""
+    history ROLLS, which crashes the Mosaic compiler outright (measured
+    on v5e: tpu_compile_helper exit 1; re-typing the ring alone does not
+    help — shifting the i1 VECTOR is the crash).  Raise a clean
+    ValueError so compile_chain_best falls through, which lands such
+    programs on the panel/group lowerings (``bool_ihistory_ok=True``:
+    they keep bool history as 0/1 int32 through their slice/mask
+    machinery and convert with ``!= 0`` at read exit — VERDICT r4 #5)
+    or, failing those, on fused XLA.  Same-plane bool reads are fine
+    everywhere."""
     if interpret:
+        return
+    # Narrow-int (i8/i16) kernels at sublane-unaligned plane widths
+    # crash Mosaic's packed-vreg layout handling erratically (measured
+    # on v5e: an int16 kernel at dims (6,7,6) with B=2 panels dies in
+    # tpu_compile_helper while near-identical shapes compile; the exact
+    # trigger resists pinning).  Gate the whole class at J % 8 != 0 —
+    # aligned narrow-int programs stay on the fast path, odd-shaped
+    # ones take fused XLA (verified correct on chip).
+    if program.dimensions[1] % 8:
+        for fname, dt in (
+                [(k, s.dtype) for k, s in program.kernels.items()]
+                + [(n, s.dtype) for n, s in program.inputs.items()]):
+            d = np.dtype(dt)
+            if d.kind in "iu" and d.itemsize < 4:
+                raise ValueError(
+                    f"field {fname!r} is {d.name} on a sublane-"
+                    f"unaligned plane (J={program.dimensions[1]}): "
+                    "narrow-int packed layouts crash the Mosaic "
+                    "compiler at such shapes (use the fused-XLA "
+                    "backend)")
+    if bool_ihistory_ok:
         return
     for kname, kspec in program.kernels.items():
         for field, offsets in kspec.accesses().items():

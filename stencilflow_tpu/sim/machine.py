@@ -565,7 +565,11 @@ class Simulator:
                 except (ValueError, OverflowError, ZeroDivisionError) as exc:
                     raise SimulationError(
                         f"{kname}@{t}: {exc}") from exc
-                st.pipeline.append((cycle + st.latency, t, float(res)))
+                # keep the numpy scalar: converting through python float
+                # here was the machine's own 2^53 transport envelope for
+                # int64 results (closed round 5 with the native core's
+                # typed edges, VERDICT r4 #8); floats are already exact
+                st.pipeline.append((cycle + st.latency, t, res))
                 if st.first_fire is None:
                     st.first_fire = cycle
                 st.last_fire = cycle

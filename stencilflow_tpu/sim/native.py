@@ -15,10 +15,12 @@ Compiled objects are cached under ``.simcache/`` keyed by source hash.
 
 Integer and bool kernels run natively with numpy scalar semantics (typed
 expression emitter, per-dtype wraparound, true division to float64, weak
-python-int constants — see ``_expr_cpp_typed``).  Values cross FIFOs as
-doubles, so int64 magnitudes beyond 2**53 are the one documented envelope
-where the C++ core diverges from the Python machine (use
-``simulate(..., native=False)`` there).
+python-int constants — see ``_expr_cpp_typed``).  FIFO transport is
+TYPED per edge by the producer's dtype: int64 edges carry long long
+(bit-exact at any magnitude — the former |values| >= 2**53 envelope is
+closed, VERDICT r4 #8); everything else embeds exactly in double.  The
+one residual envelope is int64 SCALAR inputs, which cross the ABI as
+double (|scalar| < 2**53).
 """
 from __future__ import annotations
 
@@ -360,7 +362,14 @@ def _expr_cpp_typed(expr: ir.Expr,
                 "bool - bool is a TypeError in numpy (the oracle rejects "
                 "this program); Python machine fallback")
         if _is_flt(ty):
-            return _rnd_of(ty)(f"(double)({l}) {sym} (double)({r})"), ty
+            # operands whose type differs from the promoted float dtype
+            # convert FIRST (numpy/oracle semantics: the mixed int x
+            # float spec casts the int to the float dtype, rounding it,
+            # BEFORE the op — computing in double and rounding once
+            # would double-round differently for |int| > 2^24 at f32)
+            l2 = l if lt == ty else to_ty(l, lt, ty)
+            r2 = r if rt == ty else to_ty(r, rt, ty)
+            return _rnd_of(ty)(f"(double)({l2}) {sym} (double)({r2})"), ty
         ct = _ct_of(ty)        # same-width integer wraparound per op
         return f"({ct})(({ct})({l}) {sym} ({ct})({r}))", ty
     if isinstance(expr, ir.UnaryOp):
@@ -422,8 +431,10 @@ def _expr_cpp_typed(expr: ir.Expr,
             _check_weak_fits(ty, at, bt)   # ufunc: weak ints must fit
             if _is_flt(ty):    # NaN-propagating like np.minimum/maximum
                 fn = "sf_min" if expr.fn == "min" else "sf_max"
+                a2 = a if at == ty else to_ty(a, at, ty)
+                b2 = b if bt == ty else to_ty(b, bt, ty)
                 return _rnd_of(ty)(
-                    f"{fn}((double)({a}), (double)({b}))"), ty
+                    f"{fn}((double)({a2}), (double)({b2}))"), ty
             fn = "std::min" if expr.fn == "min" else "std::max"
             src = (f"{fn}<long long>((long long)({a}), "
                    f"(long long)({b}))")
@@ -463,6 +474,27 @@ def generate_cpp(program: ir.Program, analysis: ChainAnalysis,
         edge_ids[key] = len(edge_caps)
         edge_caps.append(cap)
 
+    def _producer_dtype(field: str) -> np.dtype:
+        if field in program.inputs:
+            return np.dtype(program.inputs[field].dtype)
+        return np.dtype(program.kernels[field].dtype)
+
+    # typed transport: int64 producers get long long edges/pipes (every
+    # other dtype embeds exactly in double) — closes the former
+    # |int64| >= 2^53 envelope (VERDICT r4 #8)
+    i64_edges = {e for (src, _dst), e in edge_ids.items()
+                 if _producer_dtype(src) == np.int64}
+    idx_d: Dict[int, int] = {}
+    idx_i: Dict[int, int] = {}
+    for e in range(len(edge_caps)):
+        tgt = idx_i if e in i64_edges else idx_d
+        tgt[e] = len(tgt)
+
+    def E(e: int) -> str:
+        if e in i64_edges:
+            return f"edges64[{idx_i[e]}]"
+        return f"edges[{idx_d[e]}]"
+
     array_inputs = [n for n, s in program.inputs.items() if not s.is_scalar]
     scalar_inputs = [n for n, s in program.inputs.items() if s.is_scalar]
     outputs = list(program.outputs)
@@ -477,9 +509,12 @@ def generate_cpp(program: ir.Program, analysis: ChainAnalysis,
     w(f"static const long long N = {N}LL;")
     w(f"static const long long DI = {dims[0]}, DJ = {dims[1]}, "
       f"DK = {dims[2]};")
-    w(f"static const int N_EDGES = {len(edge_caps)};")
-    caps = ", ".join(str(c) for c in edge_caps)
-    w(f"static const long long EDGE_CAP[] = {{{caps or '0'}}};")
+    w(f"static const int N_EDGES_D = {len(idx_d)};")
+    w(f"static const int N_EDGES_I = {len(idx_i)};")
+    caps_d = ", ".join(str(edge_caps[e]) for e in sorted(idx_d))
+    caps_i = ", ".join(str(edge_caps[e]) for e in sorted(idx_i))
+    w(f"static const long long EDGE_CAP_D[] = {{{caps_d or '0'}}};")
+    w(f"static const long long EDGE_CAP_I[] = {{{caps_i or '0'}}};")
     s = _host_cast_sentinels()
     w(f"""
 // numpy float->int casts: NaN / out-of-range results are HOST-specific
@@ -525,26 +560,32 @@ static inline double rnd_bf16(double v) {
   std::memcpy(&f, &b, 4);
   return (double)f;
 }
+// FIFO transport is TYPED per edge by the PRODUCER's dtype: double for
+// every dtype whose values embed exactly (float32/64, bool, int <= 32
+// bits — |int32| < 2^53), and long long for int64 producers, closing
+// the former |values| >= 2^53 envelope (VERDICT r4 #8; the reference's
+// transport-fidelity-as-proof discipline, bounded_queue.py:121-139).
+template <typename T>
 struct Edge {
   // fixed-capacity circular buffer: element with stream index t lives at
   // data[t % cap] while t is in [base, arrived)
-  std::vector<double> data; long long base=0, arrived=0, high=0, cap=0;
+  std::vector<T> data; long long base=0, arrived=0, high=0, cap=0;
   long long occ_sum=0;
-  inline void init(long long c) { cap = c; data.assign((size_t)c, 0.0); }
+  inline void init(long long c) { cap = c; data.assign((size_t)c, T(0)); }
   inline long long occ() const { return arrived - base; }
-  inline bool push(double v) {
+  inline bool push(T v) {
     if (occ() >= cap) return false;
     data[(size_t)(arrived % cap)] = v; ++arrived;
     if (occ() > high) high = occ();
     return true;
   }
-  inline double peek(long long flat, int eid) const {
+  inline T peek(long long flat, int eid) const {
     if (flat < base || flat >= arrived) {
       if (g_fault_edge < 0) {
         g_fault_edge = eid; g_fault_idx = flat;
         g_fault_lo = base; g_fault_hi = arrived;
       }
-      return 0.0;
+      return T(0);
     }
     return data[(size_t)(flat % cap)];
   }
@@ -553,7 +594,8 @@ struct Edge {
     if (nb > base) base = nb;
   }
 };
-struct Pipe { long long ready, idx; double value; };
+template <typename T>
+struct Pipe { long long ready, idx; T value; };
 static inline bool oob(long long flat, int oi, int oj, int ok,
                        bool mi, bool mj, bool mk) {
   long long i = flat / (DJ*DK), j = (flat / DK) % DJ, k = flat % DK;
@@ -568,21 +610,35 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
     w("             double** outputs, long long* stats, char* err, "
       "int errlen) {")
     w("  g_fault_edge = -1;  // file-scope fault record: reset per run")
-    w("  std::vector<Edge> edges(N_EDGES);")
-    w("  for (int e = 0; e < N_EDGES; ++e) edges[e].init(EDGE_CAP[e]);")
+    w("  std::vector<Edge<double>> edges(N_EDGES_D);")
+    w("  std::vector<Edge<long long>> edges64(N_EDGES_I);")
+    w("  for (int e = 0; e < N_EDGES_D; ++e) "
+      "edges[e].init(EDGE_CAP_D[e]);")
+    w("  for (int e = 0; e < N_EDGES_I; ++e) "
+      "edges64[e].init(EDGE_CAP_I[e]);")
     for i, name in enumerate(scalar_inputs):
         w(f"  const double sc_{name} = scalars[{i}];")
     for i, name in enumerate(array_inputs):
-        w(f"  const double* in_{name} = arr_inputs[{i}];")
+        ict = ("long long" if _producer_dtype(name) == np.int64
+               else "double")
+        w(f"  const {ict}* in_{name} = "
+          f"(const {ict}*)arr_inputs[{i}];")
         for dst in graph.consumers(name):
             w(f"  long long sent_{name}_{dst} = 0;")
     for i, o in enumerate(outputs):
-        w(f"  double* out_{o} = outputs[{i}];")
+        oct_ = ("long long"
+                if np.dtype(program.kernels[o].dtype) == np.int64
+                else "double")
+        w(f"  {oct_}* out_{o} = ({oct_}*)outputs[{i}];")
         w(f"  long long opc_{o} = 0;")
     pace = F
     for kname in order:
         lat = analysis.kernel_latencies[kname]
-        w(f"  long long pc_{kname} = 0; std::vector<Pipe> pl_{kname};")
+        pvt = ("long long"
+               if np.dtype(program.kernels[kname].dtype) == np.int64
+               else "double")
+        w(f"  long long pc_{kname} = 0; "
+          f"std::vector<Pipe<{pvt}>> pl_{kname};")
         w(f"  const long long lat_{kname} = {lat};")
         w(f"  const long long pace_{kname} = {pace[kname]};")
         w(f"  long long ff_{kname} = -1, lf_{kname} = -1, "
@@ -602,12 +658,12 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
         w(f"    while (!pl_{kname}.empty() && "
           f"pl_{kname}.front().ready <= cycle) {{")
         cond = " && ".join(
-            f"(edges[{e}].occ() < edges[{e}].cap || pc_{c} >= N)"
+            f"({E(e)}.occ() < {E(e)}.cap || pc_{c} >= N)"
             for e, c in out_edges) or "true"
         w(f"      if (!({cond})) {{ ++st_{kname}; break; }}")
-        w(f"      double val = pl_{kname}.front().value;")
+        w(f"      auto val = pl_{kname}.front().value;")
         for e, c in out_edges:
-            w(f"      if (pc_{c} < N) edges[{e}].push(val);")
+            w(f"      if (pc_{c} < N) {E(e)}.push(val);")
         if kname in outputs:
             w(f"      if (opc_{kname} == pl_{kname}.front().idx) "
               f"{{ out_{kname}[opc_{kname}++] = val; }}")
@@ -631,7 +687,7 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
                 continue
             mx = windows[(field, kname)][1]
             e = edge_ids[(field, kname)]
-            avail.append(f"edges[{e}].arrived >= "
+            avail.append(f"{E(e)}.arrived >= "
                          f"std::min(N, pc_{kname} + ({mx}) + 1)")
         # warmup discard: keep each in-edge released to the window floor
         for field in acc_map:
@@ -639,7 +695,7 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
                 continue
             mn = windows[(field, kname)][0]
             e = edge_ids[(field, kname)]
-            w(f"    edges[{e}].release_to(pc_{kname} + ({mn}LL));")
+            w(f"    {E(e)}.release_to(pc_{kname} + ({mn}LL));")
         avail_c = " && ".join(avail) or "true"
         w(f"    if (pc_{kname} < N && cycle >= pace_{kname} + pc_{kname}"
           f" && {avail_c}) {{")
@@ -695,18 +751,27 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
             if bc is None or bc.kind == ir.BCKind.CONSTANT:
                 alt = f"{(bc.value if bc is not None else 0.0)!r}"
             elif bc.kind == ir.BCKind.COPY:
-                alt = f"edges[{e}].peek(t, {e})"
+                alt = f"{E(e)}.peek(t, {e})"
             else:  # SHRINK
                 alt = f"{JUNK_VAL!r}"
             if uniform:
                 w(f"      double v{idx} = {oobc} ? {alt} : "
-                  f"edges[{e}].peek(t + {flat_off}LL, {e});")
+                  f"{E(e)}.peek(t + {flat_off}LL, {e});")
                 if mode != "f64":
                     w(f"      v{idx} = {rnd(f'v{idx}')};")
+            elif e in i64_edges:
+                # typed transport: the edge carries long long exactly;
+                # a constant/shrink fill truncates toward zero like
+                # numpy's float->int64 cast of an in-range value
+                if bc is None or bc.kind in (ir.BCKind.CONSTANT,
+                                             ir.BCKind.SHRINK):
+                    alt = f"(long long)({alt})"
+                w(f"      long long v{idx} = {oobc} ? {alt} : "
+                  f"{E(e)}.peek(t + {flat_off}LL, {e});")
             else:
                 pd = acc_tys[idx]
                 w(f"      double r{idx} = {oobc} ? {alt} : "
-                  f"edges[{e}].peek(t + {flat_off}LL, {e});")
+                  f"{E(e)}.peek(t + {flat_off}LL, {e});")
                 w(f"      {_ct_of(pd)} v{idx} = "
                   f"{_cast_double_to(f'r{idx}', pd)};")
         if uniform:
@@ -759,7 +824,7 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
                 continue
             mn = windows[(field, kname)][0]
             e = edge_ids[(field, kname)]
-            w(f"      edges[{e}].release_to(pc_{kname} + ({mn}LL));")
+            w(f"      {E(e)}.release_to(pc_{kname} + ({mn}LL));")
         w("      progressed = true;")
         w("    }")
 
@@ -769,13 +834,15 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
             e = edge_ids[(name, dst)]
             w(f"    if (sent_{name}_{dst} < N) {{")
             w(f"      if (pc_{dst} >= N) {{ sent_{name}_{dst} = N; }}")
-            w(f"      else if (edges[{e}].push("
+            w(f"      else if ({E(e)}.push("
               f"in_{name}[sent_{name}_{dst}])) "
               f"{{ ++sent_{name}_{dst}; progressed = true; }}")
             w("    }")
 
-    w("    for (int e = 0; e < N_EDGES; ++e) "
+    w("    for (int e = 0; e < N_EDGES_D; ++e) "
       "edges[e].occ_sum += edges[e].occ();")
+    w("    for (int e = 0; e < N_EDGES_I; ++e) "
+      "edges64[e].occ_sum += edges64[e].occ();")
     w("    ++cycle; stagnant = progressed ? 0 : stagnant + 1;")
     w("    if (stagnant > 4096 || cycle > MAX_CYCLES) {")
     pcs = ", ".join(f"pc_{k}" for k in order[:6])
@@ -789,9 +856,9 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
     # ff/lf/stall...]
     w("  int si = 0; stats[si++] = cycle;")
     for e in range(len(edge_caps)):
-        w(f"  stats[si++] = edges[{e}].high;")
+        w(f"  stats[si++] = {E(e)}.high;")
     for e in range(len(edge_caps)):
-        w(f"  stats[si++] = edges[{e}].occ_sum;")
+        w(f"  stats[si++] = {E(e)}.occ_sum;")
     for kname in order:
         w(f"  stats[si++] = ff_{kname}; stats[si++] = lf_{kname}; "
           f"stats[si++] = st_{kname};")
@@ -859,7 +926,11 @@ class NativeSimulator:
         arrs = []
         for name in array_names:
             spec = program.inputs[name]
-            a = np.asarray(inputs[name], dtype=np.float64)
+            # int64 inputs travel TYPED (long long edges in the core);
+            # everything else embeds exactly in double
+            mdt = (np.int64 if np.dtype(spec.dtype) == np.int64
+                   else np.float64)
+            a = np.asarray(inputs[name]).astype(spec.dtype).astype(mdt)
             shape = tuple(d if m else 1
                           for d, m in zip(dims, spec.dim_mask))
             full = np.ascontiguousarray(
@@ -871,8 +942,13 @@ class NativeSimulator:
         if scalars.size == 0:
             scalars = np.zeros(1)
 
-        outs = [np.zeros(N, dtype=np.float64) for _ in program.outputs]
+        outs = [np.zeros(N, dtype=(np.int64 if np.dtype(
+                    program.kernels[o].dtype) == np.int64
+                    else np.float64))
+                for o in program.outputs]
 
+        # pointers pass through the double** ABI bit-for-bit; the
+        # generated core casts int64 slots back to long long*
         DP = ctypes.POINTER(ctypes.c_double)
         in_ptrs = (DP * max(1, len(arrs)))(
             *[a.ctypes.data_as(DP) for a in arrs] or [DP()])

@@ -190,6 +190,45 @@ class TestGroupBackend:
             for o in p.outputs:
                 np.testing.assert_array_equal(np.asarray(got[o]), ref[o])
 
+    def test_bool_ihistory_in_scope(self):
+        """bool fields read at i-offsets are IN scope for group/panel
+        (round 5: 0/1 int32 wire, `!= 0` at read exit — verified
+        compiled+bit-exact on v5e); stream/overlap still gate them."""
+        import jax.numpy as jnp
+        from stencilflow_tpu.backend.group import compile_chain_group
+        from stencilflow_tpu.backend.panel import compile_chain_panel
+        from stencilflow_tpu.backend.overlap import compile_chain_overlap
+        spec = {
+            "inputs": {"a": {"data": "random:-1,1",
+                             "data_type": "float32"}},
+            "outputs": ["y"], "dimensions": [8, 8, 8],
+            "program": {
+                "m": {"computation_string": "m = a[i,j,k] > 0.1",
+                      "boundary_conditions": {
+                          "a": {"type": "constant", "value": 0}},
+                      "data_type": "bool"},
+                "y": {"computation_string":
+                      "y = m[i-1,j,k] * 1.0 + m[i+1,j,k-1] * 2.0 "
+                      "+ (a[i,j,k] if m[i-1,j-1,k] else 0.5)",
+                      "boundary_conditions": {
+                          "m": {"type": "constant", "value": 0},
+                          "a": {"type": "constant", "value": 0}},
+                      "data_type": "float32"}}}
+        p = sft.parse_program(spec, name="grp_bool_ihist")
+        inputs = sft.load_input_arrays(p, seed=80)
+        ref = _oracle(p, inputs)["y"]
+        for mk in (lambda: compile_chain_group(p, panel=2, group=2,
+                                               interpret=True),
+                   lambda: compile_chain_panel(p, panel=2,
+                                               interpret=True)):
+            fn = mk()
+            got = np.asarray(fn({k: jnp.asarray(v)
+                                 for k, v in inputs.items()})["y"])
+            np.testing.assert_array_equal(got, ref)
+        # stream/overlap keep the gate (only under compiled Mosaic)
+        with pytest.raises(ValueError, match="bool"):
+            compile_chain_overlap(p, interpret=False)
+
     def test_vmem_gate_raises(self):
         from stencilflow_tpu.backend.group import compile_chain_group
         p = _program_jacobi3d(size=16, iters=4)
