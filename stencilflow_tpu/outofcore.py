@@ -145,6 +145,123 @@ def compile_chunked_chain(program: ir.Program,
     return jax.jit(body), plan
 
 
+def compile_chunked_sharded(program: ir.Program,
+                            chunks: int,
+                            mesh,
+                            dim_axes=(None, "x", "y"),
+                            analysis: Optional[ChainAnalysis] = None):
+    """Out-of-core x domain decomposition (VERDICT r4 #7): each host
+    i-chunk is evaluated SHARDED over ``mesh`` — dim_axes maps j/k to
+    mesh axes (i must stay None: it is the chunked streaming dim).  Per
+    device the chunk body holds O((block + 2h) * J/X * K/Y): each host
+    feeds its shard's i-chunks while j/k halos come from mesh neighbors
+    over ICI (multi-hop when the chain halo exceeds a shard).
+
+    Returns ``(chunk_fn, plan)`` with the same ``chunk_fn(origin_i,
+    tiles) -> outputs`` contract as compile_chunked_chain — tiles and
+    outputs are GLOBAL (j, k) extents; shard_map shards/assembles them.
+    The reference's long-domain story combines its Optimizer spill with
+    split_sdfg (SURVEY.md §5); this composes the TPU analogues."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from .backend.tile_eval import evaluate_chain_tile
+    from .parallel.pipeline import _gather_axis_halo
+
+    analysis = analysis or ChainAnalysis.run(program)
+    dims = program.dimensions
+    I, J, K = dims
+    if dim_axes[0] is not None:
+        raise ValueError("dim 0 (i) is the chunked streaming dim; "
+                         "shard j/k only (dim_axes[0] must be None)")
+    dax = {d: ax for d, ax in enumerate(dim_axes)
+           if ax is not None and d in (1, 2)}
+    for d, ax in dax.items():
+        if ax not in mesh.shape:
+            raise ValueError(f"unknown mesh axis {ax!r}")
+        if dims[d] % mesh.shape[ax]:
+            raise ValueError(f"dim {d} ({dims[d]}) not divisible by "
+                             f"mesh axis {ax!r} ({mesh.shape[ax]})")
+    if chunks < 1 or I % chunks:
+        raise ValueError(f"chunks={chunks} must divide I={I}")
+    Ic = I // chunks
+    halo = chain_halo(analysis)
+    h = (halo[0] if chunks > 1 else 0, halo[1], halo[2])
+    if chunks > 1 and h[0] >= Ic:
+        raise ValueError(f"chain i-halo {h[0]} >= chunk block {Ic}; "
+                         "use fewer chunks")
+    nx = {d: mesh.shape[a] for d, a in dax.items()}
+    loc = {d: dims[d] // nx.get(d, 1) for d in (1, 2)}
+    graph = analysis.graph
+    raw = program.raw_dimensions
+    local_raw = (Ic,) + tuple(raw[1:])
+    input_names = list(program.inputs)
+
+    def body(origin_i, tiles):
+        xidx = {d: lax.axis_index(a) for d, a in dax.items()}
+        wide = {}
+        for name in input_names:
+            spec = program.inputs[name]
+            arr = tiles[name]
+            if spec.is_scalar:
+                wide[name] = arr
+                continue
+            spanned = [d for d in range(3) if spec.dim_mask[d]]
+            for pos, d in reversed(list(enumerate(spanned))):
+                if d == 0:
+                    continue   # i-halo arrived in the host slab
+                if d in dax:
+                    wide[name] = arr = _gather_axis_halo(
+                        arr, dax[d], nx[d], pos, h[d], loc[d])
+                elif h[d]:
+                    pad = [(0, 0)] * arr.ndim
+                    pad[pos] = (h[d], h[d])
+                    wide[name] = arr = jnp.pad(arr, pad)
+            wide[name] = arr
+        origin = (jnp.int32(origin_i) + h[0],
+                  xidx[1] * loc[1] if 1 in dax else 0,
+                  xidx[2] * loc[2] if 2 in dax else 0)
+        results = evaluate_chain_tile(program, graph, wide, origin,
+                                      tuple(h))
+        core = (slice(h[0], h[0] + Ic), slice(h[1], h[1] + loc[1]),
+                slice(h[2], h[2] + loc[2]))
+        return {n: arr[core] for n, arr in results.items()}
+
+    in_specs = {}
+    for name in input_names:
+        spec = program.inputs[name]
+        if spec.is_scalar:
+            in_specs[name] = P()
+            continue
+        spanned = [d for d in range(3) if spec.dim_mask[d]]
+        in_specs[name] = P(*[dax.get(d) for d in spanned])
+    out_specs = {n: P(None, dax.get(1), dax.get(2))
+                 for n in program.outputs}
+    fn = shard_map(body, mesh=mesh, in_specs=(P(), in_specs),
+                   out_specs=out_specs, check_vma=False)
+    jfn = jax.jit(fn)
+
+    def chunk_fn(origin_i, tiles):
+        res = jfn(origin_i, tiles)
+        return {n: arr.reshape(local_raw) for n, arr in res.items()}
+
+    n_dev = int(np.prod([nx[d] for d in nx])) or 1
+    per_host = sum(
+        (Ic + 2 * h[0]) * (loc[1] + 2 * h[1]) * (loc[2] + 2 * h[2])
+        * np.dtype(program.field_dtype(f)).itemsize
+        for f in list(program.inputs) + list(program.kernels)
+        if f not in program.inputs or not program.inputs[f].is_scalar)
+    plan = ChunkPlan(chunks=chunks, block=Ic, halo=h[0],
+                     backend="sharded-xla",
+                     config={"dim_axes": tuple(dim_axes),
+                             "devices": n_dev,
+                             "per_device_tile_bytes": int(per_host)})
+    return chunk_fn, plan
+
+
 def _host_slab(arr: np.ndarray, lo: int, hi: int, extent: int):
     """``arr[lo:hi]`` along axis 0 with zero padding outside
     ``[0, extent)`` — the host-side equivalent of the sharded path's
@@ -172,8 +289,15 @@ def run_chunked(program: ir.Program,
     ``compiled`` reuses a prior ``compile_chunked_chain`` result.
     """
     analysis = analysis or ChainAnalysis.run(program)
-    fn, plan = compiled or compile_chunked_chain(program, chunks,
-                                                 analysis, **compile_kw)
+    if compiled is not None:
+        fn, plan = compiled
+    elif "mesh" in compile_kw:
+        fn, plan = compile_chunked_sharded(program, chunks,
+                                           analysis=analysis,
+                                           **compile_kw)
+    else:
+        fn, plan = compile_chunked_chain(program, chunks, analysis,
+                                         **compile_kw)
     if plan.chunks != chunks:
         raise ValueError(f"compiled for {plan.chunks} chunks, got "
                          f"{chunks}")

@@ -513,4 +513,27 @@ class Report:
                 f"HBM footprint {gib:.1f} GiB exceeds the chip "
                 f"({self.hw.hbm_bytes/2**30:.0f} GiB): out-of-core "
                 f"advised -> {hint}")
+            # out-of-core x domain decomposition: per-host/device
+            # footprint when each chunk is additionally j-sharded
+            # across N devices (outofcore.compile_chunked_sharded)
+            C = max(2, d["suggested_host_chunks"] or 2)
+            I, J, K = self.program.dimensions
+            from .backend.xla import chain_halo
+            h = chain_halo(self.analysis)
+            for n_dev in (4, 8):
+                if J % n_dev:
+                    continue
+                per = sum(
+                    (I // C + 2 * h[0]) * (J // n_dev + 2 * h[1])
+                    * (K + 2 * h[2])
+                    * np.dtype(self.program.field_dtype(f)).itemsize
+                    for f in (list(self.program.inputs)
+                              + list(self.program.kernels))
+                    if f not in self.program.inputs
+                    or not self.program.inputs[f].is_scalar)
+                lines.append(
+                    f"  with {n_dev}-way j-sharded chunks "
+                    f"(run-distributed + host chunking): "
+                    f"{per/2**20:.1f} MiB per device tile")
+                break
         return "\n".join(lines)
