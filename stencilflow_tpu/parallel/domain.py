@@ -448,6 +448,14 @@ def plan_local_stream(program: ir.Program, analysis: ChainAnalysis,
     """
     from ..backend.stream import (StreamPlan, choose_spill,
                                   compile_local_stream, jtile_splits)
+    from ..backend.tile_eval import reject_unsupported_mosaic
+    try:
+        # same Mosaic scope gates as the single-chip lowerings (bool
+        # i-history rings, narrow-int packed layouts at unaligned
+        # planes): None -> the caller's fused-XLA tile body
+        reject_unsupported_mosaic(program, interpret)
+    except ValueError:
+        return None
     halo_i = plan.halo[0]
     hjt = chain_halo(analysis)[1]
     budget = 0.7 * vmem_budget
