@@ -45,6 +45,20 @@ serializations committed under tests; ``standardize_data_layout``'s
 (J,K,I) stride permutation is a memory-layout choice with no semantic
 effect on import (we read logical shapes; permuted-stride arrays import
 identically).
+
+Targeted serializer version: the CGO'21-era dace the reference pins as
+a submodule (spcl/dace ~0.9.x, 2020).  The field set this importer
+consumes matches that serializer's JSON layout: top-level
+``{"type": "SDFG", "attributes": {...}, "nodes": [states], "edges":
+[interstate]}``, per-node ``attributes`` nesting with ``data`` /
+``label`` / ``code`` as ``{"string_data", "language"}`` (or a bare
+string — both eras accepted), constants as ``[dtype, value]`` pairs,
+symbolic shapes as strings, map ranges as ``{"ranges": [{begin, end,
+step, tile}]}``, and ``scope_entry/exit`` ids as strings.  The
+reference's own converter consumes LIVE dace objects
+(sdfg_to_stencilflow.py:522-767), so byte-level serializer quirks past
+this field set cannot be cross-checked offline; anything missing
+surfaces as a loud KeyError at import, not silent misparse.
 """
 from __future__ import annotations
 
