@@ -237,6 +237,19 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         edt = _wire_dtype(field)
         return arr if arr.dtype == edt else arr.astype(edt)
 
+    def ring_panel(field, behind):
+        """One (BJ, K) ring panel, index ``g - behind`` (cached per
+        (field, behind) within a grid step)."""
+        key = ("p", field, behind)
+        if key in pair_cache:
+            return pair_cache[key]
+        pidx = g - jnp.int32(behind)
+        D = jnp.int32(plan.ring[field])
+        s = jax.lax.rem(jax.lax.rem(pidx, D) + D, D)
+        panel = to_eval(field, rings[field][s])
+        pair_cache[key] = panel
+        return panel
+
     def ring_pair(field, behind):
         """(2*BJ, K) stack of ``field``'s panels (g-behind-1, g-behind);
         ``behind`` is static, so the stack is cached per (field, behind)
@@ -244,13 +257,8 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         key = (field, behind)
         if key in pair_cache:
             return pair_cache[key]
-        pidx = g - jnp.int32(behind)
-        D = jnp.int32(plan.ring[field])
-        s1 = jax.lax.rem(jax.lax.rem(pidx, D) + D, D)
-        s0 = jax.lax.rem(jax.lax.rem(pidx - 1, D) + D, D)
-        stack = to_eval(field,
-                        jnp.concatenate([rings[field][s0],
-                                         rings[field][s1]], axis=0))
+        stack = jnp.concatenate([ring_panel(field, behind + 1),
+                                 ring_panel(field, behind)], axis=0)
         pair_cache[key] = stack
         return stack
 
@@ -312,8 +320,18 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
 
             h, start = _access_geometry(oi, oj, B, J)
             behind = plan.lagp[kname] - h   # pair top = g - behind
-            stack = ring_pair(field, behind)
-            val = jax.lax.slice(stack, (start, 0), (start + BJ, K))
+            if start % BJ == 0:
+                # the read IS one whole ring panel (every oj == 0 read
+                # at B == 1, and B-aligned i-offsets generally): index
+                # the slot directly — the 2-panel pair concat would
+                # materialize 2*BJ rows to serve BJ (on the 512^3
+                # headline that is 2 whole-plane passes per (field,
+                # behind) per stage)
+                val = ring_panel(field, behind + (1 if start == 0
+                                                  else 0))
+            else:
+                stack = ring_pair(field, behind)
+                val = jax.lax.slice(stack, (start, 0), (start + BJ, K))
 
             def imask():
                 mkey = (plan.lagp[kname], oi)
@@ -326,8 +344,7 @@ def _panel_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                 # copy BC: shift every dim first, then ONE union mask
                 # selecting the unshifted center (per-dim masking would
                 # re-shift already-masked center values)
-                cstack = ring_pair(field, plan.lagp[kname])
-                center = jax.lax.slice(cstack, (BJ, 0), (2 * BJ, K))
+                center = ring_panel(field, plan.lagp[kname])
                 if ok:
                     val = _roll_k(val, ok)
                 m = None

@@ -509,11 +509,12 @@ class TestEngineParityEdgeCases:
 
     def test_bool_i_history_gated_off_mosaic(self):
         """A bool field read at a nonzero i-offset crashes the Mosaic
-        compiler (measured on v5e: tpu_compile_helper exit 1 for i1/i8/
-        i32-retyped rings alike), so every Pallas lowering rejects it
-        with a clean ValueError (compile_chain_best then lands on the
-        fused-XLA backend, verified OK on chip); interpret mode keeps
-        working."""
+        compiler when the i1 history is SHIFTED (measured on v5e).
+        stream/overlap/pallas reject it with a clean ValueError;
+        panel/group are IN scope since round 5 (0/1 int32 wire,
+        `!= 0` at read exit — compiled + bit-exact on chip, see
+        scripts/bool_ihist_onchip.py); interpret mode keeps working."""
+        from stencilflow_tpu.backend.group import compile_chain_group
         from stencilflow_tpu.backend.overlap import compile_chain_overlap
         from stencilflow_tpu.backend.pallas import compile_chain_pallas
         from stencilflow_tpu.backend.panel import compile_chain_panel
@@ -535,10 +536,13 @@ class TestEngineParityEdgeCases:
                        "a": {"type": "constant", "value": 0.0}},
                       "data_type": "float32"}}}
         p = sft.parse_program(spec, name="boolhistgate")
-        for compiler in (compile_chain_stream, compile_chain_panel,
-                         compile_chain_overlap, compile_chain_pallas):
+        for compiler in (compile_chain_stream, compile_chain_overlap,
+                         compile_chain_pallas):
             with pytest.raises(ValueError, match="bool.*i-"):
                 compiler(p, interpret=False)
+        # panel/group BUILD for the compiled target (int32 wire)
+        compile_chain_panel(p, interpret=False)
+        compile_chain_group(p, interpret=False, group=2)
         inputs = sft.load_input_arrays(p, seed=0)
         got = run_chain_stream(p, inputs, interpret=True)["s"]
         np.testing.assert_allclose(
