@@ -322,12 +322,16 @@ def _group_kernel_body(program: ir.Program, analysis: ChainAnalysis,
                     D = jnp.int32(plan.depth[f])
                     parts = [rings[f][_slot(q + s, D)]
                              for s in range(-cl, ch + 1)]
+                # cast to the wire dtype BEFORE the concat: an i1 (or
+                # bf16-storage) concat is itself in the Mosaic packed-
+                # layout risk class the wire exists to avoid
+                parts = [to_eval(f, p) for p in parts]
                 stack = (jnp.concatenate(parts, axis=0)
                          if len(parts) > 1 else parts[0])
                 start = (cl * B - lo) * J
                 win = jax.lax.slice(stack, (start, 0),
                                     (start + (lo + B + hi) * J, K))
-                vals[f] = to_eval(f, win)
+                vals[f] = win
                 # rows mapping to OOB planes hold stale ring data; every
                 # read that could move them into in-range planes is
                 # i-masked below, and same-plane propagation only ever
