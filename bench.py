@@ -58,7 +58,7 @@ def main():
     ap.add_argument("--interior-split", default="off",
                     choices=["on", "off"],
                     help="interior/boundary body split for --backend"
-                         " group (measured 37% slower ON at the"
+                         " group (measured 37%% slower ON at the"
                          " headline — duplicated group bodies)")
     ap.add_argument("--mxu-precision", default="split",
                     choices=["split", "bf16", "exact"],

@@ -41,6 +41,7 @@ def main() -> int:
     from stencilflow_tpu.backend import compile_chain_best
     from stencilflow_tpu.backend.group import compile_chain_group
     from stencilflow_tpu.backend.panel import compile_chain_panel
+    from stencilflow_tpu.backend.stream import compile_chain_stream
 
     failures = 0
     n_bool_hist = 0
@@ -61,6 +62,7 @@ def main() -> int:
                 ("panel", lambda: (compile_chain_panel(p), "panel")),
                 ("group", lambda: (compile_chain_group(p, group=2),
                                    "group")),
+                ("stream", lambda: (compile_chain_stream(p), "stream")),
             ]
         for label, mk in runs:
             try:

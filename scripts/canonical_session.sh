@@ -18,9 +18,11 @@ run() {
     | tail -1
 }
 
-# canonical exact-mode cells (winning backends per RESULTS.md r4)
+# canonical exact-mode cells (winning backends per RESULTS.md r4/r5)
 run --workload jacobi --backend panel                    # headline 512^3 x8
 run --workload jacobi2d --backend stream                 # 8192^2 x8 j-tiled
+run --workload jacobi2d --backend rows --rows-backend group \
+    --group-size 8 --panel 64                            # r5 exact winner
 run --workload hdiff --backend panel
 run --workload hotspot --backend panel
 run --workload box --size 256                            # auto: composed MXU

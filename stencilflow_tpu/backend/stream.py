@@ -433,6 +433,13 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
 
     def to_eval(field, arr):
         edt = eval_dtype(field)
+        if edt == jnp.bool_:
+            # bool history travels as 0/1 int32 through ALL ring/roll/
+            # mask/select machinery (Mosaic crashes shifting i1
+            # vectors, not on the ring type itself); the read exit
+            # converts with != 0 (VERDICT r4 #5, stream leg — same
+            # scheme as panel/group)
+            return arr
         return arr if arr.dtype == edt else arr.astype(edt)
 
     def ring_store(field, slot, plane):
@@ -685,6 +692,13 @@ def _stream_kernel_body(program: ir.Program, analysis: ChainAnalysis,
         bcs = program.kernels[kname].boundary_conditions
 
         def read(field, offsets):
+            val = _read_raw(field, offsets)
+            edt = eval_dtype(field)
+            if edt == jnp.bool_ and val.dtype != edt:
+                return val != 0   # 0/1 int32 transport -> bool at exit
+            return val
+
+        def _read_raw(field, offsets):
             if field in scalar_cache:
                 return scalar_cache[field]
             oi, oj, ok = offsets
@@ -1243,7 +1257,9 @@ def compile_chain_stream(program: ir.Program,
     """
     analysis = analysis or ChainAnalysis.run(program)
     from .tile_eval import reject_unsupported_mosaic
-    reject_unsupported_mosaic(program, interpret)
+    # bool i-history is supported here since round 5: rings hold 0/1
+    # int32 end-to-end (ring_dtype) and make_read converts at exit
+    reject_unsupported_mosaic(program, interpret, bool_ihistory_ok=True)
     dims = program.dimensions
     I, J, K = dims
 

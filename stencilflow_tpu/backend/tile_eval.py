@@ -147,17 +147,17 @@ _CALLS: Dict[str, Callable] = {
 def reject_unsupported_mosaic(program: ir.Program,
                               interpret: bool,
                               bool_ihistory_ok: bool = False) -> None:
-    """Scope gate shared by the Pallas lowerings (stream/overlap):
+    """Scope gate shared by the Pallas lowerings (overlap/pallas):
     a BOOL field read at a nonzero i-offset needs an i1 ring/stack with
     history ROLLS, which crashes the Mosaic compiler outright (measured
     on v5e: tpu_compile_helper exit 1; re-typing the ring alone does not
     help — shifting the i1 VECTOR is the crash).  Raise a clean
     ValueError so compile_chain_best falls through, which lands such
-    programs on the panel/group lowerings (``bool_ihistory_ok=True``:
-    they keep bool history as 0/1 int32 through their slice/mask
-    machinery and convert with ``!= 0`` at read exit — VERDICT r4 #5)
-    or, failing those, on fused XLA.  Same-plane bool reads are fine
-    everywhere."""
+    programs on the stream/panel/group lowerings
+    (``bool_ihistory_ok=True``: they keep bool history as 0/1 int32
+    through their slice/roll/mask machinery and convert with ``!= 0``
+    at read exit — VERDICT r4 #5) or, failing those, on fused XLA.
+    Same-plane bool reads are fine everywhere."""
     if interpret:
         return
     # Narrow-int (i8/i16) kernels at sublane-unaligned plane widths

@@ -450,10 +450,12 @@ def plan_local_stream(program: ir.Program, analysis: ChainAnalysis,
                                   compile_local_stream, jtile_splits)
     from ..backend.tile_eval import reject_unsupported_mosaic
     try:
-        # same Mosaic scope gates as the single-chip lowerings (bool
-        # i-history rings, narrow-int packed layouts at unaligned
-        # planes): None -> the caller's fused-XLA tile body
-        reject_unsupported_mosaic(program, interpret)
+        # same Mosaic scope gates as the single-chip stream lowering
+        # (narrow-int packed layouts at unaligned planes): None -> the
+        # caller's fused-XLA tile body.  bool i-history is in scope
+        # since round 5 (0/1 int32 ring wire in the shared stream
+        # machinery, `!= 0` at read exit)
+        reject_unsupported_mosaic(program, interpret, bool_ihistory_ok=True)
     except ValueError:
         return None
     halo_i = plan.halo[0]

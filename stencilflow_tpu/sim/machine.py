@@ -416,8 +416,9 @@ class Simulator:
             if src in self.kernels:
                 self.kernels[src].out_edges.append(e)
 
-        # scalar inputs are compile-time values on every access
-        self.scalars: Dict[str, float] = {}
+        # scalar inputs are compile-time values on every access (typed
+        # numpy scalars — int64 magnitudes stay exact)
+        self.scalars: Dict[str, np.generic] = {}
 
     # -- helpers -------------------------------------------------------------
     def _coords(self, flat: int) -> Tuple[int, int, int]:
@@ -498,7 +499,11 @@ class Simulator:
         for name, spec in program.inputs.items():
             arr = np.asarray(inputs[name])
             if spec.is_scalar:
-                self.scalars[name] = float(arr)
+                # keep the typed numpy scalar: a python-float detour was
+                # the machine's 2^53 envelope on int64 SCALARS (access
+                # reads re-cast via src_dtype, so this is otherwise
+                # behavior-neutral — VERDICT r4 #8 closure)
+                self.scalars[name] = arr.astype(spec.dtype)[()]
                 continue
             full = np.broadcast_to(
                 arr.reshape(tuple(d if m else 1

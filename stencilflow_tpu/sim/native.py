@@ -16,11 +16,10 @@ Compiled objects are cached under ``.simcache/`` keyed by source hash.
 Integer and bool kernels run natively with numpy scalar semantics (typed
 expression emitter, per-dtype wraparound, true division to float64, weak
 python-int constants — see ``_expr_cpp_typed``).  FIFO transport is
-TYPED per edge by the producer's dtype: int64 edges carry long long
-(bit-exact at any magnitude — the former |values| >= 2**53 envelope is
-closed, VERDICT r4 #8); everything else embeds exactly in double.  The
-one residual envelope is int64 SCALAR inputs, which cross the ABI as
-double (|scalar| < 2**53).
+TYPED per edge by the producer's dtype: int64 edges carry long long and
+int64 scalar inputs cross the ABI bit-for-bit (bit-exact at any
+magnitude — the former |values| >= 2**53 envelopes are closed, VERDICT
+r4 #8); everything else embeds exactly in double.
 """
 from __future__ import annotations
 
@@ -617,7 +616,14 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
     w("  for (int e = 0; e < N_EDGES_I; ++e) "
       "edges64[e].init(EDGE_CAP_I[e]);")
     for i, name in enumerate(scalar_inputs):
-        w(f"  const double sc_{name} = scalars[{i}];")
+        # int64 scalars cross the double* ABI bit-for-bit (the runner
+        # packs them via .view), exactly like int64 array slots — no
+        # |value| < 2**53 envelope on scalars either (VERDICT r4 #8)
+        if np.dtype(program.inputs[name].dtype) == np.int64:
+            w(f"  const long long sc_{name} = "
+              f"((const long long*)scalars)[{i}];")
+        else:
+            w(f"  const double sc_{name} = scalars[{i}];")
     for i, name in enumerate(array_inputs):
         ict = ("long long" if _producer_dtype(name) == np.int64
                else "double")
@@ -739,6 +745,10 @@ static inline bool oob(long long flat, int oi, int oj, int ok,
                 # like array accesses (machine.py casts via src_dtype)
                 if uniform:
                     w(f"      double v{idx} = {rnd(f'sc_{field}')};")
+                elif np.dtype(src_dtype(field)) == np.int64:
+                    # sc_ is already long long (typed ABI slot) and the
+                    # per-access cast target IS the producer dtype
+                    w(f"      long long v{idx} = sc_{field};")
                 else:
                     pd = acc_tys[idx]
                     w(f"      {_ct_of(pd)} v{idx} = "
@@ -936,11 +946,16 @@ class NativeSimulator:
             full = np.ascontiguousarray(
                 np.broadcast_to(a.reshape(shape), tuple(dims)).reshape(-1))
             arrs.append(full)
-        scalars = np.asarray(
-            [float(np.asarray(inputs[n])) for n in scalar_names],
-            dtype=np.float64)
-        if scalars.size == 0:
-            scalars = np.zeros(1)
+        scalars = np.zeros(max(1, len(scalar_names)), dtype=np.float64)
+        for i, n in enumerate(scalar_names):
+            spec = program.inputs[n]
+            v = np.asarray(inputs[n]).astype(spec.dtype)
+            if np.dtype(spec.dtype) == np.int64:
+                # bit-for-bit through the double* ABI; the generated
+                # core reads this slot back as long long
+                scalars.view(np.int64)[i] = v[()]
+            else:
+                scalars[i] = float(v)
 
         outs = [np.zeros(N, dtype=(np.int64 if np.dtype(
                     program.kernels[o].dtype) == np.int64

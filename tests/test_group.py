@@ -191,9 +191,9 @@ class TestGroupBackend:
                 np.testing.assert_array_equal(np.asarray(got[o]), ref[o])
 
     def test_bool_ihistory_in_scope(self):
-        """bool fields read at i-offsets are IN scope for group/panel
-        (round 5: 0/1 int32 wire, `!= 0` at read exit — verified
-        compiled+bit-exact on v5e); stream/overlap still gate them."""
+        """bool fields read at i-offsets are IN scope for group/panel/
+        stream (round 5: 0/1 int32 wire, `!= 0` at read exit — verified
+        compiled+bit-exact on v5e); overlap still gates them."""
         import jax.numpy as jnp
         from stencilflow_tpu.backend.group import compile_chain_group
         from stencilflow_tpu.backend.panel import compile_chain_panel
@@ -217,10 +217,12 @@ class TestGroupBackend:
         p = sft.parse_program(spec, name="grp_bool_ihist")
         inputs = sft.load_input_arrays(p, seed=80)
         ref = _oracle(p, inputs)["y"]
+        from stencilflow_tpu.backend.stream import compile_chain_stream
         for mk in (lambda: compile_chain_group(p, panel=2, group=2,
                                                interpret=True),
                    lambda: compile_chain_panel(p, panel=2,
-                                               interpret=True)):
+                                               interpret=True),
+                   lambda: compile_chain_stream(p, interpret=True)):
             fn = mk()
             got = np.asarray(fn({k: jnp.asarray(v)
                                  for k, v in inputs.items()})["y"])

@@ -510,10 +510,11 @@ class TestEngineParityEdgeCases:
     def test_bool_i_history_gated_off_mosaic(self):
         """A bool field read at a nonzero i-offset crashes the Mosaic
         compiler when the i1 history is SHIFTED (measured on v5e).
-        stream/overlap/pallas reject it with a clean ValueError;
-        panel/group are IN scope since round 5 (0/1 int32 wire,
-        `!= 0` at read exit — compiled + bit-exact on chip, see
-        scripts/bool_ihist_onchip.py); interpret mode keeps working."""
+        overlap/pallas reject it with a clean ValueError; panel/group
+        (round 5) and stream (round 5, VERDICT r4 #5 closure) are IN
+        scope: 0/1 int32 wire, `!= 0` at read exit — compiled +
+        bit-exact on chip, see scripts/bool_ihist_onchip.py; interpret
+        mode keeps working."""
         from stencilflow_tpu.backend.group import compile_chain_group
         from stencilflow_tpu.backend.overlap import compile_chain_overlap
         from stencilflow_tpu.backend.pallas import compile_chain_pallas
@@ -536,13 +537,13 @@ class TestEngineParityEdgeCases:
                        "a": {"type": "constant", "value": 0.0}},
                       "data_type": "float32"}}}
         p = sft.parse_program(spec, name="boolhistgate")
-        for compiler in (compile_chain_stream, compile_chain_overlap,
-                         compile_chain_pallas):
+        for compiler in (compile_chain_overlap, compile_chain_pallas):
             with pytest.raises(ValueError, match="bool.*i-"):
                 compiler(p, interpret=False)
-        # panel/group BUILD for the compiled target (int32 wire)
+        # panel/group/stream BUILD for the compiled target (int32 wire)
         compile_chain_panel(p, interpret=False)
         compile_chain_group(p, interpret=False, group=2)
+        compile_chain_stream(p, interpret=False)
         inputs = sft.load_input_arrays(p, seed=0)
         got = run_chain_stream(p, inputs, interpret=True)["s"]
         np.testing.assert_allclose(
@@ -701,6 +702,36 @@ class TestEngineParityEdgeCases:
                       {"s": {"type": "constant", "value": 0},
                        "g": {"type": "constant", "value": 1}},
                       "data_type": "int64"}}}, "int64big", seed=3)
+
+    def test_int64_scalar_input_beyond_2p53(self):
+        """int64 SCALAR inputs cross the native ABI bit-for-bit (typed
+        slot in the scalars vector) — a 2**62-magnitude scalar whose
+        low bits a double round-trip would destroy stays exact through
+        all three engines (closes the last r4 #8 envelope)."""
+        import warnings
+        big = np.int64(2**62 + 12345)
+        spec = {
+            "inputs": {"f": {"data": "random:1,1000", "data_type": "int64"},
+                       "c": {"data": big, "data_type": "int64",
+                             "input_dims": []}},
+            "outputs": ["s"], "dimensions": [4, 4, 4],
+            "program": {"s": {
+                "computation_string": "s = c + f[i,j,k] - f[i,j,k-1]",
+                "boundary_conditions":
+                {"f": {"type": "constant", "value": 2}},
+                "data_type": "int64"}}}
+        p = sft.parse_program(spec, name="int64sc")
+        inputs = sft.load_input_arrays(p, seed=5)
+        inputs["c"] = big
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ref = sft.run_interpreter(p, inputs)["s"]
+            py = Simulator(p).run(inputs).outputs["s"]
+        cc = NativeSimulator(p).run(inputs).outputs["s"]
+        # the low bits survive only if no double round-trip happened
+        assert int(np.asarray(ref).ravel()[0]) % 65536 not in (0, 8192)
+        np.testing.assert_array_equal(np.asarray(py), np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(cc), np.asarray(ref))
 
     def test_fault_record_resets_between_runs(self, monkeypatch):
         """One stale-read fault must not poison later runs through the
