@@ -148,7 +148,11 @@ def main():
 
     if args.backend in ("auto",):
         from stencilflow_tpu.backend import compile_chain_best
-        fn, backend = compile_chain_best(program)
+        # forward the precision contract: without this a
+        # `--workload box --mxu-precision bf16` run silently measured
+        # SPLIT through the auto path while labeled mxu-bf16
+        fn, backend = compile_chain_best(
+            program, mxu_precision=args.mxu_precision)
     elif args.backend == "rows":
         from stencilflow_tpu.backend import compile_chain_rows
         fn, backend = compile_chain_rows(program, panel=args.panel,

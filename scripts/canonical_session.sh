@@ -32,3 +32,4 @@ run --workload box --size 256                            # auto: composed MXU
 # opt-in cells (documented reduced-precision envelopes)
 run --workload jacobi --backend panel --ring-storage bfloat16
 run --workload jacobi2d --backend stream --ring-storage bfloat16
+run --workload box --size 256 --mxu-precision bf16      # 1-pass MXU
