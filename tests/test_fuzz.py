@@ -705,3 +705,60 @@ def test_random_program_comm_overlap(seed):
         got1 = np.asarray(fn1(dev1)[out])
         assert_close_modulo_reassociation(got1, ref, spec, inputs, out,
                                           "stream comm_overlap (i)")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_mixed_dtype_sharded(seed):
+    """Mixed-dtype chains (bool/int/float edges, incl. bool fields read
+    at i-offsets) through the domain-decomposed path on the CPU mesh:
+    int/bool halo exchange and the sharded bodies must match the oracle
+    bit-exactly for int/bool outputs (round 5 lifted the sharded local
+    path's bool-i-history gate — stream rings carry 0/1 int32 with
+    ``!= 0`` at read exit, so these programs now take the compiled
+    stream body on real meshes too)."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from stencilflow_tpu.backend.xla import chain_halo
+    from stencilflow_tpu.frontend.analysis import ChainAnalysis
+    from stencilflow_tpu.parallel.domain import compile_sharded_chain
+
+    rng = np.random.default_rng(77200 + seed)
+    spec = make_mixed_dtype_program(rng)
+    p0 = sft.parse_program(spec, name=f"mixsh{seed}")
+    halo = chain_halo(ChainAnalysis.run(p0))
+    # re-dimension so every 2-way-sharded block keeps an interior
+    spec["dimensions"] = [2 * (2 * h + 2) for h in halo]
+    p = sft.parse_program(spec, name=f"mixsh{seed}w")
+    inputs = sft.load_input_arrays(p, seed=seed)
+    out = p.outputs[0]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")   # int wraparound is on purpose
+        ref = np.asarray(sft.run_interpreter(p, inputs)[out])
+
+    def check(fn, plan, label):
+        sh = plan.input_shardings()
+        dev_in = {n: jax.device_put(jnp.asarray(v), sh[n])
+                  for n, v in inputs.items()}
+        got = np.asarray(fn(dev_in)[out])
+        assert got.dtype == ref.dtype, label
+        if ref.dtype.kind in "ib":
+            np.testing.assert_array_equal(got, ref, err_msg=label)
+        else:
+            assert_close_modulo_reassociation(got, ref, spec, inputs,
+                                              out, label)
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("x", "y"))
+    fn, plan = compile_sharded_chain(p, mesh, (None, "x", "y"),
+                                     local_backend="xla")
+    check(fn, plan, "xla sharded (j,k)")
+
+    if halo[0] > 0:
+        mesh1 = Mesh(np.array(jax.devices()[:2]), ("x",))
+        fn1, plan1 = compile_sharded_chain(p, mesh1, ("x", None, None),
+                                           local_backend="stream",
+                                           interpret=True)
+        check(fn1, plan1, "stream sharded (i)")
