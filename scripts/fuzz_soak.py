@@ -36,7 +36,7 @@ jax.config.update("jax_enable_x64", True)
 
 LEGS = ["all_engines", "multi_output", "deep", "mxu", "mxu_bf16",
         "rows", "rows_outofcore", "comm_overlap", "jtiled_split",
-        "mixed_dtype"]
+        "mixed_dtype", "mixed_dtype_sharded"]
 
 
 def main() -> int:
@@ -60,6 +60,7 @@ def main() -> int:
         "comm_overlap": tf.test_random_program_comm_overlap,
         "jtiled_split": tf.test_random_jtiled_interior_split,
         "mixed_dtype": tf.test_random_mixed_dtype_programs,
+        "mixed_dtype_sharded": tf.test_random_mixed_dtype_sharded,
     }
     t0 = time.time()
     ran = 0
