@@ -170,6 +170,20 @@ def compile_chain_best(program, analysis=None, interpret: bool = False,
             got = _try_stacked(program, analysis, interpret)
             if got is not None:
                 return got
+        if (len(program.raw_dimensions) == 2 and cfg["jtiles"] > 1
+                and not cfg["mxu_stages"] and len(program.kernels) >= 4):
+            # deep 2-D forced into j-tiling: row streaming avoids the
+            # j-tile halo inflation entirely, and rows+group g=8 B=64
+            # measured +9% over the j-tiled streamer at the canonical
+            # 8192^2 x8 (16.85 vs 15.44 GCell/s, 3-session protocol —
+            # RESULTS.md round 5).  Try it first; keep the streamer
+            # when the shape refuses (B must divide the row count).
+            try:
+                return compile_chain_rows(program, interpret=interpret,
+                                          backend="group", group=8,
+                                          panel=64)
+            except (ValueError, NotImplementedError):
+                pass
         return fn, "stream"
     except (ValueError, NotImplementedError):
         pass
