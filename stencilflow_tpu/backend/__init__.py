@@ -190,11 +190,9 @@ def compile_chain_best(program, analysis=None, interpret: bool = False,
     if len(program.raw_dimensions) == 2:
         # 2-D rescue: when no plane-streamer configuration fits (plane too
         # wide for any j-tile / spill), rotate to row streaming before
-        # falling to the tile/XLA paths.  NOT the blind default — same-day
-        # A/Bs measured rows+panel TIED with the j-tiled streamer at both
-        # deep (8192^2 x8: 19.3-19.5 vs 19.95 GCell/s) and shallow
-        # (16384^2 x2: 41.6 vs 40.3) large 2-D, so the proven path keeps
-        # priority and rows is the rescue / autotune candidate.
+        # falling to the tile/XLA paths.  (Deep j-tiled chains already
+        # took rows+group above, r5; this rescue keeps shallow/odd 2-D
+        # shapes on the streamer-first order the r3/r4 A/Bs validated.)
         try:
             return compile_chain_rows(program, interpret=interpret)
         except (ValueError, NotImplementedError):
