@@ -32,10 +32,23 @@ Vec3 = Tuple[int, int, int]
 
 
 def chain_halo(analysis: ChainAnalysis) -> Vec3:
-    """Per-dim cumulative halo budget for fused evaluation of the chain."""
-    ih = analysis.input_halo()
+    """Per-dim cumulative halo budget for fused evaluation of the chain.
+
+    Max of the input-composed halo AND every kernel's stage_halo: an
+    input-LESS (constant) stage contributes reach no input path
+    carries — its consumers still read its planes at offsets, so a
+    sharded/tiled evaluation region must cover those planes or the
+    consumers read unevaluated ring slots (found by fuzz seed 91005:
+    an i-sharded constant-stage chain NaN'd at the shard seam).  The
+    j/k-sharded variant happened to survive only because input-less
+    stages are constant-valued (uniform planes make the un-widened
+    wrap-reads value-correct); the widened region makes it sound by
+    construction instead of by accident.  For chains whose every stage
+    descends from an input, input_halo dominates and this is
+    unchanged."""
     h = [0, 0, 0]
-    for vec in ih.values():
+    for vec in list(analysis.input_halo().values()) + \
+            list(analysis.stage_halo().values()):
         for d in range(3):
             h[d] = max(h[d], vec[d])
     return tuple(h)

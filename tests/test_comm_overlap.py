@@ -132,6 +132,43 @@ class TestStreamBodyOverlap:
         out = np.asarray(fn(dev_in)[out_name])
         np.testing.assert_allclose(out, ref, rtol=1e-6)
 
+    def test_constant_stage_backward_reach_i_sharded(self):
+        """A constant (input-less) stage read at backward i-offsets: its
+        reach appears on NO input path, so the exchange/widening halo
+        must come from stage_halo too (chain_halo fix, fuzz seed 91005
+        — the un-widened shard read unevaluated ring planes at the
+        seam: NaN under interpret).  Both local backends, overlap on
+        and off, must match the oracle exactly."""
+        spec = {
+            "inputs": {"a": {"data": "random:-1,1",
+                             "data_type": "float32"}},
+            "outputs": ["s1"], "dimensions": [16, 8, 16],
+            "program": {
+                "s0": {"computation_string": "s0 = -0.748",
+                       "boundary_conditions": {}, "data_type": "float32"},
+                "s1": {"computation_string":
+                       "s1 = s0[i+2,j,k] + s0[i-2,j,k] + a[i,j,k]",
+                       "boundary_conditions":
+                       {"s0": {"type": "constant", "value": 0.5},
+                        "a": {"type": "constant", "value": 0.0}},
+                       "data_type": "float32"}}}
+        p = sft.parse_program(spec, name="const_ireach")
+        inputs = sft.load_input_arrays(p, seed=5)
+        ref = _oracle(p, inputs)["s1"]
+        mesh = Mesh(np.array(jax.devices()[:2]), ("x",))
+        for lb in ("stream", "xla"):
+            for ov in (False, True):
+                fn, plan = compile_sharded_chain(
+                    p, mesh, ("x", None, None), local_backend=lb,
+                    interpret=True, comm_overlap=ov)
+                sh = plan.input_shardings()
+                dev_in = {n: jax.device_put(jnp.asarray(v), sh[n])
+                          for n, v in inputs.items()}
+                out = np.asarray(fn(dev_in)["s1"])
+                assert np.isfinite(out).all(), (lb, ov)
+                np.testing.assert_allclose(out, ref, rtol=1e-6,
+                                           err_msg=f"{lb} overlap={ov}")
+
     def test_i_sharded_stream_deep_chain(self):
         # 4 stages -> halo 4; blocks of 16 planes leave an 8-plane interior
         p = _jacobi3d(size=32, iters=4)

@@ -652,8 +652,13 @@ def test_random_jtiled_interior_split(seed):
             got = np.asarray(fn(jins)[out])
         finally:
             st.TILE_INTERIOR_SPLIT = True
-        np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-6,
-                                   err_msg=f"jtiled stream split={split}")
+        # reassociation-aware: the pl.when split regions compile the
+        # stage math separately, so rare cancellation cells can part
+        # ways from the oracle by >tol while staying CLOSER to the f64
+        # truth (soak seed 91012: 1/1792 cells, |got-truth| 5.3e-7 vs
+        # |oracle-truth| 7.6e-7) — same comparator as the sharded legs
+        assert_close_modulo_reassociation(got, ref, spec, inputs, out,
+                                          f"jtiled stream split={split}")
 
 
 @pytest.mark.parametrize("seed", range(4))
